@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators: deduplication (exact,
+  * MinHash+LSH, n-gram Jaccard) and embedding similarity search.
+  *
+  * Scale design:
+  *  - exact dedup = one hash shuffle on the dedup key (map-side partial agg);
+  *  - MinHash+LSH = signatures computed per-row (no shuffle), then ONE
+  *    shuffle on (band, band_key) — candidate pairs only, never the O(n²)
+  *    cross join;
+  *  - n-gram Jaccard runs on LSH/sampled candidates, not all pairs;
+  *  - KNN brute force broadcasts the (small) query set against the corpus —
+  *    embarrassingly parallel, no shuffle until the per-query top-k.
+  *
+  * All hashes are explicit arithmetic (polynomial-mod), so the DuckDB
+  * oracle can reproduce them bit-for-bit; at 100 TB you would swap the
+  * per-char lambda for `xxhash64` (same plan shape, faster kernel).
+  */
+object DedupSim {
+
+  // ---------------------------------------------------------------------
+  // Shared shingling fragments (word 3-gram shingles + polynomial hash)
+  // ---------------------------------------------------------------------
+  /** Spark SQL: distinct word-3-gram shingles of `text` (0-based idx). */
+  private val sparkShingles =
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+      |       split(text, ' ')[i+2])))""".stripMargin.replace("\n", " ")
+
+  /** DuckDB: same shingles (1-based idx). */
+  private val duckShingles =
+    """list_distinct(list_transform(
+      |  generate_series(1, len(string_split(text, ' ')) - 2),
+      |  i -> concat_ws(' ', string_split(text, ' ')[i],
+      |       string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Spark SQL: polynomial hash of a shingle list → BIGINT list. */
+  private def sparkHashes(shingles: String) =
+    s"""transform($shingles, sh -> aggregate(
+       |  transform(filter(split(sh, ''), ch -> ch <> ''),
+       |    ch -> CAST(ascii(ch) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007))"""
+      .stripMargin.replace("\n", " ")
+
+  private def duckHashes(shingles: String) =
+    s"""list_transform($shingles, sh -> list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split(sh, ''), ch -> ch <> ''),
+       |      ch -> CAST(unicode(ch) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007))"""
+      .stripMargin.replace("\n", " ")
+
+  /** MinHash permutation constants (k=16, 4 bands × 4 rows). */
+  private val A = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L,
+    29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
+  private val B = Seq(17L, 23L, 5L, 41L, 7L, 61L, 13L, 3L,
+    53L, 19L, 31L, 2L, 43L, 11L, 59L, 29L)
+  private val P = 2147483647L
+
+  // ---------------------------------------------------------------------
+  // X1 — exact deduplication: hash-groupBy on a normalized key, keep the
+  // smallest id as canonical (deterministic survivor, not dropDuplicates'
+  // arbitrary one). One shuffle; map-side combine does the heavy lifting.
+  // ---------------------------------------------------------------------
+  private def x01(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("dedup_key", substring(col("text"), 1, 40))
+      .groupBy(col("dedup_key"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+  }
+  private val x01Sql =
+    """SELECT substring(text, 1, 40) AS dedup_key,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X2 — MinHash + LSH near-duplicate candidates.
+  // Corpus = documents ∪ planted near-dups (text + 3-word suffix), so the
+  // pipeline provably surfaces them. Signature k=16; 4 bands × 4 rows;
+  // candidates = pairs sharing any band. est_jaccard = sig agreement / 16.
+  // ---------------------------------------------------------------------
+  private def minhashCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // plant near-duplicates for every 10th doc
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate")).as("text"))
+    docs.unionByName(dups)
+  }
+
+  /** Relational MinHash: explode shingles, one polynomial hash per
+    * (doc, shingle) row, regroup hashes per doc, then ONE small
+    * expression builds the 16-slot signature from the materialized
+    * `hashes` column (the column reference keeps the Catalyst tree tiny
+    * — inlining the whole chain as nested array lambdas blows analysis
+    * up). Shuffles: shingle distinct, per-doc regroup, LSH band join —
+    * never an O(n²) cross join. */
+  private def x02(s: SparkSession, d: String): DataFrame = {
+    val aArr = A.mkString("array(", ",", ")")
+    val bArr = B.mkString("array(", ",", ")")
+    val corpus = Tables.fanout(minhashCorpus(s, d))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val shingleRows = corpus
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+    val hashed = shingleRows.withColumn("h", expr(
+      """aggregate(transform(filter(split(shingle, ''), ch -> ch <> ''),
+        |ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT),
+        |(acc, c) -> (acc * 31 + c) % 1000000007)"""
+        .stripMargin.replace("\n", " ")))
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hashes"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 15), j -> array_min(transform(hashes,
+           |h -> (element_at($aArr, j + 1) * h + element_at($bArr, j + 1))
+           |% $P)))""".stripMargin.replace("\n", " ")))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        """transform(sequence(0, 3), b -> concat_ws('_',
+          |CAST(sig[4*b] AS STRING), CAST(sig[4*b+1] AS STRING),
+          |CAST(sig[4*b+2] AS STRING), CAST(sig[4*b+3] AS STRING)))"""
+          .stripMargin.replace("\n", " "))).as(Seq("band", "band_key")))
+    val cand = bands.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .as("sig_matches"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        round(col("sig_matches").cast("double") / 16.0, 4))
+      .orderBy("doc_a", "doc_b")
+  }
+  private def x02Sql: String = {
+    val aArr = A.mkString("[", ",", "]")
+    val bArr = B.mkString("[", ",", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15), j ->
+       |      list_min(list_transform(${duckHashes(duckShingles)},
+       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
+       |keyed AS (
+       |  SELECT doc_id, sig, band, concat_ws('_', sig[4*band + 1],
+       |    sig[4*band + 2], sig[4*band + 3], sig[4*band + 4]) AS band_key
+       |  FROM bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_filter(list_zip(a.sig, b.sig),
+       |      p -> p[1] = p[2])) AS sig_matches,
+       |  ROUND(CAST(len(list_filter(list_zip(a.sig, b.sig),
+       |      p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4) AS est_jaccard
+       |FROM keyed a JOIN keyed b
+       |  ON a.band = b.band AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X4 — exact n-gram Jaccard similarity over a candidate sample (the
+  // verify stage that follows LSH candidate generation at scale).
+  // ---------------------------------------------------------------------
+  private def x04(s: SparkSession, d: String): DataFrame = {
+    val sample = Tables.fanout(Tables.documents(s, d))
+      .filter(col("doc_id") % 50 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+    val sizes = sample.groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"))
+    val a = sample.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sample.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+  private val x04Sql =
+    s"""WITH sample AS (
+       |  SELECT doc_id, unnest($duckShingles) AS shingle
+       |  FROM documents
+       |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sample GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sample a JOIN sample b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |  ROUND(CAST(inter AS DOUBLE)
+       |    / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X5 — brute-force cosine top-k over embeddings (the ANN baseline).
+  // Dot products fold left-to-right in both engines → bit-identical
+  // doubles → identical ranking; no tolerance needed.
+  // ---------------------------------------------------------------------
+  private val sparkDot =
+    """aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+      .stripMargin.replace("\n", " ")
+
+  private def x05(s: SparkSession, d: String): DataFrame = {
+    val withNorm = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(expr(sparkDot.format("embedding", "embedding"))))
+    val q = withNorm
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val pairs = withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(sparkDot.format("embedding", "q_emb")) /
+          (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id", "rank", "cos")
+      .orderBy("q_id", "rank")
+  }
+  private val duckDot =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |list_transform(list_zip(%s, %s),
+      |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"""
+      .stripMargin.replace("\n", " ")
+  private val x05Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+       |      FROM e WHERE vec_id % 100 = 0),
+       |pairs AS (
+       |  SELECT q_id, vec_id,
+       |    ${duckDot.format("embedding", "q_emb")} / (norm * q_norm) AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> q_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("x01_dedup_exact", Some(x01Sql), x01),
+    QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
+    QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
+    QueryDef("x05_knn_cosine", Some(x05Sql), x05)
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing and event-time windowed aggregation.
+  *
+  * Multimodal contract: media payloads are opaque `binary` columns with
+  * typed metadata alongside. The decode step is a clearly-marked
+  * deterministic STUB (this container has no image/audio codecs); the
+  * Spark-side plumbing — schema, batching, partition-parallel decode — is
+  * real (see graft.multimodal.MediaPipeline for the mapPartitions path).
+  */
+object Media {
+
+  import Num.{dsum, sqlDsum}
+
+  // ---------------------------------------------------------------------
+  // M1 — multimodal metadata extraction over a binary payload column.
+  // "Decode" = deterministic arithmetic stub on the byte length, standing
+  // in for an image/audio header parse.
+  // ---------------------------------------------------------------------
+  private def m01(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("byte_len", octet_length(col("payload")))
+      .withColumn("width", lit(320) + col("byte_len") % 1280)
+      .withColumn("height", lit(240) + (col("byte_len") * 7) % 720)
+      .withColumn("frames", lit(1) + col("byte_len") % 30)
+      .withColumn("codec",
+        when(col("byte_len") % 3 === 0, "h264")
+          .when(col("byte_len") % 3 === 1, "vp9")
+          .otherwise("av1"))
+      .select("doc_id", "byte_len", "width", "height", "frames", "codec")
+      .orderBy("doc_id")
+  }
+  private val m01Sql =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  320 + octet_length(encode(text)) % 1280 AS width,
+      |  240 + (octet_length(encode(text)) * 7) % 720 AS height,
+      |  1 + octet_length(encode(text)) % 30 AS frames,
+      |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'h264'
+      |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'vp9'
+      |       ELSE 'av1' END AS codec
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ST1 — event-time tumbling-window aggregation (batch form; the
+  // streaming form with watermarks lives in graft.streaming and is
+  // asserted equal to this in tests).
+  // ---------------------------------------------------------------------
+  private def st01(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+  private val st01Sql =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+      .stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
+    QueryDef("st01_event_windows", Some(st01Sql), st01)
+  )
+}

@@ -1,0 +1,617 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's SQL analytics surface (`validation.sql`, SURVEY.md §2.4
+  * Q1–Q14) plus the dataflow join/agg operators (§2.3 J1–J5, A1–A5),
+  * re-expressed over the driver testdata star schema.
+  *
+  * Scale notes baked into every query: filters sit directly on the scans
+  * (parquet pushdown), dimensions are broadcast (`broadcast(dim)`), counts
+  * use map-side partial aggregation, and double sums run through exact
+  * decimal accumulation (see [[graft.Num]]) so results are deterministic
+  * under any partitioning / AQE re-plan.
+  */
+object Relational {
+
+  import Num.{davg, dsum, sqlDavg, sqlDsum}
+
+  /** Cutoff for the "recent window" analytics (data spans 1995..2001; a
+    * moving `current_date - 30` would be empty, so the window is fixed —
+    * mirrors validation.sql:363-372's intent). */
+  private val RecentCutoff = "2001-01-01 00:00:00"
+
+  // ---------------------------------------------------------------------
+  // Q1 — expected-vs-actual anti-join (validation.sql:16-46 CTE pattern)
+  // ---------------------------------------------------------------------
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = Seq("click", "view", "purchase", "signup", "error",
+      "refund", "uninstall").toDF("expected_type")
+    val actual = Tables.events(s, d).select($"event_type").distinct()
+    // tiny `actual` side: broadcast the probe of the anti-join
+    expected.join(broadcast(actual),
+        $"expected_type" === $"event_type", "left_anti")
+      .orderBy($"expected_type")
+  }
+  private val q01Sql =
+    """WITH expected(expected_type) AS (
+      |  VALUES ('click'),('view'),('purchase'),('signup'),('error'),
+      |         ('refund'),('uninstall'))
+      |SELECT e.expected_type FROM expected e
+      |LEFT JOIN (SELECT DISTINCT event_type FROM events) a
+      |  ON e.expected_type = a.event_type
+      |WHERE a.event_type IS NULL
+      |ORDER BY e.expected_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q2 — PK uniqueness incl. composite PK (validation.sql:49-121)
+  // ---------------------------------------------------------------------
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    def chk(df: DataFrame, table: String, pk: Column): DataFrame =
+      df.agg(count(lit(1)).as("total_rows"),
+          countDistinct(pk).as("distinct_pk"))
+        .select(lit(table).as("table_name"),
+          col("total_rows"), col("distinct_pk"))
+    val rows = Seq(
+      chk(Tables.orders(s, d), "orders", col("o_orderkey")),
+      chk(Tables.customer(s, d), "customer", col("c_custkey")),
+      chk(Tables.part(s, d), "part", col("p_partkey")),
+      chk(Tables.supplier(s, d), "supplier", col("s_suppkey")),
+      // composite PK via concat, as validation.sql does with CONCAT(a,':',b)
+      chk(Tables.lineitem(s, d), "lineitem",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+    rows.reduce(_ unionByName _)
+      .withColumn("dup_count", col("total_rows") - col("distinct_pk"))
+      .select("table_name", "total_rows", "distinct_pk", "dup_count")
+      .orderBy("table_name")
+  }
+  private val q02Sql =
+    """SELECT * FROM (
+      |  SELECT 'orders' AS table_name, COUNT(*) AS total_rows,
+      |         COUNT(DISTINCT o_orderkey) AS distinct_pk,
+      |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_count FROM orders
+      |  UNION ALL
+      |  SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+      |         COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+      |  UNION ALL
+      |  SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+      |         COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+      |  UNION ALL
+      |  SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+      |         COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+      |  UNION ALL
+      |  SELECT 'lineitem', COUNT(*),
+      |         COUNT(DISTINCT concat_ws(':', l_orderkey, l_linenumber)),
+      |         COUNT(*) - COUNT(DISTINCT concat_ws(':', l_orderkey, l_linenumber))
+      |  FROM lineitem
+      |) ORDER BY table_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q3 — FK orphan checks via anti-join (validation.sql:124-223)
+  // ---------------------------------------------------------------------
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def orphans(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame =
+      fact.join(broadcast(dim.select(col(pk))),
+          fact(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphan_count"))
+        .select(lit(name).as("relationship"), col("orphan_count"))
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d);  val sup = Tables.supplier(s, d)
+    val p = Tables.part(s, d);    val ev = Tables.events(s, d)
+    Seq(
+      orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      orphans("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      orphans("lineitem->supplier", li, "l_suppkey", sup, "s_suppkey"),
+      orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
+      orphans("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      orphans("nation->region", n, "n_regionkey", r, "r_regionkey"),
+      // conditional orphan (validation.sql's `fk IS NOT NULL AND dim IS NULL`)
+      orphans("events->customer", ev.filter($"user_id".isNotNull),
+        "user_id", c, "c_custkey")
+    ).reduce(_ unionByName _).orderBy("relationship")
+  }
+  private val q03Sql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem->orders' AS relationship, COUNT(*) AS orphan_count
+      |    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    WHERE o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem->part', COUNT(*) FROM lineitem l
+      |    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |    WHERE p.p_partkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', COUNT(*) FROM lineitem l
+      |    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |    WHERE s.s_suppkey IS NULL
+      |  UNION ALL
+      |  SELECT 'orders->customer', COUNT(*) FROM orders o
+      |    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |    WHERE c.c_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'customer->nation', COUNT(*) FROM customer c
+      |    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |    WHERE n.n_nationkey IS NULL
+      |  UNION ALL
+      |  SELECT 'nation->region', COUNT(*) FROM nation n
+      |    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |    WHERE r.r_regionkey IS NULL
+      |  UNION ALL
+      |  SELECT 'events->customer', COUNT(*) FROM events e
+      |    LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |    WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL
+      |) ORDER BY relationship""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q4 — NULL-violation counts (validation.sql:226-244)
+  // ---------------------------------------------------------------------
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    def nulls(df: DataFrame, table: String, c: String): DataFrame =
+      df.filter(col(c).isNull)
+        .agg(count(lit(1)).as("null_count"))
+        .select(lit(s"$table.$c").as("column_name"), col("null_count"))
+    Seq(
+      nulls(Tables.orders(s, d), "orders", "o_custkey"),
+      nulls(Tables.orders(s, d), "orders", "o_orderdate"),
+      nulls(Tables.lineitem(s, d), "lineitem", "l_quantity"),
+      nulls(Tables.customer(s, d), "customer", "c_name"),
+      nulls(Tables.events(s, d), "events", "value"),
+      nulls(Tables.documents(s, d), "documents", "text")
+    ).reduce(_ unionByName _).orderBy("column_name")
+  }
+  private val q04Sql =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_custkey' AS column_name, COUNT(*) AS null_count
+      |    FROM orders WHERE o_custkey IS NULL
+      |  UNION ALL SELECT 'orders.o_orderdate', COUNT(*)
+      |    FROM orders WHERE o_orderdate IS NULL
+      |  UNION ALL SELECT 'lineitem.l_quantity', COUNT(*)
+      |    FROM lineitem WHERE l_quantity IS NULL
+      |  UNION ALL SELECT 'customer.c_name', COUNT(*)
+      |    FROM customer WHERE c_name IS NULL
+      |  UNION ALL SELECT 'events.value', COUNT(*)
+      |    FROM events WHERE value IS NULL
+      |  UNION ALL SELECT 'documents.text', COUNT(*)
+      |    FROM documents WHERE text IS NULL
+      |) ORDER BY column_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q5 — domain profiling / ordered string agg (validation.sql:249-256)
+  // ---------------------------------------------------------------------
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    def domain(df: DataFrame, attr: String, c: String): DataFrame =
+      df.agg(array_join(array_sort(collect_set(col(c))), ",").as("domain"))
+        .select(lit(attr).as("attribute"), col("domain"))
+    Seq(
+      domain(Tables.orders(s, d), "orders.o_orderstatus", "o_orderstatus"),
+      domain(Tables.orders(s, d), "orders.o_orderpriority", "o_orderpriority"),
+      domain(Tables.customer(s, d), "customer.c_mktsegment", "c_mktsegment"),
+      domain(Tables.events(s, d), "events.event_type", "event_type"),
+      domain(Tables.lineitem(s, d), "lineitem.l_returnflag", "l_returnflag"),
+      domain(Tables.documents(s, d), "documents.lang", "lang")
+    ).reduce(_ unionByName _).orderBy("attribute")
+  }
+  private val q05Sql =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_orderstatus' AS attribute,
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT o_orderstatus AS v FROM orders)) AS domain
+      |  UNION ALL SELECT 'orders.o_orderpriority',
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT o_orderpriority AS v FROM orders))
+      |  UNION ALL SELECT 'customer.c_mktsegment',
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT c_mktsegment AS v FROM customer))
+      |  UNION ALL SELECT 'events.event_type',
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT event_type AS v FROM events))
+      |  UNION ALL SELECT 'lineitem.l_returnflag',
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem))
+      |  UNION ALL SELECT 'documents.lang',
+      |         (SELECT string_agg(v, ',' ORDER BY v)
+      |            FROM (SELECT DISTINCT lang AS v FROM documents))
+      |) ORDER BY attribute""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q6 — conditional-aggregation range checks (validation.sql:259-291)
+  // Bounds are engine constants, as the reference's @MIN_*/@MAX_* vars.
+  // ---------------------------------------------------------------------
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    def rng(df: DataFrame, rule: String, viol: Column): DataFrame =
+      df.agg(sum(when(viol, 1).otherwise(0)).as("violations"))
+        .select(lit(rule).as("rule"), col("violations"))
+    Seq(
+      rng(Tables.lineitem(s, d), "l_quantity in [1,50]",
+        !col("l_quantity").between(1, 50) && col("l_quantity").isNotNull),
+      rng(Tables.lineitem(s, d), "l_discount in [0,0.1]",
+        !col("l_discount").between(0.0, 0.1) && col("l_discount").isNotNull),
+      rng(Tables.lineitem(s, d), "l_tax in [0,0.08]",
+        !col("l_tax").between(0.0, 0.08) && col("l_tax").isNotNull),
+      rng(Tables.orders(s, d), "o_totalprice > 0",
+        !(col("o_totalprice") > 0) && col("o_totalprice").isNotNull),
+      rng(Tables.customer(s, d), "c_acctbal in [-1000,10000]",
+        !col("c_acctbal").between(-1000, 10000) && col("c_acctbal").isNotNull),
+      rng(Tables.events(s, d), "value in [0,1000]",
+        !col("value").between(0, 1000) && col("value").isNotNull)
+    ).reduce(_ unionByName _).orderBy("rule")
+  }
+  private val q06Sql =
+    """SELECT * FROM (
+      |  SELECT 'l_quantity in [1,50]' AS rule,
+      |    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+      |             AND l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS violations
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_discount in [0,0.1]',
+      |    SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+      |             AND l_discount IS NOT NULL THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'l_tax in [0,0.08]',
+      |    SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08)
+      |             AND l_tax IS NOT NULL THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'o_totalprice > 0',
+      |    SUM(CASE WHEN NOT (o_totalprice > 0)
+      |             AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL SELECT 'c_acctbal in [-1000,10000]',
+      |    SUM(CASE WHEN NOT (c_acctbal BETWEEN -1000 AND 10000)
+      |             AND c_acctbal IS NOT NULL THEN 1 ELSE 0 END) FROM customer
+      |  UNION ALL SELECT 'value in [0,1000]',
+      |    SUM(CASE WHEN NOT (value BETWEEN 0 AND 1000)
+      |             AND value IS NOT NULL THEN 1 ELSE 0 END) FROM events
+      |) ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q7 — multi-way left-join coverage ratio (validation.sql:295-325)
+  // ---------------------------------------------------------------------
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey")
+    // fact → 3 dims, all left joins; dims broadcast (they are small
+    // relative to the fact at every scale factor)
+    li.select("l_orderkey")
+      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("o_orderkey").isNotNull &&
+                   col("c_custkey").isNotNull &&
+                   col("n_nationkey").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)).cast("double"), 2)
+          .as("coverage_pct"),
+        count(lit(1)).as("fact_rows"))
+  }
+  private val q07Sql =
+    """SELECT
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+      |        AND c.c_custkey IS NOT NULL
+      |        AND n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 2) AS coverage_pct,
+      |  COUNT(*) AS fact_rows
+      |FROM lineitem l
+      |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q8 — distribution stats (validation.sql:329-359)
+  // ---------------------------------------------------------------------
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    def stats(df: DataFrame, m: String, c: String): DataFrame =
+      df.agg(
+          min(col(c)).cast("double").as("min_v"),
+          davg(col(c)).as("avg_v"),
+          max(col(c)).cast("double").as("max_v"),
+          count(col(c)).as("cnt"))
+        .select(lit(m).as("measure"), col("min_v"), col("avg_v"),
+          col("max_v"), col("cnt"))
+    Seq(
+      stats(Tables.lineitem(s, d), "l_quantity", "l_quantity"),
+      stats(Tables.lineitem(s, d), "l_extendedprice", "l_extendedprice"),
+      stats(Tables.orders(s, d), "o_totalprice", "o_totalprice"),
+      stats(Tables.customer(s, d), "c_acctbal", "c_acctbal"),
+      stats(Tables.events(s, d), "value", "value")
+    ).reduce(_ unionByName _).orderBy("measure")
+  }
+  private val q08Sql = {
+    def st(m: String, c: String, t: String) =
+      s"""SELECT '$m' AS measure, CAST(MIN($c) AS DOUBLE) AS min_v,
+         |  ${sqlDavg(c)} AS avg_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+         |  COUNT($c) AS cnt FROM $t""".stripMargin
+    Seq(
+      st("l_quantity", "l_quantity", "lineitem"),
+      st("l_extendedprice", "l_extendedprice", "lineitem"),
+      st("o_totalprice", "o_totalprice", "orders"),
+      st("c_acctbal", "c_acctbal", "customer"),
+      st("value", "value", "events")
+    ).mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY measure")
+  }
+
+  // ---------------------------------------------------------------------
+  // Q9 — FLAGSHIP: top-K by aggregated measure over a time window
+  // (validation.sql:363-372) — scan→join→filter→agg→sort→limit spine.
+  // ---------------------------------------------------------------------
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(RecentCutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(5)
+  }
+  private val q09Sql =
+    s"""SELECT c.c_custkey, c.c_name,
+       |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE o.o_orderdate >= TIMESTAMP '$RecentCutoff'
+       |GROUP BY c.c_custkey, c.c_name
+       |ORDER BY revenue DESC, c.c_custkey LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q10 — multi-level monthly rollup report (validation.sql:374-385)
+  // ---------------------------------------------------------------------
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(davg(col("o_totalprice")).as("avg_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"), col("yr"), col("mon"))
+      .limit(10)
+  }
+  private val q10Sql =
+    s"""SELECT o_custkey, year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+       |  ${sqlDavg("o_totalprice")} AS avg_price, COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1, 2, 3
+       |ORDER BY o_custkey, yr, mon LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q11 — categorical distribution via join (validation.sql:388-393)
+  // ---------------------------------------------------------------------
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_mktsegment"))
+  }
+  private val q11Sql =
+    """SELECT c.c_mktsegment, COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY n_orders DESC, c.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q13 — violations materialization (validation.sql:407-455): every rule
+  // as one row; non-zero rows are the violations table.
+  // ---------------------------------------------------------------------
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val rules = Seq(
+      li.join(broadcast(Tables.orders(s, d).select("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violation_count"))
+        .select(lit("orphan lineitem.orderkey").as("rule"),
+          col("violation_count")),
+      li.filter(!col("l_quantity").between(1, 50))
+        .agg(count(lit(1)).as("violation_count"))
+        .select(lit("range l_quantity").as("rule"), col("violation_count")),
+      Tables.orders(s, d).filter(col("o_custkey").isNull)
+        .agg(count(lit(1)).as("violation_count"))
+        .select(lit("null o_custkey").as("rule"), col("violation_count")),
+      Tables.customer(s, d)
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("violation_count"))
+        .select(lit("dup c_custkey").as("rule"), col("violation_count"))
+    )
+    rules.reduce(_ unionByName _)
+      .withColumn("passed", col("violation_count") === 0)
+      .orderBy("rule")
+  }
+  private val q13Sql =
+    """SELECT rule, violation_count, violation_count = 0 AS passed FROM (
+      |  SELECT 'orphan lineitem.orderkey' AS rule, COUNT(*) AS violation_count
+      |    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    WHERE o.o_orderkey IS NULL
+      |  UNION ALL SELECT 'range l_quantity', COUNT(*) FROM lineitem
+      |    WHERE NOT (l_quantity BETWEEN 1 AND 50)
+      |  UNION ALL SELECT 'null o_custkey', COUNT(*) FROM orders
+      |    WHERE o_custkey IS NULL
+      |  UNION ALL SELECT 'dup c_custkey', COUNT(*) FROM (
+      |    SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+      |) ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q14 — run summary via scalar subqueries (validation.sql:458-462)
+  // ---------------------------------------------------------------------
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("total_orders"))
+    val nLi = Tables.lineitem(s, d).agg(count(lit(1)).as("total_lineitems"),
+      dsum(col("l_extendedprice")).as("gross_revenue"))
+    val nCust = Tables.customer(s, d).agg(count(lit(1)).as("total_customers"))
+    nOrders.crossJoin(nLi).crossJoin(nCust)
+  }
+  private val q14Sql =
+    s"""SELECT
+       |  (SELECT COUNT(*) FROM orders) AS total_orders,
+       |  (SELECT COUNT(*) FROM lineitem) AS total_lineitems,
+       |  (SELECT ${sqlDsum("l_extendedprice")} FROM lineitem) AS gross_revenue,
+       |  (SELECT COUNT(*) FROM customer) AS total_customers""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J1 — composite-key entity resolution (main_etl_pipeline.py:161-287):
+  // profile hash → window dedup with deterministic survivor → minted keys.
+  // At scale: one shuffle on the hash; no driver-side loop, no sequential
+  // counter — row_number over the deduped set replaces `next_user_id`.
+  // ---------------------------------------------------------------------
+  private def j01(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hashed = c.withColumn("profile_hash",
+      concat_ws("_", col("c_mktsegment"), col("c_nationkey"),
+        round(col("c_acctbal"), -2).cast("long")))
+    val wDedup = Window.partitionBy(col("profile_hash"))
+      .orderBy(col("c_custkey"))
+    val canonical = hashed
+      .withColumn("rn", row_number().over(wDedup))
+      .withColumn("n_matched",
+        count(lit(1)).over(Window.partitionBy(col("profile_hash"))))
+      .filter(col("rn") === 1)
+    canonical
+      .withColumn("user_key",
+        row_number().over(Window.orderBy(col("profile_hash"))))
+      .select(col("user_key"), col("profile_hash"),
+        col("c_custkey").as("canonical_custkey"), col("n_matched"))
+      .orderBy("user_key")
+  }
+  private val j01Sql =
+    """WITH hashed AS (
+      |  SELECT c_custkey, concat_ws('_', c_mktsegment, c_nationkey,
+      |           CAST(ROUND(c_acctbal, -2) AS BIGINT)) AS profile_hash
+      |  FROM customer),
+      |dedup AS (
+      |  SELECT c_custkey, profile_hash,
+      |    ROW_NUMBER() OVER (PARTITION BY profile_hash ORDER BY c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY profile_hash) AS n_matched
+      |  FROM hashed)
+      |SELECT ROW_NUMBER() OVER (ORDER BY profile_hash) AS user_key,
+      |       profile_hash, c_custkey AS canonical_custkey, n_matched
+      |FROM dedup WHERE rn = 1 ORDER BY user_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J2 — broadcast dimension lookups during fact build
+  // (main_etl_pipeline.py:465-471 dict probes → broadcast hash joins)
+  // ---------------------------------------------------------------------
+  private def j02(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+  private val j02Sql =
+    s"""SELECT p.p_brand,
+       |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem l
+       |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J3+J4 — distinct-values dimension build with deterministic surrogate
+  // keys (main_etl_pipeline.py:373-382)
+  // ---------------------------------------------------------------------
+  private def j03(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.select(col("o_orderpriority")).na.drop().distinct()
+      .withColumn("priority_key",
+        row_number().over(Window.orderBy(col("o_orderpriority"))))
+      .select("priority_key", "o_orderpriority")
+      .orderBy("priority_key")
+  }
+  private val j03Sql =
+    """SELECT ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS priority_key,
+      |       o_orderpriority
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders
+      |      WHERE o_orderpriority IS NOT NULL)
+      |ORDER BY priority_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A3 — unpivot/melt: one row → N metric rows (main_etl_pipeline.py:587-593)
+  // ---------------------------------------------------------------------
+  private def a03(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3, 'quantity', l_quantity,
+                         'price', l_extendedprice,
+                         'discount', l_discount) AS (metric, value)"""))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+  private val a03Sql =
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+      |         l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+      |    FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      |    FROM lineitem
+      |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1+A2 — per-entity daily rollup (sleep SUM / heartrate AVG analogue,
+  // main_etl_pipeline.py:543,560) over the events table.
+  // ---------------------------------------------------------------------
+  private def a01(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("total_value"),
+           davg(col("value")).as("avg_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+  private val a01Sql =
+    s"""SELECT user_id, CAST(ts AS DATE) AS day,
+       |  ${sqlDsum("value")} AS total_value,
+       |  ${sqlDavg("value")} AS avg_value,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A5 — union + distinct across sources (main_etl_pipeline.py:291-294)
+  // ---------------------------------------------------------------------
+  private def a05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.union(sup).distinct().orderBy("nationkey")
+  }
+  private val a05Sql =
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL SELECT s_nationkey FROM supplier
+      |) ORDER BY nationkey""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_catalog_antijoin", Some(q01Sql), q01),
+    QueryDef("q02_pk_uniqueness", Some(q02Sql), q02),
+    QueryDef("q03_fk_orphans", Some(q03Sql), q03),
+    QueryDef("q04_null_violations", Some(q04Sql), q04),
+    QueryDef("q05_domain_profile", Some(q05Sql), q05),
+    QueryDef("q06_range_checks", Some(q06Sql), q06),
+    QueryDef("q07_join_coverage", Some(q07Sql), q07),
+    QueryDef("q08_distribution_stats", Some(q08Sql), q08),
+    QueryDef("q09_topk_time_window", Some(q09Sql), q09),
+    QueryDef("q10_monthly_rollup", Some(q10Sql), q10),
+    QueryDef("q11_segment_distribution", Some(q11Sql), q11),
+    QueryDef("q13_violations_table", Some(q13Sql), q13),
+    QueryDef("q14_run_summary", Some(q14Sql), q14),
+    QueryDef("j01_entity_resolution", Some(j01Sql), j01),
+    QueryDef("j02_broadcast_lookup", Some(j02Sql), j02),
+    QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
+    QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
+    QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
+    QueryDef("a05_union_distinct", Some(a05Sql), a05)
+  )
+}

@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar/row transforms from SURVEY.md §2.2 (T3, T5, T6+T7, T8, T11+T12,
+  * T14, T15, T16) re-expressed over the testdata, plus the text-analysis
+  * extension operators (language-ID, quality scoring, token counting,
+  * fingerprinting).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` / SQL
+  * expressions so the whole pipeline stays inside whole-stage codegen —
+  * no Scala UDFs in any hot path.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------------
+  // T3 — unit-stripping numeric cast (main_etl_pipeline.py:394-437):
+  // regex-strip `g|mg|mcg|iu|kcal` suffixes then coerce-to-null cast.
+  // ---------------------------------------------------------------------
+  private def t03(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .withColumn("raw",
+        when(col("p_partkey") % 4 === 0,
+          concat(col("p_retailprice").cast("decimal(12,2)").cast("string"),
+            lit(" g")))
+        .when(col("p_partkey") % 4 === 1,
+          concat(col("p_size").cast("string"), lit(" mg")))
+        .when(col("p_partkey") % 4 === 2, lit("N/A"))
+        .otherwise(
+          concat(col("p_retailprice").cast("decimal(12,2)").cast("string"),
+            lit(" kcal"))))
+      .withColumn("parsed", expr(
+        """try_cast(regexp_replace(raw, '(?i)\\s*(g|mg|mcg|iu|kcal)$', '')
+          | AS DOUBLE)""".stripMargin.replace("\n", "")))
+      .select("p_partkey", "raw", "parsed")
+      .orderBy("p_partkey")
+  }
+  private val t03Sql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_partkey % 4 = 0
+      |         THEN concat(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), ' g')
+      |       WHEN p_partkey % 4 = 1 THEN concat(CAST(p_size AS VARCHAR), ' mg')
+      |       WHEN p_partkey % 4 = 2 THEN 'N/A'
+      |       ELSE concat(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), ' kcal')
+      |  END AS raw,
+      |  TRY_CAST(regexp_replace(
+      |    CASE WHEN p_partkey % 4 = 0
+      |           THEN concat(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), ' g')
+      |         WHEN p_partkey % 4 = 1 THEN concat(CAST(p_size AS VARCHAR), ' mg')
+      |         WHEN p_partkey % 4 = 2 THEN 'N/A'
+      |         ELSE concat(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), ' kcal')
+      |    END, '(?i)\s*(g|mg|mcg|iu|kcal)$', '') AS DOUBLE) AS parsed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T5 — keyword classifier, first-match-wins (main_etl_pipeline.py:314-323,
+  // taxonomy from config.py:30-35). Chained `when` preserves dict order.
+  // ---------------------------------------------------------------------
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    val txt = lower(concat_ws(" ", col("p_type"), col("p_name")))
+    Tables.part(s, d)
+      .withColumn("category",
+        when(txt.contains("promo"), "promotional")
+          .when(txt.contains("large") || txt.contains("big"), "bulk")
+          .when(txt.contains("small") || txt.contains("mini"), "compact")
+          .when(txt.contains("widget"), "gadget")
+          .otherwise("standard"))
+      .select("p_partkey", "p_type", "p_name", "category")
+      .orderBy("p_partkey")
+  }
+  private val t05Sql =
+    """SELECT p_partkey, p_type, p_name,
+      |  CASE WHEN lower(concat_ws(' ', p_type, p_name)) LIKE '%promo%'
+      |         THEN 'promotional'
+      |       WHEN lower(concat_ws(' ', p_type, p_name)) LIKE '%large%'
+      |         OR lower(concat_ws(' ', p_type, p_name)) LIKE '%big%'
+      |         THEN 'bulk'
+      |       WHEN lower(concat_ws(' ', p_type, p_name)) LIKE '%small%'
+      |         OR lower(concat_ws(' ', p_type, p_name)) LIKE '%mini%'
+      |         THEN 'compact'
+      |       WHEN lower(concat_ws(' ', p_type, p_name)) LIKE '%widget%'
+      |         THEN 'gadget'
+      |       ELSE 'standard' END AS category
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T6+T7 — text-blob tokenizer + explode (main_etl_pipeline.py:129-135,
+  // 499-511): lowercase, split on `[,\n]| and `, trim, drop empties, one
+  // row per (entity, token) — the bridge-table build.
+  // ---------------------------------------------------------------------
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("blob",
+        concat(col("c_name"), lit(", "), col("c_mktsegment"),
+          lit(" and "), col("n_name")))
+      .withColumn("token", explode(expr(
+        "filter(transform(split(lower(blob), '[,\\n]| and '), x -> trim(x)), x -> x <> '')")))
+      .select("c_custkey", "token")
+      .orderBy("c_custkey", "token")
+  }
+  private val t06Sql =
+    """SELECT c_custkey, token FROM (
+      |  SELECT c.c_custkey,
+      |    unnest(list_filter(list_transform(
+      |      string_split_regex(lower(concat(c.c_name, ', ', c.c_mktsegment,
+      |        ' and ', n.n_name)), '[,\n]| and '),
+      |      x -> trim(x)), x -> x <> '')) AS token
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |) ORDER BY c_custkey, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T8 — boolean flags → condition list (main_etl_pipeline.py:195-200)
+  // ---------------------------------------------------------------------
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .withColumn("conditions", concat_ws(", ",
+        when(col("c_acctbal") < 0, "negative_balance"),
+        when(col("c_mktsegment") === "BUILDING", "builder"),
+        when(col("c_custkey") % 2 === 0, "even_key")))
+      .select("c_custkey", "conditions")
+      .orderBy("c_custkey")
+  }
+  private val t08Sql =
+    """SELECT c_custkey, concat_ws(', ',
+      |  CASE WHEN c_acctbal < 0 THEN 'negative_balance' END,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'builder' END,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'even_key' END) AS conditions
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T11+T12 — date parse/format + date-part extraction
+  // (main_etl_pipeline.py:349-355). `weekday` = pandas convention (Mon=0);
+  // DuckDB oracle uses isodow-1.
+  // ---------------------------------------------------------------------
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("day"))
+      .distinct()
+      .withColumn("date_key", date_format(col("day"), "yyyyMMdd").cast("int"))
+      .withColumn("yr", year(col("day")))
+      .withColumn("mon", month(col("day")))
+      .withColumn("qtr", quarter(col("day")))
+      .withColumn("month_name", date_format(col("day"), "MMMM"))
+      .withColumn("day_name", date_format(col("day"), "EEEE"))
+      .withColumn("weekday0", expr("weekday(day)"))
+      .orderBy("day")
+  }
+  private val t11Sql =
+    """SELECT day, strftime(day, '%Y%m%d')::INT AS date_key,
+      |  year(day) AS yr, month(day) AS mon, quarter(day) AS qtr,
+      |  monthname(day) AS month_name, dayname(day) AS day_name,
+      |  isodow(day) - 1 AS weekday0
+      |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T14 — constant/static dimension (main_etl_pipeline.py:451-462)
+  // ---------------------------------------------------------------------
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq((1, "heart_rate", "bpm"), (2, "sleep", "hours"),
+        (3, "weight", "kg"), (4, "bmi", "index"))
+      .toDF("metric_type_key", "metric_name", "unit")
+      .orderBy("metric_type_key")
+  }
+  private val t14Sql =
+    """SELECT * FROM (VALUES
+      |  (1, 'heart_rate', 'bpm'), (2, 'sleep', 'hours'),
+      |  (3, 'weight', 'kg'), (4, 'bmi', 'index'))
+      |AS t(metric_type_key, metric_name, unit)
+      |ORDER BY metric_type_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T15 — date-range dimension generation (main_etl_pipeline.py:345-357):
+  // distributed `sequence`+`explode`, not a driver-side loop.
+  // ---------------------------------------------------------------------
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    s.sql(
+      """SELECT explode(sequence(to_date('2016-01-01'), to_date('2016-12-31'),
+        |  interval 1 day)) AS full_date""".stripMargin)
+      .withColumn("date_key",
+        date_format(col("full_date"), "yyyyMMdd").cast("int"))
+      .withColumn("yr", year(col("full_date")))
+      .withColumn("qtr", quarter(col("full_date")))
+      .orderBy("full_date")
+  }
+  private val t15Sql =
+    """SELECT CAST(ts AS DATE) AS full_date,
+      |  strftime(CAST(ts AS DATE), '%Y%m%d')::INT AS date_key,
+      |  year(CAST(ts AS DATE)) AS yr, quarter(CAST(ts AS DATE)) AS qtr
+      |FROM (SELECT unnest(generate_series(DATE '2016-01-01',
+      |        DATE '2016-12-31', INTERVAL 1 DAY)) AS ts)
+      |ORDER BY full_date""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T16 — seeded synthetic data generator (main_etl_pipeline.py:623-711):
+  // `spark.range` + LCG arithmetic (deterministic, unlike the reference's
+  // unseeded np.random) + broadcast join to a dimension.
+  // ---------------------------------------------------------------------
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_retailprice")
+    s.range(10000).toDF("id")
+      .withColumn("user_key", (col("id") * 1103515245L + 12345L) % 100000L % 1500L)
+      .withColumn("meal_key", (col("id") * 37L + 11L) % 4L + 1L)
+      .withColumn("qty", ((col("id") * 97L + 13L) % 500L).cast("double") / 100.0)
+      .withColumn("part_key", col("id") % 200L)
+      .join(broadcast(p), col("part_key") === col("p_partkey"))
+      .withColumn("total_price", round(col("qty") * col("p_retailprice"), 2))
+      .select("id", "user_key", "meal_key", "qty", "part_key", "total_price")
+      .orderBy("id")
+  }
+  private val t16Sql =
+    """SELECT id, (id * 1103515245 + 12345) % 100000 % 1500 AS user_key,
+      |  (id * 37 + 11) % 4 + 1 AS meal_key,
+      |  CAST((id * 97 + 13) % 500 AS DOUBLE) / 100.0 AS qty,
+      |  id % 200 AS part_key,
+      |  ROUND(CAST((id * 97 + 13) % 500 AS DOUBLE) / 100.0 * p_retailprice, 2)
+      |    AS total_price
+      |FROM (SELECT range AS id FROM range(10000)) t
+      |JOIN part ON id % 200 = p_partkey
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X6 — language ID via stopword/n-gram scoring: tokens joined to a
+  // broadcast stopword lexicon, argmax per doc via window.
+  // ---------------------------------------------------------------------
+  private val lexicon = Seq(
+    ("en", "the"), ("en", "a"), ("en", "fast"), ("en", "slow"),
+    ("de", "der"), ("de", "die"), ("de", "und"), ("de", "hash"),
+    ("es", "el"), ("es", "la"), ("es", "que"), ("es", "data"),
+    ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "window"),
+    ("zh", "de"), ("zh", "shi"), ("zh", "bu"), ("zh", "table"))
+
+  private def x06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sw = lexicon.toDF("sw_lang", "sw")
+    val docs = Tables.fanout(Tables.documents(s, d))
+    val toks = docs
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        explode(split(col("text"), " ")).as("token"))
+    val hits = toks.join(broadcast(sw), col("token") === col("sw"))
+      .groupBy(col("doc_id"), col("actual_lang"), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("sw_lang"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sw_lang").as("predicted_lang"),
+        col("hits"), col("actual_lang"))
+      .orderBy("doc_id")
+  }
+  private def x06Sql: String = {
+    val values = lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+    s"""WITH sw(sw_lang, sw) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, actual_lang, sw_lang, COUNT(*) AS hits
+       |  FROM toks JOIN sw ON token = sw
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, sw_lang AS predicted_lang, hits, actual_lang
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY hits DESC, sw_lang) AS rn FROM hits)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X7 — text quality scoring: length / token stats / stopword ratio.
+  // ---------------------------------------------------------------------
+  private def x07(s: SparkSession, d: String): DataFrame = {
+    Tables.fanout(Tables.documents(s, d))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("stop_hits",
+        expr("size(filter(toks, x -> x IN ('the', 'a')))"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        round(lit(100.0) *
+          (least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.5), 2))
+      .select("doc_id", "n_chars_m", "n_tokens", "stop_hits", "stop_ratio",
+        "quality_score")
+      .orderBy("doc_id")
+  }
+  private val x07Sql =
+    """SELECT doc_id, length(text) AS n_chars_m,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS stop_hits,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |  ROUND(100.0 * (CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE)
+      |      / 100.0 * 0.5 +
+      |    (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5), 2)
+      |    AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X8 — token counting: whitespace tokens + BPE-ish regex tokens.
+  // ---------------------------------------------------------------------
+  private def x08(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), "\\s+")))
+      .withColumn("bpe_tokens",
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") /
+          col("ws_tokens").cast("double"), 3))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
+      .orderBy("doc_id")
+  }
+  private val x08Sql =
+    """SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS bpe_tokens,
+      |  ROUND(CAST(n_chars AS DOUBLE)
+      |    / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 3)
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X9 — document fingerprint: polynomial rolling hash over characters.
+  // Arithmetic (oracle-checkable) formulation; the 100 TB path swaps the
+  // per-char lambda for a codegen'd hash Expression (see graft.functions).
+  // ---------------------------------------------------------------------
+  private def x09(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("fingerprint", expr(
+        """aggregate(transform(filter(split(text, ''), ch -> ch <> ''),
+          |ch -> CAST(ascii(ch) AS BIGINT)),
+          |CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"""
+          .stripMargin.replace("\n", " ")))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+  private val x09Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ''), ch -> ch <> ''),
+      |        ch -> CAST(unicode(ch) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("t03_unit_strip_cast", Some(t03Sql), t03),
+    QueryDef("t05_keyword_classifier", Some(t05Sql), t05),
+    QueryDef("t06_tokenize_explode", Some(t06Sql), t06),
+    QueryDef("t08_flags_to_conditions", Some(t08Sql), t08),
+    QueryDef("t11_date_parts", Some(t11Sql), t11),
+    QueryDef("t14_static_dim", Some(t14Sql), t14),
+    QueryDef("t15_date_range_dim", Some(t15Sql), t15),
+    QueryDef("t16_synthetic_generator", Some(t16Sql), t16),
+    QueryDef("x06_lang_id", Some(x06Sql), x06),
+    QueryDef("x07_text_quality", Some(x07Sql), x07),
+    QueryDef("x08_token_count", Some(x08Sql), x08),
+    QueryDef("x09_fingerprint", Some(x09Sql), x09)
+  )
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The transform is defined once ([[windowedCounts]]) and applied to both
+  * a batch DataFrame and a `readStream` source — the streaming/batch
+  * parity test in EventStreamSpec asserts both produce identical rows.
+  *
+  * Scale: tumbling event-time windows + watermark bound the state store;
+  * the aggregation is keyed by (window, event_type) so state grows with
+  * the number of active windows × event types, not with input rows.
+  */
+object EventStream {
+
+  /** events.parquet schema with ts pre-converted to µs timestamp
+    * (the nanos column arrives as long under the legacy reader conf). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared batch/stream transform: 1-hour tumbling windows per
+    * event_type. Uses `window()` (streaming-compatible), not date_trunc. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Normalize a raw (nanos-as-long) events frame to the µs contract. */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Open the events table as a file stream and start the windowed
+    * aggregation into an in-memory sink named `queryName`. */
+  def start(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir")
+    windowedCounts(normalize(stream))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}

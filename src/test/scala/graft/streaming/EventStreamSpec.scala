@@ -1,0 +1,25 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming windowed agg matches the batch plan on the same data") {
+    val batch = EventStream.windowedCounts(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    // file streams watch a directory — stage the single parquet into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val q = EventStream.start(spark, dir.toString, "ev_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
