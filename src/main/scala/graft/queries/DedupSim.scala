@@ -110,13 +110,16 @@ object DedupSim {
       .filter(size(split(col("text"), " ")) >= 3)
     val shingleRows = corpus
       .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
-    val hashed = shingleRows.withColumn("h", expr(
-      """aggregate(transform(filter(split(shingle, ''), ch -> ch <> ''),
-        |ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT),
-        |(acc, c) -> (acc * 31 + c) % 1000000007)"""
-        .stripMargin.replace("\n", " ")))
+    // native codegen'd hash — same values as the SQL-lambda polynomial
+    // fold, one tight loop per row (the 100 TB hot path)
+    val hashed = shingleRows.withColumn("h",
+      graft.functions.PolyHash(col("shingle")))
+    // explicit partition count: AQE would coalesce the (tiny-by-bytes)
+    // grouped output to 1 partition, serializing the compute-heavy
+    // signature expression below
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(collect_list(col("h")).as("hashes"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, 15), j -> array_min(transform(hashes,
            |h -> (element_at($aArr, j + 1) * h + element_at($bArr, j + 1))
@@ -171,6 +174,74 @@ object DedupSim {
        |  ON a.band = b.band AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X3 — SimHash document fingerprints.
+  // x03_simhash16: mod-arithmetic 16-bit variant, bit-for-bit
+  // reproducible in DuckDB. x03_simhash_pairs: the production 64-bit
+  // native Expression (graft.functions.SimHash64) + banded Hamming join
+  // — rows-only check (FNV wrap-around arithmetic isn't portable SQL).
+  // ---------------------------------------------------------------------
+  private def x03(s: SparkSession, d: String): DataFrame = {
+    val pows = (0 until 16).map(b => 1L << b)
+    val powArr = pows.mkString("array(", ",", ")")
+    val toks = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", graft.functions.PolyHash(col("token")))
+    val planes = s.range(16).toDF("b")
+      .withColumn("pow", expr(s"element_at($powArr, CAST(b AS INT) + 1)"))
+    val bits = toks.crossJoin(broadcast(planes))
+      .groupBy(col("doc_id"), col("pow"))
+      .agg(sum(when(expr("(h div pow) % 2") === 1, 1).otherwise(-1))
+        .as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, col("pow")).otherwise(0L))
+        .as("simhash16"))
+      .orderBy("doc_id")
+  }
+  private val x03Sql = {
+    val pows = (0 until 16).map(b => 1L << b).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(token, ''),
+       |          ch -> ch <> ''),
+       |        ch -> CAST(unicode(ch) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, p.pow,
+       |    SUM(CASE WHEN (h // p.pow) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hashed CROSS JOIN (SELECT unnest($pows) AS pow) p
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, SUM(CASE WHEN s > 0 THEN pow ELSE 0 END) AS simhash16
+       |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** 64-bit SimHash near-dup pairs via 4×16-bit band join (a doc pair
+    * within Hamming distance 3 must agree on ≥1 of 4 bands). */
+  private def x03b(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.fanout(minhashCorpus(s, d))
+      .withColumn("sig", graft.functions.SimHash64(split(col("text"), " ")))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sig, 16 * b) & 65535)"))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val cand = chunks.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("chunk_idx"), col("chunk_val"))
+      .join(chunks.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("chunk_idx"), col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+    cand.orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------
@@ -271,10 +342,86 @@ object DedupSim {
        |    ORDER BY cos DESC, vec_id) AS rank FROM pairs)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X5b — LSH-bucketed ANN (the scale path): 8 deterministic
+  // pseudo-random ±1 hyperplanes → 8-bit sign bucket per vector; queries
+  // probe only their own bucket. Trades recall for a ~256× candidate
+  // reduction — the brute-force x05 is the recall baseline.
+  // ---------------------------------------------------------------------
+  /** Spark SQL / DuckDB-portable signed projection onto plane `p`:
+    * sign of dim i is +1 iff ((i-1)*31 + p*17) % 7 is even. */
+  private def planeDot(emb: String, p: String, dims: Int,
+      spark: Boolean): String = {
+    val idx = if (spark) s"sequence(1, $dims)" else s"generate_series(1, $dims)"
+    val lt = if (spark) "transform" else "list_transform"
+    val elem = if (spark) s"element_at($emb, i)" else s"$emb[i]"
+    val body = s"CASE WHEN (((i - 1) * 31 + $p * 17) % 7) % 2 = 0 " +
+      s"THEN CAST($elem AS DOUBLE) ELSE -CAST($elem AS DOUBLE) END"
+    if (spark)
+      s"aggregate($lt($idx, i -> $body), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    else
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $lt($idx, i -> $body)), (a, b) -> a + b)"
+  }
+
+  private def x05b(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(expr(sparkDot.format("embedding", "embedding"))))
+    val planes = s.range(8).toDF("p")
+      .withColumn("pow",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+    val buckets = e.crossJoin(broadcast(planes))
+      .withColumn("proj", expr(planeDot("embedding", "p", 64, spark = true)))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L))
+        .as("bucket"))
+    val vecs = e.join(buckets, "vec_id")
+    val q = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val pairs = vecs.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(sparkDot.format("embedding", "q_emb")) /
+          (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id", "rank", "cos")
+      .orderBy("q_id", "rank")
+  }
+  private def x05bSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("embedding", "p.p", 64, spark = false)} > 0
+       |        THEN p.pow ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS p,
+       |    unnest([1,2,4,8,16,32,64,128]) AS pow) p
+       |  GROUP BY 1),
+       |vecs AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+       |        bucket FROM vecs WHERE vec_id % 100 = 0),
+       |pairs AS (
+       |  SELECT q_id, vec_id,
+       |    ${duckDot.format("embedding", "q_emb")} / (norm * q_norm) AS cos
+       |  FROM vecs JOIN q USING (bucket) WHERE vec_id <> q_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
+    QueryDef("x03_simhash16", Some(x03Sql), x03),
+    QueryDef("x03_simhash_pairs", None, x03b),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
-    QueryDef("x05_knn_cosine", Some(x05Sql), x05)
+    QueryDef("x05_knn_cosine", Some(x05Sql), x05),
+    QueryDef("x05_knn_lsh", Some(x05bSql), x05b)
   )
 }

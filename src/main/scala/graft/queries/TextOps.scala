@@ -336,12 +336,10 @@ object TextOps {
   // per-char lambda for a codegen'd hash Expression (see graft.functions).
   // ---------------------------------------------------------------------
   private def x09(s: SparkSession, d: String): DataFrame = {
+    // graft.functions.PolyHash: native Expression, bit-identical to the
+    // SQL-lambda polynomial fold the DuckDB oracle runs
     Tables.documents(s, d)
-      .withColumn("fingerprint", expr(
-        """aggregate(transform(filter(split(text, ''), ch -> ch <> ''),
-          |ch -> CAST(ascii(ch) AS BIGINT)),
-          |CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"""
-          .stripMargin.replace("\n", " ")))
+      .withColumn("fingerprint", graft.functions.PolyHash(col("text")))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
   }

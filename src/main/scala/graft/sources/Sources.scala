@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingest/egress surface (SURVEY.md §2.1).
+  *
+  * S1/S2 — CSV scans with explicit schemas (never inference at scale:
+  * inference reads the data twice and guesses; a declared StructType
+  * pushes straight into the vectorized reader) and the reference's
+  * missing-file tolerance (main_etl_pipeline.py:58-84 logs and skips
+  * absent inputs instead of failing the run).
+  *
+  * S5 — ordered warehouse load (main_etl_pipeline.py:752-794 loads
+  * Dims → Bridges → Facts so FK targets exist first). With parquet the
+  * ordering is just sequential writes; kept as an explicit API because
+  * a JDBC sink would need the same contract.
+  */
+object Sources {
+
+  /** S1/S2: read one CSV with declared schema; None if absent. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path))
+  }
+
+  /** S1: read a set of named CSVs, skipping (and reporting) missing
+    * files — returns (loaded tables, missing names). */
+  def csvBatch(spark: SparkSession, files: Map[String, (String, StructType)])
+      : (Map[String, DataFrame], Seq[String]) = {
+    val loaded = files.flatMap { case (name, (path, schema)) =>
+      csv(spark, path, schema).map(name -> _)
+    }
+    (loaded, files.keys.filterNot(loaded.contains).toSeq.sorted)
+  }
+
+  /** S5: ordered load — write tables sequentially (Dims → Bridges →
+    * Facts order is the caller's list order), one directory per table. */
+  def writeOrdered(tables: Seq[(String, DataFrame)], baseDir: String,
+      format: String = "parquet"): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").format(format).save(s"$baseDir/$name")
+    }
+
+  /** S6: single-document JSON report sink (driver-side, tiny). */
+  def writeJsonReport(json: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+  }
+}

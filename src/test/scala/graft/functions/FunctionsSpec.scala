@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PolyHash matches the SQL-lambda polynomial fold") {
+    val df = Seq("hello world", "", "a", "spark graft engine").toDF("s")
+    val got = df.select(
+      PolyHash($"s").as("native"),
+      expr("""aggregate(transform(filter(split(s, ''), ch -> ch <> ''),
+              ch -> CAST(ascii(ch) AS BIGINT)), CAST(0 AS BIGINT),
+              (acc, c) -> (acc * 31 + c) % 1000000007)""").as("lambda"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("PolyHash works under whole-stage codegen in a real plan") {
+    val n = spark.range(1000).toDF("id")
+      .withColumn("h", PolyHash(concat(lit("doc_"), $"id".cast("string"))))
+      .filter($"h" >= 0)
+      .select(countDistinct($"h")).collect()(0).getLong(0)
+    assert(n > 990) // essentially collision-free on 1000 distinct strings
+  }
+
+  test("SimHash64: identical docs hash equal; near-dups are close") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = base + "extra token"
+    val far = "completely different words entirely unrelated content here"
+    val df = Seq(base, base, near, far).toDF("t")
+      .withColumn("sig", SimHash64(split($"t", " ")))
+    val sigs = df.collect().map(_.getLong(1))
+    assert(sigs(0) == sigs(1))
+    val dNear = SimHash64.hamming(sigs(0), sigs(2))
+    val dFar = SimHash64.hamming(sigs(0), sigs(3))
+    assert(dNear < dFar)
+    assert(dNear <= 8)
+  }
+
+  test("poly_hash is callable from SQL via the function registry") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    val r = spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
+    assert(r == (("a".codePointAt(0) * 31L + 'b') * 31L + 'c') % 1000000007L)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  test("S1 csv reads with declared schema, skips missing files") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_src")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      "id,name,v\n1,alpha,1.5\n2,beta,2.5\n")
+    val (loaded, missing) = Sources.csvBatch(spark, Map(
+      "a" -> (dir.resolve("a.csv").toString, schema),
+      "gone" -> (dir.resolve("gone.csv").toString, schema)))
+    assert(loaded.keySet == Set("a"))
+    assert(missing == Seq("gone"))
+    val rows = loaded("a").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "alpha" && rows(0).getDouble(2) == 1.5)
+    assert(loaded("a").schema == schema)
+  }
+
+  test("S5 ordered load writes tables in caller order") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("wh_out").toString
+    val dim = Seq((1, "yoga")).toDF("k", "name")
+    val fact = Seq((10, 1)).toDF("id", "k")
+    Sources.writeOrdered(Seq("dim_x" -> dim, "fact_y" -> fact), out)
+    assert(spark.read.parquet(s"$out/dim_x").count() == 1)
+    assert(spark.read.parquet(s"$out/fact_y").count() == 1)
+  }
+
+  test("S6 json report sink writes the Quality report shape") {
+    val f = java.nio.file.Files.createTempDirectory("rep")
+      .resolve("report.json").toString
+    Sources.writeJsonReport("""{"quality_score":100.0}""", f)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f)).contains("quality_score"))
+  }
+}
