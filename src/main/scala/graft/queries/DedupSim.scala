@@ -425,8 +425,74 @@ object DedupSim {
        |    ORDER BY cos DESC, vec_id) AS rank FROM pairs)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X10 — embedding-cosine near-duplicate detection: corpus ∪ planted
+  // scaled copies (cosine-preserving ×1.001), candidates from the same
+  // sign-LSH buckets as x05b (a positively-scaled copy provably lands in
+  // its original's bucket), exact cosine ≥ 0.95 confirms. Never O(n²).
+  // ---------------------------------------------------------------------
+  private def x10(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(emb, x -> x * 1.001)").as("emb"))
+    val corpus = base.unionByName(dups)
+      .withColumn("norm", sqrt(expr(sparkDot.format("emb", "emb"))))
+    val planes = s.range(8).toDF("p")
+      .withColumn("pow",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+    val buckets = corpus.crossJoin(broadcast(planes))
+      .withColumn("proj", expr(planeDot("emb", "p", 64, spark = true)))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L)).as("bucket"))
+    val vecs = corpus.join(buckets, "vec_id")
+    val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = vecs.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(sparkDot.format("emb_a", "emb_b")) /
+        (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= 0.95)
+      .select("vec_a", "vec_b", "cos")
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+  private def x10Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 1.001)
+       |  FROM base WHERE vec_id % 10 = 0),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM corpus),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("emb", "p.p", 64, spark = false)} > 0
+       |        THEN p.pow ELSE 0 END) AS bucket
+       |  FROM n CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS p,
+       |    unnest([1,2,4,8,16,32,64,128]) AS pow) p
+       |  GROUP BY 1),
+       |vecs AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id))
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm) AS cos
+       |FROM vecs a JOIN vecs b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.95
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
+    QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
     QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
     QueryDef("x03_simhash16", Some(x03Sql), x03),
     QueryDef("x03_simhash_pairs", None, x03b),

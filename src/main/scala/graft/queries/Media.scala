@@ -63,8 +63,37 @@ object Media {
        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
       .stripMargin
 
+  // ---------------------------------------------------------------------
+  // M2 — frame sampling: the 1→N generator shape of video frame
+  // extraction (every 2nd "frame" of the stub-decoded payload), the SQL
+  // twin of MediaPipeline.sampleFrames.
+  // ---------------------------------------------------------------------
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("frames", lit(1) + col("byte_len") % 30)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, frames - 1, 2)")).as("frame_idx"))
+      .withColumn("feature",
+        (ascii(substring(col("text"), 1, 1)) + col("frame_idx"))
+          .cast("double") / 255.0)
+      .select("doc_id", "frame_idx", "feature")
+      .orderBy("doc_id", "frame_idx")
+  }
+  private val m02Sql =
+    """SELECT doc_id, frame_idx,
+      |  CAST(unicode(substring(text, 1, 1)) + frame_idx AS DOUBLE) / 255.0
+      |    AS feature
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0,
+      |      (1 + octet_length(encode(text)) % 30) - 1, 2)) AS frame_idx
+      |  FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
+    QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("st01_event_windows", Some(st01Sql), st01)
   )
 }
