@@ -16,7 +16,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", GraftSession.localDir)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
