@@ -34,7 +34,10 @@ object Tables {
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
     * Read nanos as long (legacy conf) and truncate to a microsecond
-    * timestamp — same truncation DuckDB applies converting ns→µs. */
+    * timestamp — same truncation DuckDB applies converting ns→µs.
+    * The conf write is idempotent (always "true") so concurrent plan
+    * construction is safe; the driver mains also set it at session
+    * build so shared sessions never flip it mid-flight. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts",

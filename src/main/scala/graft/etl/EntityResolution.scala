@@ -13,12 +13,10 @@ import org.apache.spark.sql.functions._
   * `row_number` over the deduped set — fully distributed, deterministic
   * (explicit orderBy everywhere; no `monotonically_increasing_id`).
   *
-  * At 100 TB: one shuffle on `profile_hash` for the dedup window; the
-  * global row_number for key minting is the only single-partition stage —
-  * acceptable because it runs on the *deduped* profiles (orders of
-  * magnitude smaller). For truly huge dedup cardinality, swap mintKeys
-  * for zipWithIndex-style two-phase numbering (per-partition counts then
-  * offset) — the API stays the same.
+  * At 100 TB: one shuffle on `profile_hash` for the dedup window; key
+  * minting is two-phase zipWithIndex-style numbering (range-partition on
+  * the order key, per-partition row_number, plus a broadcast per-partition
+  * offset) — no single-partition window anywhere.
   */
 object EntityResolution {
 
@@ -42,9 +40,37 @@ object EntityResolution {
   }
 
   /** Mint dense surrogate keys 1..N over `orderCol` (deterministic
-    * replacement for the reference's sequential counter). */
-  def mintKeys(df: DataFrame, keyName: String, orderCol: Column): DataFrame =
-    df.withColumn(keyName, row_number().over(Window.orderBy(orderCol)))
+    * replacement for the reference's sequential counter).
+    *
+    * Two-phase distributed numbering — never a global single-partition
+    * window: (1) range-partition by the order key so partition index
+    * order == global key order; (2) count rows per partition (tiny agg)
+    * and turn counts into exclusive prefix-sum offsets (window over ≤
+    * #partitions rows); (3) broadcast-join the offsets back and number
+    * within each partition. Requires `orderCol` be unique per row for a
+    * deterministic assignment (callers pass the deduped profile hash). */
+  def mintKeys(df: DataFrame, keyName: String, orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // phase 1: one count job over the range-partitioned data (the
+    // zipWithIndex pattern); ≤ #partitions rows come back to the driver
+    // and return as exclusive prefix-sum offsets via a broadcast join.
+    // repartitionByRange sampling is deterministic for a given input, so
+    // phase 2 sees identical partition contents.
+    val cnts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = cnts.map(_._1)
+      .zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    import spark.implicits._
+    parted.join(broadcast(offsets.toDF("__pid", "__offset")), Seq("__pid"))
+      .withColumn(keyName,
+        (col("__offset") + row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
+          .cast("int"))
+      .drop("__pid", "__offset")
+  }
 
   /** Full resolution: hash → dedup → mint; returns canonical profiles
     * with `user_key` plus a mapping DataFrame (source row → user_key),

@@ -40,11 +40,16 @@ object Normalize {
     }.fold(lit(fallback))(_.otherwise(fallback))
   }
 
-  /** The reference's goal taxonomy (config.py:30-35), order-preserving. */
+  /** The reference's goal taxonomy, mirrored exactly — labels, keyword
+    * lists, and dict order (config.py:30-35 FITNESS_GOALS; order matters
+    * for first-match-wins). */
   val goalTaxonomy: Seq[(String, Seq[String])] = Seq(
     "lose_weight" -> Seq("lose", "weight loss", "fat loss", "cut"),
-    "gain_muscle" -> Seq("gain", "muscle", "bulk", "mass"),
-    "improve_fitness" -> Seq("fitness", "cardio", "endurance", "stamina"))
+    "build_muscle" -> Seq("muscle", "strength", "hypertrophy", "build",
+      "gain"),
+    "endurance" -> Seq("endurance", "cardio", "running", "cycling",
+      "marathon"),
+    "maintain_health" -> Seq("maintain", "health", "wellness", "balance"))
 
   /** T6 — text-blob tokenizer (main_etl_pipeline.py:129-135): lowercase,
     * split on comma/newline/" and ", trim, drop empties. */

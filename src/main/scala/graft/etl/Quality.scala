@@ -26,10 +26,11 @@ object Quality {
     df.agg((count(lit(1)) - countDistinct(pk.head, pk.tail: _*)).as("d"))
       .head().getLong(0)
 
-  /** Q3 — FK orphans: fact rows whose fk misses the dim (anti-join). */
+  /** Q3 — FK orphans: fact rows whose fk misses the dim (anti-join).
+    * The dim key is re-aliased so fk == pk names never collide. */
   def fkOrphans(dim: DataFrame, fk: String, pk: String): DataFrame => Long =
-    fact => fact.join(broadcast(dim.select(col(pk))),
-      fact(fk) === col(pk), "left_anti").count()
+    fact => fact.join(broadcast(dim.select(col(pk).as("__graft_pk"))),
+      fact(fk) === col("__graft_pk"), "left_anti").count()
 
   /** Q4 — required column is null. */
   def nullViolations(c: String): DataFrame => Long =
@@ -47,11 +48,17 @@ object Quality {
   /** Run rules against a table and score (main_etl_pipeline.py:902-920):
     * 100 − 5·issueRules − 1·warningRules (rules with >0 violations),
     * floored at 0. */
-  def run(table: DataFrame, rules: Seq[Rule]): Report = {
-    val results = rules.map { r =>
+  def run(table: DataFrame, rules: Seq[Rule]): Report =
+    runSuite(rules.map(_ -> table))
+
+  /** Multi-table form: each rule paired with the table it audits — one
+    * combined score across the whole warehouse, the reference's
+    * validate_data_quality shape (main_etl_pipeline.py:797-870). */
+  def runSuite(pairs: Seq[(Rule, DataFrame)]): Report = {
+    val results = pairs.map { case (r, df) =>
       RuleResult(r.name,
         r.severity match { case Issue => "issue"; case Warning => "warning" },
-        r.count(table))
+        r.count(df))
     }
     val issues = results.count(r => r.severity == "issue" && r.violations > 0)
     val warnings =

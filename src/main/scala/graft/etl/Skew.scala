@@ -22,6 +22,11 @@ object Skew {
     *   partial = Seq(sum($"v").as("s"), count(lit(1)).as("c")),
     *   merge   = Seq(sum($"s").as("s"), sum($"c").as("c")))
     * }}}
+    *
+    * The salt derives from partition id + row position, so the salt of
+    * an individual row is NOT stable across retries/re-plans — only the
+    * final merged aggregate is deterministic (which is the contract;
+    * don't use the salt column itself downstream).
     */
   def saltedAggregate(df: DataFrame, keys: Seq[Column], saltBuckets: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {

@@ -17,16 +17,45 @@ object SqlRunner {
   final case class StatementResult(index: Int, sql: String,
       result: Option[DataFrame])
 
-  /** Strip comments and split into executable statements. */
+  /** Strip comments and split into executable statements. Quote-aware:
+    * `--`, `/&#42; &#42;/`, and `;` inside '...' or "..." literals are
+    * content, not syntax (a doubled quote escapes itself inside a
+    * literal), so `WHERE note = 'a;b--c'` survives intact. */
   def parse(script: String): Seq[String] = {
-    val noBlock = raw"/\*[\s\S]*?\*/".r.replaceAllIn(script, " ")
-    val noLine = noBlock.linesIterator
-      .map(l => l.indexOf("--") match {
-        case -1 => l
-        case i  => l.substring(0, i)
-      })
-      .mkString("\n")
-    noLine.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    val n = script.length
+    var i = 0
+    var quote: Char = 0 // 0 = outside any literal, else the quote char
+    while (i < n) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) {
+          if (i + 1 < n && script.charAt(i + 1) == quote) {
+            cur += quote; i += 1 // doubled-quote escape stays in literal
+          } else quote = 0
+        }
+        i += 1
+      } else c match {
+        case '\'' | '"' =>
+          quote = c; cur += c; i += 1
+        case '-' if i + 1 < n && script.charAt(i + 1) == '-' =>
+          while (i < n && script.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && script.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n &&
+            !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) i += 1
+          i = math.min(n, i + 2)
+          cur += ' '
+        case ';' =>
+          out += cur.result(); cur.clear(); i += 1
+        case _ =>
+          cur += c; i += 1
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Substitute `@name` variables with literal values. */

@@ -27,11 +27,14 @@ object Warehouse {
 
   /** J4+J3 — dimension from the distinct non-null values of a column,
     * with dense deterministic surrogate keys
-    * (main_etl_pipeline.py:373-382). */
+    * (main_etl_pipeline.py:373-382). Keys minted via the two-phase
+    * distributed numbering in [[EntityResolution.mintKeys]] — no global
+    * single-partition window even for large dims. */
   def dimFromDistinct(src: DataFrame, valueCol: String, keyName: String,
       nameCol: String): DataFrame =
-    src.select(col(valueCol).as(nameCol)).na.drop().distinct()
-      .withColumn(keyName, row_number().over(Window.orderBy(col(nameCol))))
+    EntityResolution.mintKeys(
+      src.select(col(valueCol).as(nameCol)).na.drop().distinct(),
+      keyName, col(nameCol))
       .select(keyName, nameCol)
 
   /** J5 — dimension from the distinct tokens of a text-blob column

@@ -40,14 +40,6 @@ object DedupSim {
       |       string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))"""
       .stripMargin.replace("\n", " ")
 
-  /** Spark SQL: polynomial hash of a shingle list → BIGINT list. */
-  private def sparkHashes(shingles: String) =
-    s"""transform($shingles, sh -> aggregate(
-       |  transform(filter(split(sh, ''), ch -> ch <> ''),
-       |    ch -> CAST(ascii(ch) AS BIGINT)),
-       |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007))"""
-      .stripMargin.replace("\n", " ")
-
   private def duckHashes(shingles: String) =
     s"""list_transform($shingles, sh -> list_reduce(
        |  list_prepend(CAST(0 AS BIGINT),
@@ -250,7 +242,10 @@ object DedupSim {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 4)
+      // <= 3 matches the 4-band guarantee exactly (any pair within
+      // Hamming 3 must agree on >= 1 of 4 16-bit chunks); a wider filter
+      // would only find distance-4 pairs probabilistically.
+      .filter(col("hamming") <= 3)
     cand.orderBy("doc_a", "doc_b")
   }
 
@@ -258,11 +253,25 @@ object DedupSim {
   // X4 — exact n-gram Jaccard similarity over a candidate sample (the
   // verify stage that follows LSH candidate generation at scale).
   // ---------------------------------------------------------------------
+  /** Stop-shingle guard: a shingle present in more than this many docs
+    * is dropped before the self-join — a single hot shingle otherwise
+    * contributes df² candidate rows (quadratic blowup at scale). Sizes
+    * and intersections are both computed over the FILTERED shingle sets,
+    * so the Jaccard stays internally consistent and the oracle mirrors
+    * it exactly. */
+  private val ShingleDfCap = 20
+
   private def x04(s: SparkSession, d: String): DataFrame = {
-    val sample = Tables.fanout(Tables.documents(s, d))
+    val raw = Tables.fanout(Tables.documents(s, d))
       .filter(col("doc_id") % 50 === 0)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+    // doc-frequency cap: one window count on the same key the join
+    // shuffles on anyway
+    val wS = Window.partitionBy(col("shingle"))
+    val sample = raw.withColumn("__df", count(lit(1)).over(wS))
+      .filter(col("__df") <= ShingleDfCap)
+      .drop("__df")
     val sizes = sample.groupBy("doc_id")
       .agg(count(lit(1)).as("sz"))
     val a = sample.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -283,10 +292,13 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
   private val x04Sql =
-    s"""WITH sample AS (
+    s"""WITH raw AS (
        |  SELECT doc_id, unnest($duckShingles) AS shingle
        |  FROM documents
        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+       |sample AS (
+       |  SELECT doc_id, shingle FROM raw
+       |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sample GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -353,19 +365,64 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // X5b — LSH-bucketed ANN (the scale path): 8 deterministic
-  // pseudo-random ±1 hyperplanes → 8-bit sign bucket per vector; queries
-  // probe only their own bucket. Trades recall for a ~256× candidate
+  // X5b — LSH-bucketed ANN (the scale path): deterministic
+  // pseudo-random ±1 hyperplanes → sign bucket per vector; queries
+  // probe only their own bucket. Trades recall for a ~2^planes candidate
   // reduction — the brute-force x05 is the recall baseline.
+  //
+  // Scale: the plane count ADAPTS to the corpus (floor(log2 n) + 2), so
+  // expected bucket size stays ~constant and candidate pairs stay ~O(n)
+  // instead of n²/2^fixed; an over-full bucket (degenerate embedding
+  // cluster) is additionally dropped by a size cap, same guard as x03b.
   // ---------------------------------------------------------------------
+  /** Bucket-size cap for the sign-LSH self/probe joins. */
+  private[queries] val BucketCap = 100
+
+  /** floor(log2 n) + 2, computed integer-exactly as binary-digit count
+    * (= SQL `length(bin(n)) + 1`) — no float log2 edge-case mismatch
+    * between Spark and the DuckDB oracle. */
+  private[queries] def adaptivePlanes(n: Long): Int =
+    math.min(62, math.max(8,
+      65 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))))
+
+  /** DuckDB: same plane count from a scalar COUNT over `rel`. */
+  private def duckPlanes(rel: String): String =
+    s"(SELECT GREATEST(8, length(bin(COUNT(*))) + 1) FROM $rel)"
+
+  /** Shared x05b/x10 index build: sign-LSH bucket per vector from
+    * `nplanes` deterministic hyperplanes, then drop over-full buckets
+    * (the x03b skew guard — a degenerate embedding cluster otherwise
+    * costs bucket² in the join). `e` must carry `vec_id` + 64-dim
+    * `embCol`. */
+  private[queries] def signBucketsCapped(e: DataFrame, embCol: String,
+      nplanes: Int): DataFrame = {
+    val s = e.sparkSession
+    val planes = s.range(nplanes).toDF("p")
+      .withColumn("pow",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+    val buckets = e.crossJoin(broadcast(planes))
+      .withColumn("proj", expr(planeDot(embCol, "p", 64, spark = true)))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L))
+        .as("bucket"))
+    val wB = Window.partitionBy(col("bucket"))
+    e.join(buckets, "vec_id")
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= BucketCap)
+      .drop("__bsz")
+  }
   /** Spark SQL / DuckDB-portable signed projection onto plane `p`:
-    * sign of dim i is +1 iff ((i-1)*31 + p*17) % 7 is even. */
+    * sign of dim i is +1 iff ((i*37 + p*101 + i*p*13) % 97) % 2 = 0.
+    * The i·p cross term makes plane patterns aperiodic in p — a purely
+    * additive pattern like (i*a + p*b) % m repeats with period m/gcd,
+    * silently capping the effective bucket space no matter how many
+    * planes the adaptive sizing asks for (AnnScalingSpec guards this). */
   private def planeDot(emb: String, p: String, dims: Int,
       spark: Boolean): String = {
     val idx = if (spark) s"sequence(1, $dims)" else s"generate_series(1, $dims)"
     val lt = if (spark) "transform" else "list_transform"
     val elem = if (spark) s"element_at($emb, i)" else s"$emb[i]"
-    val body = s"CASE WHEN (((i - 1) * 31 + $p * 17) % 7) % 2 = 0 " +
+    val body = s"CASE WHEN ((i * 37 + $p * 101 + i * $p * 13) % 97) % 2 = 0 " +
       s"THEN CAST($elem AS DOUBLE) ELSE -CAST($elem AS DOUBLE) END"
     if (spark)
       s"aggregate($lt($idx, i -> $body), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
@@ -377,15 +434,9 @@ object DedupSim {
     val e = Tables.fanout(Tables.embeddings(s, d))
       .withColumn("norm",
         sqrt(expr(sparkDot.format("embedding", "embedding"))))
-    val planes = s.range(8).toDF("p")
-      .withColumn("pow",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
-    val buckets = e.crossJoin(broadcast(planes))
-      .withColumn("proj", expr(planeDot("embedding", "p", 64, spark = true)))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L))
-        .as("bucket"))
-    val vecs = e.join(buckets, "vec_id")
+    // Index sizing: one count job (catalog stats at real scale).
+    val nplanes = adaptivePlanes(Tables.embeddings(s, d).count())
+    val vecs = signBucketsCapped(e, "embedding", nplanes)
     val q = vecs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
@@ -406,14 +457,18 @@ object DedupSim {
        |  SELECT vec_id, embedding,
        |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
        |  FROM embeddings),
+       |planes AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("embeddings")} - 1))
+       |    AS p),
        |buckets AS (
        |  SELECT vec_id,
        |    SUM(CASE WHEN ${planeDot("embedding", "p.p", 64, spark = false)} > 0
-       |        THEN p.pow ELSE 0 END) AS bucket
-       |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS p,
-       |    unnest([1,2,4,8,16,32,64,128]) AS pow) p
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN planes p
        |  GROUP BY 1),
-       |vecs AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)),
+       |vecs AS (
+       |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
        |        bucket FROM vecs WHERE vec_id % 100 = 0),
        |pairs AS (
@@ -440,14 +495,10 @@ object DedupSim {
         expr("transform(emb, x -> x * 1.001)").as("emb"))
     val corpus = base.unionByName(dups)
       .withColumn("norm", sqrt(expr(sparkDot.format("emb", "emb"))))
-    val planes = s.range(8).toDF("p")
-      .withColumn("pow",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
-    val buckets = corpus.crossJoin(broadcast(planes))
-      .withColumn("proj", expr(planeDot("emb", "p", 64, spark = true)))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L)).as("bucket"))
-    val vecs = corpus.join(buckets, "vec_id")
+    // corpus = base + every-10th planted dup; same adaptive sizing as
+    // x05b (the count is over the un-normed union — column-pruned scan)
+    val nplanes = adaptivePlanes(base.unionByName(dups).count())
+    val vecs = signBucketsCapped(corpus, "emb", nplanes)
     val a = vecs.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("norm").as("norm_a"), col("bucket"))
     val b = vecs.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
@@ -475,14 +526,18 @@ object DedupSim {
        |  SELECT vec_id, emb,
        |    sqrt(${duckDot.format("emb", "emb")}) AS norm
        |  FROM corpus),
+       |planes AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("corpus")} - 1))
+       |    AS p),
        |buckets AS (
        |  SELECT vec_id,
        |    SUM(CASE WHEN ${planeDot("emb", "p.p", 64, spark = false)} > 0
-       |        THEN p.pow ELSE 0 END) AS bucket
-       |  FROM n CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS p,
-       |    unnest([1,2,4,8,16,32,64,128]) AS pow) p
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM n CROSS JOIN planes p
        |  GROUP BY 1),
-       |vecs AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id))
+       |vecs AS (
+       |  SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap)
        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm) AS cos
        |FROM vecs a JOIN vecs b

@@ -273,11 +273,13 @@ object Relational {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey")
-    // fact → 3 dims, all left joins; dims broadcast (they are small
-    // relative to the fact at every scale factor)
+    // fact → 3 dims, all left joins. orders and customer grow linearly
+    // with sf, so they are NOT broadcast — AQE picks broadcast when the
+    // runtime side fits and shuffle-hash otherwise. Only the fixed-25-row
+    // nation dim gets an unconditional broadcast hint.
     li.select("l_orderkey")
-      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
       .agg(
         round(lit(100.0) *
@@ -344,8 +346,10 @@ object Relational {
       .filter(col("o_orderdate") >= lit(RecentCutoff).cast("timestamp"))
       .select("o_orderkey", "o_custkey")
     val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    // No broadcast hint on customer: it grows with sf (driver OOM at
+    // 100x). AQE broadcasts it at small sf from runtime stats anyway.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -387,7 +391,8 @@ object Relational {
   private def q11(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select("o_custkey")
     val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer grows with sf — no broadcast hint; AQE decides at runtime.
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("c_mktsegment"))
@@ -474,9 +479,9 @@ object Relational {
       .withColumn("n_matched",
         count(lit(1)).over(Window.partitionBy(col("profile_hash"))))
       .filter(col("rn") === 1)
-    canonical
-      .withColumn("user_key",
-        row_number().over(Window.orderBy(col("profile_hash"))))
+    // two-phase distributed numbering — no global single-partition window
+    graft.etl.EntityResolution.mintKeys(canonical, "user_key",
+        col("profile_hash"))
       .select(col("user_key"), col("profile_hash"),
         col("c_custkey").as("canonical_custkey"), col("n_matched"))
       .orderBy("user_key")
@@ -526,10 +531,9 @@ object Relational {
   // ---------------------------------------------------------------------
   private def j03(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    o.select(col("o_orderpriority")).na.drop().distinct()
-      .withColumn("priority_key",
-        row_number().over(Window.orderBy(col("o_orderpriority"))))
-      .select("priority_key", "o_orderpriority")
+    // two-phase minted keys (Warehouse.dimFromDistinct → mintKeys)
+    graft.etl.Warehouse.dimFromDistinct(o, "o_orderpriority",
+        "priority_key", "o_orderpriority")
       .orderBy("priority_key")
   }
   private val j03Sql =

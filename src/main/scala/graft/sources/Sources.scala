@@ -48,6 +48,19 @@ object Sources {
       df.write.mode("overwrite").format(format).save(s"$baseDir/$name")
     }
 
+  /** S5 (JDBC form): dependency-ordered warehouse load through Spark's
+    * JDBC sink (main_etl_pipeline.py:752-794 — `df.to_sql` per table,
+    * Dims → Bridges → Facts so FK targets always exist first). Tested
+    * against embedded Derby (ships with Spark); at scale the same call
+    * fans out one INSERT batch per partition — `numPartitions`/
+    * `batchsize` on `props` control sink parallelism. */
+  def writeOrderedJdbc(tables: Seq[(String, DataFrame)], url: String,
+      props: java.util.Properties = new java.util.Properties,
+      mode: String = "overwrite"): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode(mode).jdbc(url, name, props)
+    }
+
   /** S6: single-document JSON report sink (driver-side, tiny). */
   def writeJsonReport(json: String, path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -44,16 +44,22 @@ object EventStream {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Open the events table as a file stream and start the windowed
-    * aggregation into an in-memory sink named `queryName`. */
-  def start(spark: SparkSession, dir: String,
-      queryName: String): StreamingQuery = {
+    * aggregation into an in-memory sink named `queryName`.
+    *
+    * Default output mode is `append`: finalized windows emit once the
+    * watermark passes, and the state store purges them — state stays
+    * bounded by active windows. `complete` (used by the parity spec to
+    * read the full result without advancing the watermark) retains ALL
+    * windows in state forever — test-only, not a production mode. */
+  def start(spark: SparkSession, dir: String, queryName: String,
+      outputMode: String = "append"): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
       .parquet(s"$dir")
     windowedCounts(normalize(stream))
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()

@@ -26,22 +26,37 @@ object Sessionize {
 
   def gapSeconds: Long = 1800L
 
+  /** Event-time in MICROseconds — the same integer precision the batch
+    * twin compares at (`unix_micros`). Both paths must use identical
+    * precision: with mixed units (ms here, s there) a gap inside the
+    * sub-unit range splits a session in one path and merges it in the
+    * other. */
+  def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Fold a user's (sorted) new events into the open session, emitting
     * every session that closes. Pure function — unit-testable without a
-    * streaming query. */
+    * streaming query. State timestamps are epoch-micros. */
   def step(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.toSeq.sortBy(e => micros(e.ts))
     var cur = state.getOption
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = micros(e.ts)
       cur match {
-        case Some(s) if t - s.last <= gapSeconds * 1000L =>
+        case Some(s) if t - s.last <= gapSeconds * 1000000L =>
           cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
         case Some(s) =>
-          closed += Session(userId, new Timestamp(s.start),
-            new Timestamp(s.last), s.n, s.total)
+          closed += Session(userId, tsOf(s.start), tsOf(s.last), s.n, s.total)
           cur = Some(SessionState(t, t, 1, e.value))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
@@ -74,7 +89,8 @@ object Sessionize {
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_session",
         when($"prev_ts".isNull ||
-          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > gapSeconds,
+          expr("unix_micros(ts) - unix_micros(prev_ts)") >
+            gapSeconds * 1000000L,
           1).otherwise(0))
       .withColumn("session_id",
         sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))

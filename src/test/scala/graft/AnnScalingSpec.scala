@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale guards for the sign-LSH ANN index (x05b/x10): the plane count
+  * adapts with log2(corpus) so candidate pairs stay ~linear, and
+  * over-full buckets are dropped (skew cap). */
+class AnnScalingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plane count grows with log2(n): bucket space doubles per doubling") {
+    assert(DedupSim.adaptivePlanes(1L) == 8) // floor
+    assert(DedupSim.adaptivePlanes(1000L) == 11)
+    assert(DedupSim.adaptivePlanes(2000L) == 12)
+    assert(DedupSim.adaptivePlanes(1L << 40) == 42)
+    // expected candidates n²/2^p: doubling n adds one plane → the
+    // estimate scales ×2 (linear), never ×4 (quadratic)
+    for (n <- Seq(1000L, 10000L, 100000L, 10000000L)) {
+      val est = math.pow(n.toDouble, 2) /
+        math.pow(2.0, DedupSim.adaptivePlanes(n))
+      val est2 = math.pow(2.0 * n, 2) /
+        math.pow(2.0, DedupSim.adaptivePlanes(2 * n))
+      assert(math.abs(est2 / est - 2.0) < 1e-9)
+    }
+  }
+
+  private def pairs(vecs: DataFrame): Long =
+    vecs.select(col("vec_id").as("a"), col("bucket"))
+      .join(vecs.select(col("vec_id").as("b"), col("bucket")), "bucket")
+      .filter(col("a") < col("b"))
+      .count()
+
+  test("candidate pairs stay ~linear when the corpus doubles") {
+    val base = Tables.fanout(Tables.embeddings(spark, sf))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val n = base.count()
+    // doubled corpus: cosine-preserving scaled copies land in the same
+    // bucket as their original (worst realistic growth case)
+    val doubled = base.unionByName(
+      base.select((col("vec_id") + 500000L).as("vec_id"),
+        expr("transform(emb, x -> x * 1.001)").as("emb")))
+    val c1 = pairs(DedupSim.signBucketsCapped(base, "emb",
+      DedupSim.adaptivePlanes(n)))
+    val c2 = pairs(DedupSim.signBucketsCapped(doubled, "emb",
+      DedupSim.adaptivePlanes(2 * n)))
+    // quadratic growth at fixed buckets would be ~4×; with one added
+    // plane the growth is ~2× plus the n planted twin pairs
+    assert(c2 <= 3 * c1 + 2 * n, s"c1=$c1 c2=$c2 n=$n")
+    assert(c2 > 0)
+  }
+
+  test("over-full buckets are dropped by the skew cap") {
+    val hot = (1 to 120).map(i => (i.toLong, Array.fill(64)(1.0)))
+    val cold = (200 to 240).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        math.sin(i * 64 + j))) // deterministic spread
+    }
+    val df = (hot ++ cold).toDF("vec_id", "emb")
+      .withColumn("emb", expr("transform(emb, x -> CAST(x AS DOUBLE))"))
+    val vecs = DedupSim.signBucketsCapped(df, "emb", 10)
+    // the 120-identical cluster exceeds BucketCap=100 → dropped wholesale
+    assert(vecs.filter(col("vec_id") <= 120).count() == 0)
+    // spread vectors survive with bounded buckets
+    assert(vecs.count() > 0)
+    val maxBucket = vecs.groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= DedupSim.BucketCap)
+  }
+}

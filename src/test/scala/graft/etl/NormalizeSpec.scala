@@ -34,8 +34,8 @@ class NormalizeSpec extends SparkSpec {
     val got = df.select(Normalize.keywordClassify($"t",
       Normalize.goalTaxonomy, "maintain_health").as("g"))
       .collect().map(_.getString(0))
-    // last row matches both lose_weight and gain_muscle → first wins
-    assert(got.toSeq == Seq("lose_weight", "gain_muscle", "improve_fitness",
+    // last row matches both lose_weight and build_muscle → first wins
+    assert(got.toSeq == Seq("lose_weight", "build_muscle", "endurance",
       "maintain_health", "lose_weight"))
   }
 

@@ -14,7 +14,10 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
 
-    val q = EventStream.start(spark, dir.toString, "ev_test")
+    // complete mode: the one-shot file stream never advances the
+    // watermark past the last windows, so append would withhold them;
+    // complete surfaces every window for the full-result comparison.
+    val q = EventStream.start(spark, dir.toString, "ev_test", "complete")
     try {
       q.processAllAvailable()
       val streamed = spark.table("ev_test").collect().map(_.toSeq).toSet
