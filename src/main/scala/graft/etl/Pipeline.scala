@@ -472,10 +472,13 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val res = run(spark, demoInputs(spark), Some(out))
-    System.err.println(s"[pipeline] score=${res.report.score} " +
-      res.tables.map { case (n, df) => s"$n=${df.count()}" }
-        .mkString(" "))
+    val log = new RunLog(Some(s"$out/etl_run_log.jsonl")) // S8 sink
+    val res = log.timed("run_full_etl_pipeline") {
+      run(spark, demoInputs(spark), Some(out))
+    }
+    res.tables.foreach { case (n, df) => log.stage(n, df.count()) }
+    log.stage("quality_score", detail = res.report.score.toString)
+    log.close()
     spark.stop()
   }
 }

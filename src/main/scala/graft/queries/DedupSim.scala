@@ -178,24 +178,30 @@ object DedupSim {
   // — rows-only check (FNV wrap-around arithmetic isn't portable SQL).
   // ---------------------------------------------------------------------
   private def x03(s: SparkSession, d: String): DataFrame = {
-    val pows = (0 until 16).map(b => 1L << b)
-    val powArr = pows.mkString("array(", ",", ")")
     val toks = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", graft.functions.PolyHash(col("token")))
-    val planes = s.range(16).toDF("b")
-      .withColumn("pow", expr(s"element_at($powArr, CAST(b AS INT) + 1)"))
-    val bits = toks.crossJoin(broadcast(planes))
-      .groupBy(col("doc_id"), col("pow"))
-      .agg(sum(when(expr("(h div pow) % 2") === 1, 1).otherwise(-1))
-        .as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, col("pow")).otherwise(0L))
-        .as("simhash16"))
+    // 16 conditional sums in ONE HashAggregate pass (map-side combined)
+    // — no 16× crossJoin row multiplication; the 100 TB shape, same
+    // trick as x02's multi-min signature
+    val bitCols = (0 until 16).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
       .orderBy("doc_id")
   }
   private val x03Sql = {
-    val pows = (0 until 16).map(b => 1L << b).mkString("[", ",", "]")
+    val bitSums = (0 until 16).map(j =>
+      s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n|    ")
+    val recombine = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
        |  FROM documents),
@@ -208,12 +214,11 @@ object DedupSim {
        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
        |  FROM toks),
        |bits AS (
-       |  SELECT doc_id, p.pow,
-       |    SUM(CASE WHEN (h // p.pow) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM hashed CROSS JOIN (SELECT unnest($pows) AS pow) p
-       |  GROUP BY 1, 2)
-       |SELECT doc_id, SUM(CASE WHEN s > 0 THEN pow ELSE 0 END) AS simhash16
-       |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY 1)
+       |SELECT doc_id, $recombine AS simhash16
+       |FROM bits ORDER BY doc_id""".stripMargin
   }
 
   /** 64-bit SimHash near-dup pairs via 4×16-bit band join (a doc pair

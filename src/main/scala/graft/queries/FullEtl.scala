@@ -61,9 +61,13 @@ object FullEtl {
       col("h100").cast("string"), col("w10").cast("string"))
     val (canonical0, mapping) = EntityResolution.resolve(profs, hashCol,
       col("prio"), col("original_id"))
+    // the canonical/user-map subtrees feed every dim, fact, and summary
+    // branch below — persist so the 9-way union doesn't re-run entity
+    // resolution per branch (Spark has no common-subtree reuse)
     val canonical = canonical0.withColumn("goal_name",
       Normalize.keywordClassify(col("goal_text"), goalTaxonomy, "other"))
-    val userMap = mapping.select("original_id", "user_key")
+      .persist()
+    val userMap = mapping.select("original_id", "user_key").persist()
 
     val dimGoal = Warehouse.dimFromDistinct(canonical, "goal_name",
       "goal_key", "goal_name")
