@@ -285,11 +285,12 @@ object DedupSim {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    // sizes grows with the sampled corpus — AQE decides the join side
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b")), Seq("doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
@@ -445,7 +446,9 @@ object DedupSim {
     val q = vecs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
-    val pairs = vecs.join(broadcast(q), Seq("bucket"))
+    // the probe set is corpus/100 — grows with sf, so no broadcast hint;
+    // the bucket-keyed hash join lets AQE pick the build side
+    val pairs = vecs.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         expr(sparkDot.format("embedding", "q_emb")) /

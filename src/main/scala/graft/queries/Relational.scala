@@ -508,8 +508,12 @@ object Relational {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d).select("p_partkey", "p_brand")
     val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+    // part/supplier grow with sf — no unconditional broadcast hint; AQE
+    // picks broadcast from runtime sizes while they fit (which realizes
+    // the reference's dict-lookup J2 shape) and degrades to shuffle
+    // joins at scale instead of OOMing the driver
+    li.join(p, col("l_partkey") === col("p_partkey"), "left")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left")
       .groupBy(col("p_brand"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
              .as("revenue"),
