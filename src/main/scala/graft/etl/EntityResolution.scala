@@ -14,9 +14,8 @@ import org.apache.spark.sql.functions._
   * (explicit orderBy everywhere; no `monotonically_increasing_id`).
   *
   * At 100 TB: one shuffle on `profile_hash` for the dedup window; key
-  * minting is two-phase zipWithIndex-style numbering (range-partition on
-  * the order key, per-partition row_number, plus a broadcast per-partition
-  * offset) — no single-partition window anywhere.
+  * minting is range-partition + sort + zipWithIndex — distributed dense
+  * numbering with no single-partition window anywhere.
   */
 object EntityResolution {
 
@@ -52,24 +51,23 @@ object EntityResolution {
   def mintKeys(df: DataFrame, keyName: String, orderCols: Column*): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
-    val parted = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    // phase 1: one count job over the range-partitioned data (the
-    // zipWithIndex pattern); ≤ #partitions rows come back to the driver
-    // and return as exclusive prefix-sum offsets via a broadcast join.
-    // repartitionByRange sampling is deterministic for a given input, so
-    // phase 2 sees identical partition contents.
-    val cnts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = cnts.map(_._1)
-      .zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toSeq
-    import spark.implicits._
-    parted.join(broadcast(offsets.toDF("__pid", "__offset")), Seq("__pid"))
-      .withColumn(keyName,
-        (col("__offset") + row_number().over(
-          Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
-          .cast("int"))
-      .drop("__pid", "__offset")
+    // Materialize ONE range-partitioned, sorted RDD and number it with
+    // zipWithIndex: its internal count job and every downstream job run
+    // on the same shuffle dependency, so the range boundaries are fixed
+    // once and both phases agree. (Numbering phase 1 and phase 2 as two
+    // separate DataFrame executions is WRONG: repartitionByRange seeds
+    // its boundary sampling per execution, and disagreeing boundaries
+    // mint duplicate keys — caught by RealDataPipelineSpec on the
+    // 14.5k-row real corpus.)
+    val sorted = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        keyName, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L).toInt)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 
   /** Full resolution: hash → dedup → mint; returns canonical profiles

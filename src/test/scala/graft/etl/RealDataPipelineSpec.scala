@@ -1,0 +1,101 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.sources.Xlsx
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The decisive fidelity check: the full ETL pipeline over the
+  * reference's REAL input files (the two XLSX workbooks via our OOXML
+  * reader + the real CSVs), validated against the reference's own run
+  * facts (etl_pipeline.log, etl_report_*.json).
+  *
+  * Clean-semantics deltas vs the reference run are asserted explicitly:
+  * we READ mendeley's fitness_goal (the reference's row.get('fitness_goals')
+  * typo forced every Mendeley user to maintain_health), so the goal dim
+  * here is richer than the reference's 3 observed goals. */
+class RealDataPipelineSpec extends SparkSpec {
+
+  private val base = "/root/reference/data"
+  private def exists(p: String) = new java.io.File(p).exists()
+
+  private def csv(p: String): Option[DataFrame] =
+    if (!exists(p)) None
+    else Some(spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(p))
+
+  private lazy val inputs = Pipeline.Inputs(
+    mendeley = Some(Xlsx.read(spark, s"$base/gym_recommendation.xlsx")),
+    gym = csv(s"$base/gym_members_exercise_tracking.csv"),
+    dailyActivity = csv(s"$base/fitbit/dailyActivity_merged.csv"),
+    weightLog = csv(s"$base/fitbit/weightLogInfo_merged.csv"),
+    nutrition = Some(Xlsx.read(spark, s"$base/nutrition.xlsx")))
+
+  private lazy val res = Pipeline.run(spark, inputs, None)
+
+  test("resolves the reference's real profile corpus") {
+    assume(exists(s"$base/gym_recommendation.xlsx"))
+    val users = res.table("dim_user")
+    val bySource = users.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mendeley contributes 14,589 rows (etl_pipeline.log:13), gym 973;
+    // the reference resolved 4,698 unique users from the same corpus
+    // (etl_pipeline.log:32) — rounding-tie differences between pandas
+    // round and format_number can shift the split by a handful, so the
+    // assertion is a corridor around the reference's number
+    val resolved = bySource.getOrElse("mendeley", 0L) +
+      bySource.getOrElse("gym", 0L)
+    assert(resolved >= 3500 && resolved <= 5500, s"resolved=$resolved")
+    // every fitbit id becomes its own user (daily + weight log ids)
+    val nFitbit = bySource.getOrElse("fitbit", 0L)
+    assert(nFitbit >= 30 && nFitbit <= 40, s"fitbit=$nFitbit")
+    // total unique users reproduce the reference's own resolution count
+    // (etl_pipeline.log:32 / etl_report: 4,698 from 15,597 row-mappings)
+    assert(users.count() == 4698L)
+    // user keys are dense 1..N — no duplicates, no gaps
+    assert(users.agg(max("user_key")).head().getInt(0) == users.count())
+    assert(users.select("user_key").distinct().count() == users.count())
+  }
+
+  test("clean semantics read the real Mendeley goals (reference bug fixed)") {
+    assume(exists(s"$base/gym_recommendation.xlsx"))
+    val goals = res.table("dim_fitnessgoal").select("goal_name")
+      .collect().map(_.getString(0)).toSet
+    // the real 'Fitness Goal' column holds 'Weight Gain'/'Weight Loss' →
+    // build_muscle (gain) and lose_weight both appear; the reference's
+    // run saw neither from Mendeley (its column-name typo, SURVEY §1.4)
+    assert(goals.contains("lose_weight"))
+    assert(goals.contains("build_muscle"))
+  }
+
+  test("food dim carries the real nutrition corpus with real macros") {
+    assume(exists(s"$base/nutrition.xlsx"))
+    val food = res.table("dim_fooditem")
+    // 8,789 source rows (etl_pipeline.log:15), minus duplicate names
+    assert(food.count() >= 8000 && food.count() <= 8789)
+    // clean semantics: carbs/fats are REAL values (reference emitted 0s
+    // through its missing-column .get default, SURVEY §1.4)
+    assert(food.filter(col("carbs") > 0).count() > 4000)
+    assert(food.filter(col("fats") > 0).count() > 4000)
+  }
+
+  test("workout sessions match the active-row count of the real file") {
+    assume(exists(s"$base/fitbit/dailyActivity_merged.csv"))
+    val sess = res.table("fact_workoutsession")
+    // exactly the input rows with VeryActive+FairlyActive minutes > 0
+    // (all ids and dates resolve — fitbit users/dim_date cover them)
+    val expected = inputs.dailyActivity.get
+      .filter(col("VeryActiveMinutes") + col("FairlyActiveMinutes") > 0)
+      .count()
+    assert(sess.count() == expected, s"sessions=${sess.count()}")
+    assert(sess.filter(col("active_minutes") <= 0).count() == 0)
+  }
+
+  test("quality suite passes on the real corpus") {
+    assume(exists(s"$base/gym_recommendation.xlsx"))
+    // no PK/FK/NULL issues by construction; range warnings allowed
+    // (real data may contain out-of-corridor ages)
+    assert(res.report.issues == 0, res.report.results.mkString("\n"))
+    assert(res.report.score >= 95.0)
+  }
+}
