@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -553,7 +553,118 @@ object DedupSim {
        |WHERE ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.95
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X11 — duplicate-cluster assignment: connected components over the
+  // union of two candidate relations (shared 40-char prefix OR shared
+  // 40-char suffix). This is the step after pair detection in a real
+  // dedup pipeline: MinHash/exact/embedding pair lists merge into
+  // transitive clusters, and every doc gets its canonical (min) id.
+  //
+  // Corpus plants two dup generations so closure is genuinely needed:
+  // gen1 (every 10th doc) keeps the prefix, gen2 (every 20th) keeps the
+  // suffix — {d, d+1M, d+2M} only connect through d.
+  //
+  // Scale: per-key pair generation is bounded by a stop-key cap (like
+  // x04); label propagation is the standard iterative min-join — each
+  // round is one shuffle join, rounds = graph diameter (driver-checked
+  // convergence, hard cap 50). The DuckDB oracle computes the same
+  // components exactly via a recursive CTE.
+  // ---------------------------------------------------------------------
+  private val ClusterKeyCap = 20
+
+  private def x11(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val gen1 = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" planted dup "),
+          col("doc_id").cast("string")).as("text"))
+    val gen2 = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zzz "), col("text")).as("text"))
+    val corpus = docs.unionByName(gen1).unionByName(gen2)
+    def pairsByKey(key: Column): DataFrame = {
+      val keyed = corpus.select(col("doc_id"), key.as("k"))
+      val wK = Window.partitionBy(col("k"))
+      val capped = keyed.withColumn("__ksz", count(lit(1)).over(wK))
+        .filter(col("__ksz") <= ClusterKeyCap)
+        .drop("__ksz")
+      capped.select(col("doc_id").as("a"), col("k"))
+        .join(capped.select(col("doc_id").as("b"), col("k")), Seq("k"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+    }
+    val edges = pairsByKey(substring(col("text"), 1, 40))
+      .unionByName(pairsByKey(expr("right(text, 40)")))
+      .distinct()
+    val undirected = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val nodes = undirected.select(col("a").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 50) {
+      val neigh = undirected
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = updated
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    val out = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+    undirected.unpersist()
+    out
+  }
+  private val x11Sql =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, text FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    text || ' planted dup ' || CAST(doc_id AS VARCHAR)
+       |  FROM docs WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'zzz ' || text
+       |  FROM docs WHERE doc_id % 20 = 0),
+       |pre AS (
+       |  SELECT doc_id, substring(text, 1, 40) AS k FROM corpus
+       |  QUALIFY COUNT(*) OVER (PARTITION BY substring(text, 1, 40))
+       |    <= $ClusterKeyCap),
+       |suf AS (
+       |  SELECT doc_id, right(text, 40) AS k FROM corpus
+       |  QUALIFY COUNT(*) OVER (PARTITION BY right(text, 40))
+       |    <= $ClusterKeyCap),
+       |edges AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b FROM pre x
+       |    JOIN pre y ON x.k = y.k AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT x.doc_id, y.doc_id FROM suf x
+       |    JOIN suf y ON x.k = y.k AND x.doc_id < y.doc_id)),
+       |undirected AS (
+       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |nodes AS (SELECT DISTINCT a AS id FROM undirected),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, u.b FROM reach JOIN undirected u
+       |    ON u.a = reach.r)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
     QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
