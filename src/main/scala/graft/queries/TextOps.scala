@@ -352,7 +352,116 @@ object TextOps {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X12 — Gopher-style quality FILTER: hard keep/drop rules with a
+  // first-failing-rule reason (the decision stage that consumes x07-style
+  // signals in a real training-data pipeline). Pure per-row expressions
+  // — fully codegen'd, embarrassingly parallel at any scale.
+  // ---------------------------------------------------------------------
+  private def x12(s: SparkSession, d: String): DataFrame = {
+    Tables.fanout(Tables.documents(s, d))
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          col("n_words").cast("double"), 4))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / length(col("text")).cast("double"), 4))
+      .withColumn("has_stopword",
+        lower(col("text")).rlike(" (the|a|and|of|to) "))
+      .withColumn("drop_reason",
+        when(col("n_words") < 5, "too_short")
+          .when(col("n_words") > 10000, "too_long")
+          .when(col("mean_word_len") < 2 || col("mean_word_len") > 12,
+            "word_len_out_of_range")
+          .when(col("digit_ratio") > 0.3, "too_many_digits")
+          .when(!col("has_stopword"), "no_stopwords"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select("doc_id", "n_words", "mean_word_len", "digit_ratio",
+        "has_stopword", "drop_reason", "keep")
+      .orderBy("doc_id")
+  }
+  private val x12Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+      |      AS mean_word_len,
+      |    ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |        AS DOUBLE) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+      |    regexp_matches(lower(text), ' (the|a|and|of|to) ')
+      |      AS has_stopword
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN n_words < 5 THEN 'too_short'
+      |         WHEN n_words > 10000 THEN 'too_long'
+      |         WHEN mean_word_len < 2 OR mean_word_len > 12
+      |           THEN 'word_len_out_of_range'
+      |         WHEN digit_ratio > 0.3 THEN 'too_many_digits'
+      |         WHEN NOT has_stopword THEN 'no_stopwords'
+      |         ELSE NULL END AS drop_reason
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, digit_ratio, has_stopword,
+      |  drop_reason, drop_reason IS NULL AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X13 — deterministic domain-mix sampling: per-bucket target rates
+  // applied via integer hash of the id — the training-mix construction
+  // step (sample 80% short / 50% medium / 10% long, say) that must be
+  // reproducible run-over-run and shard-independent. No shuffle at all:
+  // the decision is a pure row expression; the summary is one aggregate.
+  // ---------------------------------------------------------------------
+  private val MixRates = Seq("short" -> 800, "medium" -> 500, "long" -> 100)
+
+  private def x13(s: SparkSession, d: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(0)) { case (acc, (b, r)) =>
+      when(col("bucket") === b, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("bucket",
+        when(col("n_words") < 50, "short")
+          .when(col("n_words") < 200, "medium")
+          .otherwise("long"))
+      .withColumn("h", pmod(col("doc_id") * 2654435761L + 101L,
+        lit(1000L)))
+      .withColumn("sampled", col("h") < rate)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate_pct",
+        round(col("n_sampled").cast("double") * 100.0 /
+          col("n_total").cast("double"), 2))
+      .orderBy("bucket")
+  }
+  private val x13Sql = {
+    val rateCase = MixRates.map { case (b, r) =>
+      s"WHEN bucket = '$b' THEN $r" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+       |         WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+       |         ELSE 'long' END AS bucket,
+       |    (doc_id * 2654435761 + 101) % 1000 AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT bucket, h,
+       |    CASE WHEN h < (CASE $rateCase ELSE 0 END) THEN 1 ELSE 0 END
+       |      AS sampled
+       |  FROM b)
+       |SELECT bucket, COUNT(*) AS n_total,
+       |  CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+       |  ROUND(CAST(SUM(sampled) AS DOUBLE) * 100.0
+       |    / CAST(COUNT(*) AS DOUBLE), 2) AS rate_pct
+       |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x12_quality_filter", Some(x12Sql), x12),
+    QueryDef("x13_domain_mix", Some(x13Sql), x13),
     QueryDef("t03_unit_strip_cast", Some(t03Sql), t03),
     QueryDef("t05_keyword_classifier", Some(t05Sql), t05),
     QueryDef("t06_tokenize_explode", Some(t06Sql), t06),
