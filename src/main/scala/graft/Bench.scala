@@ -43,16 +43,38 @@ object Bench {
     // JIT warmup: interpreted expression paths (higher-order functions,
     // object aggregates) are megamorphic and take C2 a long time to
     // compile — first executions run 5-10x slower than steady state.
-    // Warm each query once at the smallest scale factor just before
-    // timing it, so a timeout part-way still measured everything it ran.
-    // (Measured: same query 194s cold → 16s warm.)
+    // (Measured: same query 194s cold → 16s warm.) Warm every query at
+    // the smallest scale factor CONCURRENTLY — C2 compilation is shared
+    // across threads and the tiny sf0.001 jobs overlap, so the warm
+    // phase costs wall-minutes less than the old one-by-one pass — then
+    // time serially (fair, uncontended) with a cumulative emit per query.
     val warmDir = {
       val w = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    locally {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(6)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      Await.result(Future.sequence(ordered.map { case (name, fn) =>
+        Future {
+          try fn(spark, warmDir).write.format("noop").mode("overwrite")
+            .save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+          }
+        }
+      }), Duration.Inf)
+      pool.shutdown()
+      System.err.println(
+        f"[bench] warmup done (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    }
+    ordered.foreach { case (name, fn) =>
       val dt = try {
-        fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
