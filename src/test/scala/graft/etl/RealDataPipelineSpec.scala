@@ -98,4 +98,20 @@ class RealDataPipelineSpec extends SparkSpec {
     assert(res.report.issues == 0, res.report.results.mkString("\n"))
     assert(res.report.score >= 95.0)
   }
+
+  test("the real validation.sql corpus runs against the real warehouse") {
+    val script = "/root/reference/validation.sql"
+    assume(exists(script) && exists(s"$base/gym_recommendation.xlsx"))
+    val out = ValidationCorpus.run(spark,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(script))), res.tables)
+    assert(out.failed.isEmpty,
+      out.failed.map { case (s0, e) => s"$s0 => $e" }.mkString("\n"))
+    assert(out.executed == out.statements)
+    // hard classes (PK/ORPHAN/NULL) must be clean on the real build;
+    // informative range rules may warn on real-world outliers
+    assert(out.issues.isEmpty, out.issues.mkString("\n"))
+    assert(out.score >= 95.0)
+    assert(out.tableCounts.values.sum > 40000L) // a real-sized warehouse
+  }
 }
