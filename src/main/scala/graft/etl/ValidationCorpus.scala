@@ -76,8 +76,12 @@ object ValidationCorpus {
     else s
   }
 
+  /** Serialized per JVM: the corpus registers fixed-name temp views and
+    * a fixed-name managed table (`validation_violations` — the script
+    * hardcodes it), so two concurrent runs in one session would clobber
+    * each other (e.g. sbt's parallel test suites on the shared session). */
   def run(spark: SparkSession, script: String,
-      tables: Seq[(String, DataFrame)]): Outcome = {
+      tables: Seq[(String, DataFrame)]): Outcome = synchronized {
     val counts = register(spark, tables)
     // re-runnable: drop the table AND any stale managed-table directory
     // a previous crashed session left behind (the in-memory catalog
