@@ -64,6 +64,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("S7 property: quoted ';' and '--' never split or truncate") {
+    val litGen = for {
+      pre <- Gen.alphaStr
+      tricky <- Gen.oneOf(";", "--", "a;b--c", "/*", "*/", ";--;")
+      post <- Gen.alphaStr
+      q <- Gen.oneOf("'", "\"")
+    } yield s"$q$pre$tricky$post$q"
+    val stmtGen = litGen.map(l => s"SELECT $l AS v FROM t")
+    samples(Gen.nonEmptyListOf(stmtGen).map(_.take(5)), 25)
+      .foreach { stmts =>
+        val script = stmts.mkString(";\n") + ";"
+        val parsed = SqlRunner.parse(script)
+        assert(parsed == stmts, s"\n$script\n-> $parsed")
+      }
+  }
+
+  test("J3 property: minted keys are dense 1..N in order-column order") {
+    val keysGen = Gen.nonEmptyListOf(
+      Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)).map(_.distinct)
+    samples(keysGen, 5).foreach { ks =>
+      val minted = EntityResolution.mintKeys(
+        ks.toDF("k").repartition(7), "key", $"k")
+        .select("k", "key").as[(String, Int)].collect().sortBy(_._2)
+      assert(minted.map(_._2).toSeq == (1 to ks.length))
+      // key order == global sort order of the order column
+      assert(minted.map(_._1).toSeq == ks.sorted)
+    }
+  }
+
   test("J1 property: canonical count == distinct hash count, dense keys") {
     val profGen = Gen.nonEmptyListOf(for {
       age <- Gen.chooseNum(13, 99)
