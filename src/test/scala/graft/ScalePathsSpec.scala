@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Proofs for two 100 TB techniques the exact-oracle queries can't carry
+  * (approximation isn't hash-matchable; partition layout is physical):
+  * approximate distinct counting as Q2's scale path, and partition
+  * pruning on a date-partitioned layout. */
+class ScalePathsSpec extends SparkSpec {
+
+  test("approx_count_distinct tracks exact within 5% (Q2 scale path)") {
+    val li = Tables.lineitem(spark, sf)
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    // rsd 0.01 → ~1% expected error; 3% leaves ~3 sigma of headroom
+    assert(math.abs(approx - exact).toDouble / exact < 0.03,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("date-partitioned writes prune partitions under a date filter") {
+    val dir = java.nio.file.Files.createTempDirectory("part_prune")
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(s"$dir/events_by_day")
+    val all = spark.read.parquet(s"$dir/events_by_day")
+    val days = all.select("day").distinct().count()
+    assert(days > 1, "need multiple partitions to prove pruning")
+    val oneDay = all.select("day").distinct().orderBy("day").head()
+      .getDate(0)
+    val pruned = all.filter(col("day") === lit(oneDay))
+    // the partition filter must reach the scan: only 1 of N partition
+    // directories is read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(pruned.count() ==
+      all.filter(col("day") === lit(oneDay)).count())
+    // physical proof: selected partition count is 1 of `days`
+    val selected = "partition count: (\\d+)".r
+      .findFirstMatchIn(scanned.toLowerCase)
+    selected.foreach(m => assert(m.group(1).toInt == 1, scanned.take(300)))
+  }
+}
