@@ -663,7 +663,45 @@ object DedupSim {
        |SELECT id AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X14 — benchmark decontamination: flag training documents sharing ≥K
+  // word-3-gram shingles with a held-out eval set (doc_id % 97 == 0
+  // stands in for the benchmark). The standard pre-training hygiene
+  // step: eval shingles are a small relation joined against corpus
+  // shingles — the shuffle is on the shingle key, the eval side
+  // broadcast-sized by construction, never an all-pairs scan.
+  // ---------------------------------------------------------------------
+  private val ContamMinShingles = 3
+
+  private def x14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val shingles = docs
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+    val evalSet = shingles.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val train = shingles.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(evalSet), Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= ContamMinShingles)
+      .orderBy("doc_id", "eval_id")
+  }
+  private val x14Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($duckShingles) AS shingle
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+       |       WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT tr.doc_id, ev.eval_id, COUNT(*) AS shared_shingles
+       |FROM tr JOIN ev ON tr.shingle = ev.shingle
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $ContamMinShingles
+       |ORDER BY doc_id, eval_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
