@@ -459,9 +459,33 @@ object Pipeline {
       Some(sleep), Some(hr), Some(nutrition))
   }
 
-  /** Runnable entry point: full ETL over the demo fixtures →
-    * `args(0)` (default ./pipeline_out): 18 parquet tables in load
-    * order + etl_report.json. */
+  /** Load Inputs from a reference-layout data directory
+    * (`gym_recommendation.xlsx`, `nutrition.xlsx`,
+    * `gym_members_exercise_tracking.csv`, the fitbit CSVs) — missing
+    * files are skipped, mirroring the reference's extract tolerance
+    * (main_etl_pipeline.py:58-84). */
+  def fileInputs(spark: SparkSession, base: String): Inputs = {
+    def xlsx(p: String) =
+      Option(new java.io.File(s"$base/$p")).filter(_.exists)
+        .map(f => graft.sources.Xlsx.read(spark, f.toString))
+    def csv(p: String) =
+      Option(new java.io.File(s"$base/$p")).filter(_.exists)
+        .map(f => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(f.toString))
+    Inputs(
+      mendeley = xlsx("gym_recommendation.xlsx"),
+      gym = csv("gym_members_exercise_tracking.csv"),
+      dailyActivity = csv("fitbit/dailyActivity_merged.csv"),
+      weightLog = csv("fitbit/weightLogInfo_merged.csv"),
+      sleep = csv("fitbit/minuteSleep_merged.csv"),
+      heartrate = csv("fitbit/heartrate_seconds_merged.csv"),
+      nutrition = xlsx("nutrition.xlsx"))
+  }
+
+  /** Runnable entry point: full ETL → `args(0)` (default
+    * ./pipeline_out): 18 parquet tables in load order +
+    * etl_report.json. With `args(1)` = a reference-layout data
+    * directory the real files run; otherwise the demo fixtures do. */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("pipeline_out")
     val spark = SparkSession.builder()
@@ -473,8 +497,12 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val log = new RunLog(Some(s"$out/etl_run_log.jsonl")) // S8 sink
+    val inputs = args.lift(1) match {
+      case Some(base) => fileInputs(spark, base)
+      case None => demoInputs(spark)
+    }
     val res = log.timed("run_full_etl_pipeline") {
-      run(spark, demoInputs(spark), Some(out))
+      run(spark, inputs, Some(out))
     }
     res.tables.foreach { case (n, df) => log.stage(n, df.count()) }
     log.stage("quality_score", detail = res.report.score.toString)

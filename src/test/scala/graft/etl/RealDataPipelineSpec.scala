@@ -1,8 +1,6 @@
 package graft.etl
 
 import graft.SparkSpec
-import graft.sources.Xlsx
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The decisive fidelity check: the full ETL pipeline over the
@@ -19,17 +17,8 @@ class RealDataPipelineSpec extends SparkSpec {
   private val base = "/root/reference/data"
   private def exists(p: String) = new java.io.File(p).exists()
 
-  private def csv(p: String): Option[DataFrame] =
-    if (!exists(p)) None
-    else Some(spark.read.option("header", "true")
-      .option("inferSchema", "true").csv(p))
-
-  private lazy val inputs = Pipeline.Inputs(
-    mendeley = Some(Xlsx.read(spark, s"$base/gym_recommendation.xlsx")),
-    gym = csv(s"$base/gym_members_exercise_tracking.csv"),
-    dailyActivity = csv(s"$base/fitbit/dailyActivity_merged.csv"),
-    weightLog = csv(s"$base/fitbit/weightLogInfo_merged.csv"),
-    nutrition = Some(Xlsx.read(spark, s"$base/nutrition.xlsx")))
+  // the exact loader Pipeline.main uses for a data-directory run
+  private lazy val inputs = Pipeline.fileInputs(spark, base)
 
   private lazy val res = Pipeline.run(spark, inputs, None)
 
