@@ -31,9 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // this host is a microVM where page faults & syscalls are expensive:
-  // pre-fault the whole heap once at startup instead of faulting
-  // per-allocation during query execution
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+  // Keep -Xms SMALL by default. Pre-faulting the whole heap
+  // (-Xms8g -XX:+AlwaysPreTouch) costs ~61 s wall / ~19 CPU-min of sys
+  // time on this microVM before main() even runs — it ate the driver's
+  // entire wall budget two rounds in a row. Opt back in only for long
+  // steady-state runs via SPARK_GRAFT_PRETOUCH=1 (driver runs never set it).
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "1g")}",
+) ++ (if (sys.env.contains("SPARK_GRAFT_PRETOUCH")) Seq("-XX:+AlwaysPreTouch") else Nil)
