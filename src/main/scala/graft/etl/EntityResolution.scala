@@ -61,11 +61,13 @@ object EntityResolution {
     // 14.5k-row real corpus.)
     val sorted = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // Keys are LongType: an IntegerType key silently wraps negative past
+    // 2^31 rows, and this routine numbers fact tables too, not just dims.
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        keyName, org.apache.spark.sql.types.IntegerType, nullable = false))
+        keyName, org.apache.spark.sql.types.LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L).toInt)
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(indexed, schema)
   }

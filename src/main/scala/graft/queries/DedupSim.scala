@@ -337,7 +337,11 @@ object DedupSim {
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
-    val pairs = withNorm.crossJoin(broadcast(q))
+    // No broadcast hint: the query side is corpus/100 — it GROWS with the
+    // corpus, so pinning it driver-side OOMs at scale. Unhinted, AQE
+    // broadcasts while it is genuinely small and falls back to a
+    // shuffle/cartesian plan once it is not.
+    val pairs = withNorm.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         expr(sparkDot.format("embedding", "q_emb")) /
@@ -600,7 +604,15 @@ object DedupSim {
       edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
     val nodes = undirected.select(col("a").as("id")).distinct()
-    var labels = nodes.withColumn("lbl", col("id")).persist()
+    // Each label-propagation round is checkpointed: the convergence
+    // check materializes every round anyway, and WITHOUT lineage
+    // truncation round N's plan nests round N-1's — 50 rounds of nested
+    // joins blow up Catalyst analysis / driver stack at real graph
+    // diameters. localCheckpoint bounds plan depth to one round and
+    // leaves nothing registered in the session cache when we return.
+    // (On a real cluster, prefer reliable checkpoint() — localCheckpoint
+    // blocks die with their executor.)
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < 50) {
@@ -611,11 +623,10 @@ object DedupSim {
       val updated = labels.join(neigh, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint()
       converged = updated
         .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = updated
       iter += 1
     }
@@ -667,9 +678,9 @@ object DedupSim {
   // X14 — benchmark decontamination: flag training documents sharing ≥K
   // word-3-gram shingles with a held-out eval set (doc_id % 97 == 0
   // stands in for the benchmark). The standard pre-training hygiene
-  // step: eval shingles are a small relation joined against corpus
-  // shingles — the shuffle is on the shingle key, the eval side
-  // broadcast-sized by construction, never an all-pairs scan.
+  // step: eval shingles are a (relatively) small relation joined against
+  // corpus shingles — the shuffle is on the shingle key, never an
+  // all-pairs scan.
   // ---------------------------------------------------------------------
   private val ContamMinShingles = 3
 
@@ -681,7 +692,11 @@ object DedupSim {
     val evalSet = shingles.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val train = shingles.filter(col("doc_id") % 97 =!= 0)
-    train.join(broadcast(evalSet), Seq("shingle"))
+    // No broadcast hint: the eval set here is doc_id % 97 of the corpus
+    // shingles, which grows with the corpus. A real decontamination run
+    // would pass a fixed benchmark relation (then a hint is fine); for
+    // the sf-parameterized stand-in, let AQE pick the join side.
+    train.join(evalSet, Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= ContamMinShingles)

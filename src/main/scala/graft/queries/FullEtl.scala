@@ -116,7 +116,7 @@ object FullEtl {
           coalesce(sum(checksum), lit(0L)).cast("long").as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
 
-    Seq(
+    val out = Seq(
       summary("dim_user", canonical, col("user_key") * col("age")),
       summary("dim_goal", dimGoal,
         col("goal_key") * length(col("goal_name"))),
@@ -135,6 +135,14 @@ object FullEtl {
       summary("fact_synth", synth,
         col("user_key") * col("day") + col("qty100"))
     ).reduce(_ unionByName _).orderBy("table_name")
+      // the summary is 9 rows — materialize it now (localCheckpoint is
+      // eager) so the persisted subtrees can be dropped before returning;
+      // otherwise repeated bench warm+timed runs pile cached canonical/
+      // userMap copies into the shared session
+      .localCheckpoint()
+    canonical.unpersist()
+    userMap.unpersist()
+    out
   }
 
   private val w02Sql = {

@@ -37,7 +37,12 @@ object Xlsx {
       f: XMLStreamReader => T): Option[T] = {
     Option(zip.getEntry(entry)).map { e =>
       val in = zip.getInputStream(e)
-      val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+      // Harden against XXE: a hostile workbook's sheet XML must not be
+      // able to pull in DTDs or external entities (driver-side parse).
+      val factory = XMLInputFactory.newInstance()
+      factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      val r = factory.createXMLStreamReader(in)
       try f(r)
       finally { r.close(); in.close() }
     }

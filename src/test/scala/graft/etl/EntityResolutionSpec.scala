@@ -31,7 +31,7 @@ class EntityResolutionSpec extends SparkSpec {
       EntityResolution.resolve(profiles, hashCol, $"src", $"row_id")
     val canon = canonical.orderBy("user_key").collect()
     assert(canon.length == 3)
-    assert(canon.map(_.getAs[Int]("user_key")).toSeq == Seq(1, 2, 3))
+    assert(canon.map(_.getAs[Long]("user_key")).toSeq == Seq(1L, 2L, 3L))
     // survivor of the 25/male group is the lowest (src, row_id) = row 1
     val surv = canonical.filter($"profile_hash" === "25_male_1.75_70.0")
       .select("row_id").collect()(0).getInt(0)

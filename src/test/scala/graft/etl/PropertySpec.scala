@@ -86,8 +86,8 @@ class PropertySpec extends SparkSpec {
     samples(keysGen, 5).foreach { ks =>
       val minted = EntityResolution.mintKeys(
         ks.toDF("k").repartition(7), "key", $"k")
-        .select("k", "key").as[(String, Int)].collect().sortBy(_._2)
-      assert(minted.map(_._2).toSeq == (1 to ks.length))
+        .select("k", "key").as[(String, Long)].collect().sortBy(_._2)
+      assert(minted.map(_._2).toSeq == (1L to ks.length))
       // key order == global sort order of the order column
       assert(minted.map(_._1).toSeq == ks.sorted)
     }
@@ -111,8 +111,8 @@ class PropertySpec extends SparkSpec {
       val nHashes = df.select(hash).distinct().count()
       assert(canonical.count() == nHashes)
       assert(mapping.count() == rows.length)
-      val keys = canonical.select("user_key").as[Int].collect().sorted
-      assert(keys.toSeq == (1 to nHashes.toInt))
+      val keys = canonical.select("user_key").as[Long].collect().sorted
+      assert(keys.toSeq == (1L to nHashes))
     }
   }
 }

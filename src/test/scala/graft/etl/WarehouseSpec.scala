@@ -20,7 +20,7 @@ class WarehouseSpec extends SparkSpec {
     val rows = dim.orderBy("type_key").collect()
     assert(rows.map(_.getAs[String]("type_name")).toSeq ==
       Seq("Cardio", "HIIT", "Yoga"))
-    assert(rows.map(_.getAs[Int]("type_key")).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_.getAs[Long]("type_key")).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("J5+T7 blob dim and bridge resolve tokens") {
@@ -34,7 +34,7 @@ class WarehouseSpec extends SparkSpec {
     assert(bridge.count() == 5)
     // user 1 and 2 share the squats key
     val squatsKey = dim.filter($"ex_name" === "squats")
-      .select("ex_key").collect()(0).getInt(0)
+      .select("ex_key").collect()(0).getLong(0)
     assert(bridge.filter($"ex_key" === squatsKey).count() == 2)
   }
 

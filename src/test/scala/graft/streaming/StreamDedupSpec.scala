@@ -36,4 +36,36 @@ class StreamDedupSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming dedup state is evicted once the watermark passes") {
+    import spark.implicits._
+    // three micro-batches with advancing event time: batch 0's state must
+    // be dropped once batch 1 pushes the watermark past it (watermark is
+    // computed at end-of-batch and applied next batch, hence batch 2).
+    def mkBatch(ids: Range, hour: Int) = ids.map { i =>
+      (7L, i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"))
+    }.toDF("user_id", "event_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_evict")
+    val in = s"$dir/in"
+    mkBatch(1 to 100, 0).write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema(mkBatch(1 to 1, 0).schema).parquet(in)
+    val q = StreamDedup.dedup(stream, "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_evict").start()
+    try {
+      q.processAllAvailable() // batch 0: 100 ids @ 00:00
+      mkBatch(101 to 200, 10).write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 1: watermark → 08:00 at end
+      mkBatch(201 to 210, 11).write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 2: evicts batch 0's state
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      val rows = state.map(_.numRowsTotal).sum
+      // 210 ids seen; batch 0's 100 must be gone from state
+      assert(rows > 0 && rows <= 110, s"state not evicted: $rows rows")
+      assert(spark.table("dedup_evict").count() == 210)
+    } finally q.stop()
+  }
 }
