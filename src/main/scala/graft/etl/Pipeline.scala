@@ -32,7 +32,8 @@ object Pipeline {
       weightLog: Option[DataFrame] = None,
       sleep: Option[DataFrame] = None,
       heartrate: Option[DataFrame] = None,
-      nutrition: Option[DataFrame] = None)
+      nutrition: Option[DataFrame] = None,
+      hourlyCalories: Option[DataFrame] = None)
 
   final case class Result(tables: Seq[(String, DataFrame)],
       report: Quality.Report,
@@ -107,7 +108,7 @@ object Pipeline {
         noText.as("experience_level"), noText.as("conditions_blob"),
         noText.as("exercises_blob"), noText.as("diet_blob")))
 
-  /** Run the full pipeline. Returns the 18 warehouse tables in
+  /** Run the full pipeline. Returns the 19 warehouse tables in
     * dependency (load) order plus the quality report; writes them (and
     * the JSON report) if `outDir` is given. */
   def run(spark: SparkSession, in: Inputs, outDir: Option[String] = None,
@@ -117,7 +118,7 @@ object Pipeline {
       in.mendeley.map(mendeleyProfiles),
       in.gym.map(gymProfiles),
       fitbitProfiles(Seq(in.dailyActivity, in.weightLog, in.sleep,
-        in.heartrate).flatten)).flatten
+        in.heartrate, in.hourlyCalories).flatten)).flatten
     require(sources.nonEmpty, "no profile sources")
     val staged = sources.reduce(_ unionByName _)
 
@@ -305,6 +306,28 @@ object Pipeline {
               2).as("total_fats"))
       }
 
+    // Hourly-grain activity fact — EXCEEDS the reference: it extracts
+    // hourlyCalories_merged.csv and then never transforms it
+    // (main_etl_pipeline.py:64, SURVEY §1.3). One groupBy to the
+    // user-hour grain; at scale this is the partition-pruned,
+    // pre-aggregated rollup the daily fact can't answer.
+    val factHourly = in.hourlyCalories.map { raw =>
+      val h = Normalize.columns(raw)
+        .withColumn("ts", Normalize.parseUsTimestamp(col("activityhour")))
+        .withColumn("full_date", to_date(col("ts")))
+        .withColumn("original_id",
+          concat(lit("fitbit_"), col("id").cast("string")))
+      val hourly = h.join(userMap, Seq("original_id"))
+        .join(dateKeys, Seq("full_date"))
+        .groupBy(col("user_key"), col("date_key"),
+          hour(col("ts")).as("hour_of_day"))
+        .agg(sum(col("calories")).cast("int").as("calories"))
+      EntityResolution.mintKeys(hourly, "hourly_key",
+        col("user_key"), col("date_key"), col("hour_of_day"))
+        .select("hourly_key", "user_key", "date_key", "hour_of_day",
+          "calories")
+    }.getOrElse(spark.emptyDataFrame)
+
     // ---- load order: Dims → Bridges → Facts (main_etl_pipeline.py:752)
     val tables: Seq[(String, DataFrame)] = Seq(
       "dim_date" -> dimDate,
@@ -324,7 +347,8 @@ object Pipeline {
       "fact_usersnapshot" -> factSnapshot,
       "fact_workoutsession" -> factSession,
       "fact_healthmetric" -> factMetric,
-      "fact_nutritionlog" -> factNutrition)
+      "fact_nutritionlog" -> factNutrition,
+      "fact_hourlyactivity" -> factHourly)
 
     // ---- validate (Q2/Q3/Q4/Q6 classes) + score -----------------------
     val report = Quality.runSuite(qualityRules(tables.toMap))
@@ -363,6 +387,8 @@ object Pipeline {
       ("fact_workoutsession", "user_key", "dim_user", "user_key"),
       ("fact_workoutsession", "date_key", "dim_date", "date_key"),
       ("fact_healthmetric", "user_key", "dim_user", "user_key"),
+      ("fact_hourlyactivity", "user_key", "dim_user", "user_key"),
+      ("fact_hourlyactivity", "date_key", "dim_date", "date_key"),
       ("fact_healthmetric", "metric_type_key", "dim_metrictype",
         "metric_type_key"),
       ("fact_nutritionlog", "food_key", "dim_fooditem", "food_key"),
@@ -381,7 +407,8 @@ object Pipeline {
     val ranges = Seq(
       ("fact_usersnapshot", "bmi", 10.0, 60.0),
       ("dim_user", "age", 13.0, 100.0),
-      ("fact_nutritionlog", "total_calories", 0.0, 10000.0))
+      ("fact_nutritionlog", "total_calories", 0.0, 10000.0),
+      ("fact_hourlyactivity", "calories", 0.0, 10000.0))
       .filter(p => has(p._1)).map { case (tab, c, lo, hi) =>
         Rule(s"RANGE $tab.$c", Warning, rangeViolations(c, lo, hi)) -> t(tab)
       }
@@ -455,8 +482,14 @@ object Pipeline {
       (null, "100 g", "0", "0", "0", "0", "0")) // null name → dropped
       .toDF("name", "serving_size", "calories", "total_fat", "protein",
         "carbohydrate", "fiber")
+    val hourly = Seq(
+      (1503960366L, "3/25/2016 1:00:00 AM", 48),
+      (1503960366L, "3/25/2016 1:30:00 AM", 30), // same hour → aggregated
+      (1503960366L, "3/26/2016 2:00:00 AM", 52),
+      (1624580081L, "3/25/2016 9:00:00 AM", 120))
+      .toDF("Id", "ActivityHour", "Calories")
     Inputs(Some(mendeley), Some(gym), Some(daily), Some(weight),
-      Some(sleep), Some(hr), Some(nutrition))
+      Some(sleep), Some(hr), Some(nutrition), Some(hourly))
   }
 
   /** Load Inputs from a reference-layout data directory
@@ -465,25 +498,63 @@ object Pipeline {
     * files are skipped, mirroring the reference's extract tolerance
     * (main_etl_pipeline.py:58-84). */
   def fileInputs(spark: SparkSession, base: String): Inputs = {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) }.toArray)
+    // Declared schemas (FIXTURES.md §1-2; header names verified against
+    // the reference's own files) — never inferSchema: inference reads
+    // every CSV twice and guesses, and heartrate_seconds is 1M+ rows in
+    // the real layout. Dates stay strings; Normalize parses them.
+    val gymSchema = st("Age" -> IntegerType, "Gender" -> StringType,
+      "Weight (kg)" -> DoubleType, "Height (m)" -> DoubleType,
+      "Max_BPM" -> IntegerType, "Avg_BPM" -> IntegerType,
+      "Resting_BPM" -> IntegerType,
+      "Session_Duration (hours)" -> DoubleType,
+      "Calories_Burned" -> DoubleType, "Workout_Type" -> StringType,
+      "Fat_Percentage" -> DoubleType, "Water_Intake (liters)" -> DoubleType,
+      "Workout_Frequency (days/week)" -> IntegerType,
+      "Experience_Level" -> IntegerType, "BMI" -> DoubleType)
+    val dailySchema = st("Id" -> LongType, "ActivityDate" -> StringType,
+      "TotalSteps" -> IntegerType, "TotalDistance" -> DoubleType,
+      "TrackerDistance" -> DoubleType,
+      "LoggedActivitiesDistance" -> DoubleType,
+      "VeryActiveDistance" -> DoubleType,
+      "ModeratelyActiveDistance" -> DoubleType,
+      "LightActiveDistance" -> DoubleType,
+      "SedentaryActiveDistance" -> DoubleType,
+      "VeryActiveMinutes" -> IntegerType,
+      "FairlyActiveMinutes" -> IntegerType,
+      "LightlyActiveMinutes" -> IntegerType,
+      "SedentaryMinutes" -> IntegerType, "Calories" -> IntegerType)
+    val weightSchema = st("Id" -> LongType, "Date" -> StringType,
+      "WeightKg" -> DoubleType, "WeightPounds" -> DoubleType,
+      "Fat" -> DoubleType, "BMI" -> DoubleType,
+      "IsManualReport" -> BooleanType, "LogId" -> LongType)
+    val sleepSchema = st("Id" -> LongType, "date" -> StringType,
+      "value" -> IntegerType, "logId" -> LongType)
+    val hrSchema = st("Id" -> LongType, "Time" -> StringType,
+      "Value" -> IntegerType)
+    val hourlySchema = st("Id" -> LongType, "ActivityHour" -> StringType,
+      "Calories" -> IntegerType)
     def xlsx(p: String) =
       Option(new java.io.File(s"$base/$p")).filter(_.exists)
         .map(f => graft.sources.Xlsx.read(spark, f.toString))
-    def csv(p: String) =
-      Option(new java.io.File(s"$base/$p")).filter(_.exists)
-        .map(f => spark.read.option("header", "true")
-          .option("inferSchema", "true").csv(f.toString))
+    def csv(p: String, schema: StructType) =
+      graft.sources.Sources.csv(spark, s"$base/$p", schema)
     Inputs(
       mendeley = xlsx("gym_recommendation.xlsx"),
-      gym = csv("gym_members_exercise_tracking.csv"),
-      dailyActivity = csv("fitbit/dailyActivity_merged.csv"),
-      weightLog = csv("fitbit/weightLogInfo_merged.csv"),
-      sleep = csv("fitbit/minuteSleep_merged.csv"),
-      heartrate = csv("fitbit/heartrate_seconds_merged.csv"),
-      nutrition = xlsx("nutrition.xlsx"))
+      gym = csv("gym_members_exercise_tracking.csv", gymSchema),
+      dailyActivity = csv("fitbit/dailyActivity_merged.csv", dailySchema),
+      weightLog = csv("fitbit/weightLogInfo_merged.csv", weightSchema),
+      sleep = csv("fitbit/minuteSleep_merged.csv", sleepSchema),
+      heartrate = csv("fitbit/heartrate_seconds_merged.csv", hrSchema),
+      nutrition = xlsx("nutrition.xlsx"),
+      hourlyCalories = csv("fitbit/hourlyCalories_merged.csv",
+        hourlySchema))
   }
 
   /** Runnable entry point: full ETL → `args(0)` (default
-    * ./pipeline_out): 18 parquet tables in load order +
+    * ./pipeline_out): 19 parquet tables in load order +
     * etl_report.json. With `args(1)` = a reference-layout data
     * directory the real files run; otherwise the demo fixtures do. */
   def main(args: Array[String]): Unit = {

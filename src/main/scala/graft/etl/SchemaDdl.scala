@@ -1,0 +1,346 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** S4 — the reference's warehouse DDL (db_schema.sql:33-218), ported to
+  * Spark SQL and executed by [[SqlRunner]].
+  *
+  * Dialect mapping (SURVEY.md §1.2):
+  *  - `INT AUTO_INCREMENT PRIMARY KEY` surrogate keys → `BIGINT`. Keys
+  *    are minted by distributed numbering
+  *    ([[EntityResolution.mintKeys]]), and a 32-bit key wraps past 2^31
+  *    rows — the deliberate widening for scale.
+  *  - `VARCHAR(n)` → `STRING` (Spark's native string; length caps are a
+  *    MySQL storage concern, not a semantic one).
+  *  - `DECIMAL(p,s)`, `DATE`, `INT` measure columns carry over as-is.
+  *  - PK / FK / UNIQUE / NOT NULL constraints: Spark does not enforce
+  *    them — each is recorded in `TBLPROPERTIES` (`graft.primaryKey`,
+  *    `graft.foreignKeys`, `graft.unique`, `graft.notNull`) and
+  *    *checked* by the Quality suite (Pipeline.qualityRules: Q2
+  *    uniqueness, Q3 orphans, Q4 nulls) — constraints as assertions,
+  *    the warehouse-native model.
+  *  - `CREATE INDEX` (db_schema.sql:211-218): no Spark equivalent;
+  *    each index becomes a row in [[indexNotes]] describing the
+  *    Spark-native layout decision (partitioning / bucketing /
+  *    broadcast) that serves the same access path, and feeds the Q12
+  *    introspection stand-in in [[ValidationCorpus.register]].
+  *  - Table/column COMMENTs carry over verbatim.
+  */
+object SchemaDdl {
+
+  /** Load-order table names (Dims → Bridges → Facts), lowercase as the
+    * pipeline emits them; Spark identifiers are case-insensitive so
+    * these match the DDL's CamelCase names. */
+  val tableNames: Seq[String] = Seq(
+    "dim_date", "dim_user", "dim_fitnessgoal", "dim_fitnesstype",
+    "dim_healthcondition", "dim_exercise", "dim_diet", "dim_fooditem",
+    "dim_metrictype", "dim_mealtype", "dim_workouttype",
+    "bridge_user_healthcondition", "bridge_user_workoutpreference",
+    "bridge_user_dietpreference", "fact_usersnapshot",
+    "fact_workoutsession", "fact_healthmetric", "fact_nutritionlog",
+    "fact_hourlyactivity")
+
+  /** The ported DDL, one statement per `;` — executable by
+    * [[SqlRunner.run]] (comments stripped, quote-aware split). */
+  val script: String =
+    """-- Ported from db_schema.sql (MySQL snowflake DDL) to Spark SQL.
+      |-- Drop child tables first (db_schema.sql:10-28).
+      |DROP TABLE IF EXISTS Fact_HourlyActivity;
+      |DROP TABLE IF EXISTS Fact_NutritionLog;
+      |DROP TABLE IF EXISTS Fact_HealthMetric;
+      |DROP TABLE IF EXISTS Fact_WorkoutSession;
+      |DROP TABLE IF EXISTS Fact_UserSnapshot;
+      |DROP TABLE IF EXISTS Bridge_User_HealthCondition;
+      |DROP TABLE IF EXISTS Bridge_User_WorkoutPreference;
+      |DROP TABLE IF EXISTS Bridge_User_DietPreference;
+      |DROP TABLE IF EXISTS Dim_User;
+      |DROP TABLE IF EXISTS Dim_Date;
+      |DROP TABLE IF EXISTS Dim_FitnessGoal;
+      |DROP TABLE IF EXISTS Dim_FitnessType;
+      |DROP TABLE IF EXISTS Dim_HealthCondition;
+      |DROP TABLE IF EXISTS Dim_Exercise;
+      |DROP TABLE IF EXISTS Dim_Diet;
+      |DROP TABLE IF EXISTS Dim_FoodItem;
+      |DROP TABLE IF EXISTS Dim_MetricType;
+      |DROP TABLE IF EXISTS Dim_MealType;
+      |DROP TABLE IF EXISTS Dim_WorkoutType;
+      |
+      |-- DIMENSIONS (db_schema.sql:33-113)
+      |CREATE TABLE Dim_Date (
+      |  DateKey BIGINT,
+      |  FullDate DATE,
+      |  DayOfWeek INT,
+      |  DayName STRING,
+      |  Month INT,
+      |  MonthName STRING,
+      |  Quarter INT,
+      |  Year INT
+      |) USING PARQUET
+      |COMMENT 'Date dimension for time-series analysis'
+      |TBLPROPERTIES ('graft.primaryKey'='DateKey',
+      |  'graft.unique'='FullDate', 'graft.notNull'='FullDate');
+      |
+      |CREATE TABLE Dim_User (
+      |  UserKey BIGINT COMMENT 'unified_user_id from ETL pipeline',
+      |  Source STRING,
+      |  OriginalID STRING,
+      |  Age INT,
+      |  Gender STRING,
+      |  ExperienceLevel STRING,
+      |  ActivityLevel STRING
+      |) USING PARQUET
+      |COMMENT 'User dimension storing user attributes'
+      |TBLPROPERTIES ('graft.primaryKey'='UserKey',
+      |  'graft.notNull'='Source');
+      |
+      |CREATE TABLE Dim_FitnessGoal (
+      |  GoalKey BIGINT,
+      |  GoalName STRING
+      |) USING PARQUET
+      |COMMENT 'Fitness goals (e.g., lose_weight, build_muscle)'
+      |TBLPROPERTIES ('graft.primaryKey'='GoalKey',
+      |  'graft.unique'='GoalName', 'graft.notNull'='GoalName');
+      |
+      |CREATE TABLE Dim_FitnessType (
+      |  TypeKey BIGINT,
+      |  TypeName STRING
+      |) USING PARQUET
+      |COMMENT 'Fitness types (e.g., muscular_fitness, cardio)'
+      |TBLPROPERTIES ('graft.primaryKey'='TypeKey',
+      |  'graft.unique'='TypeName', 'graft.notNull'='TypeName');
+      |
+      |CREATE TABLE Dim_HealthCondition (
+      |  ConditionKey BIGINT,
+      |  ConditionName STRING
+      |) USING PARQUET
+      |COMMENT 'Health conditions (e.g., hypertension, diabetes)'
+      |TBLPROPERTIES ('graft.primaryKey'='ConditionKey',
+      |  'graft.unique'='ConditionName', 'graft.notNull'='ConditionName');
+      |
+      |CREATE TABLE Dim_Exercise (
+      |  ExerciseKey BIGINT,
+      |  ExerciseName STRING
+      |) USING PARQUET
+      |COMMENT 'Individual exercises (e.g., squats, deadlifts)'
+      |TBLPROPERTIES ('graft.primaryKey'='ExerciseKey',
+      |  'graft.unique'='ExerciseName', 'graft.notNull'='ExerciseName');
+      |
+      |CREATE TABLE Dim_Diet (
+      |  DietKey BIGINT,
+      |  DietName STRING
+      |) USING PARQUET
+      |COMMENT 'Dietary preferences (e.g., low_carb, high_protein)'
+      |TBLPROPERTIES ('graft.primaryKey'='DietKey',
+      |  'graft.unique'='DietName', 'graft.notNull'='DietName');
+      |
+      |CREATE TABLE Dim_FoodItem (
+      |  FoodKey BIGINT,
+      |  FoodName STRING,
+      |  FoodCategory STRING,
+      |  Calories DECIMAL(8,2),
+      |  Protein DECIMAL(6,2),
+      |  Carbs DECIMAL(6,2),
+      |  Fats DECIMAL(6,2),
+      |  Fiber DECIMAL(6,2)
+      |) USING PARQUET
+      |COMMENT 'Master food database'
+      |TBLPROPERTIES ('graft.primaryKey'='FoodKey',
+      |  'graft.unique'='FoodName', 'graft.notNull'='FoodName');
+      |
+      |CREATE TABLE Dim_MetricType (
+      |  MetricTypeKey BIGINT,
+      |  MetricName STRING COMMENT 'e.g., heart_rate, sleep, weight'
+      |) USING PARQUET
+      |COMMENT 'Types of health metrics that can be measured'
+      |TBLPROPERTIES ('graft.primaryKey'='MetricTypeKey',
+      |  'graft.unique'='MetricName', 'graft.notNull'='MetricName');
+      |
+      |CREATE TABLE Dim_MealType (
+      |  MealTypeKey BIGINT,
+      |  MealName STRING COMMENT 'e.g., breakfast, lunch, dinner'
+      |) USING PARQUET
+      |COMMENT 'Types of meals for nutrition logging'
+      |TBLPROPERTIES ('graft.primaryKey'='MealTypeKey',
+      |  'graft.unique'='MealName', 'graft.notNull'='MealName');
+      |
+      |CREATE TABLE Dim_WorkoutType (
+      |  WorkoutTypeKey BIGINT,
+      |  WorkoutName STRING COMMENT 'e.g., cardio, strength, hiit'
+      |) USING PARQUET
+      |COMMENT 'Categories of workouts'
+      |TBLPROPERTIES ('graft.primaryKey'='WorkoutTypeKey',
+      |  'graft.unique'='WorkoutName', 'graft.notNull'='WorkoutName');
+      |
+      |-- BRIDGES (db_schema.sql:119-143)
+      |CREATE TABLE Bridge_User_HealthCondition (
+      |  UserKey BIGINT,
+      |  ConditionKey BIGINT
+      |) USING PARQUET
+      |COMMENT 'Links users to their multiple health conditions'
+      |TBLPROPERTIES ('graft.primaryKey'='UserKey,ConditionKey',
+      |  'graft.foreignKeys'=
+      |    'UserKey->Dim_User.UserKey;ConditionKey->Dim_HealthCondition.ConditionKey');
+      |
+      |CREATE TABLE Bridge_User_WorkoutPreference (
+      |  UserKey BIGINT,
+      |  ExerciseKey BIGINT
+      |) USING PARQUET
+      |COMMENT 'Links users to their preferred exercises'
+      |TBLPROPERTIES ('graft.primaryKey'='UserKey,ExerciseKey',
+      |  'graft.foreignKeys'=
+      |    'UserKey->Dim_User.UserKey;ExerciseKey->Dim_Exercise.ExerciseKey');
+      |
+      |CREATE TABLE Bridge_User_DietPreference (
+      |  UserKey BIGINT,
+      |  DietKey BIGINT
+      |) USING PARQUET
+      |COMMENT 'Links users to their diet preferences'
+      |TBLPROPERTIES ('graft.primaryKey'='UserKey,DietKey',
+      |  'graft.foreignKeys'=
+      |    'UserKey->Dim_User.UserKey;DietKey->Dim_Diet.DietKey');
+      |
+      |-- FACTS (db_schema.sql:149-208)
+      |CREATE TABLE Fact_UserSnapshot (
+      |  SnapshotKey BIGINT,
+      |  UserKey BIGINT,
+      |  GoalKey BIGINT,
+      |  TypeKey BIGINT,
+      |  Height DECIMAL(5,2),
+      |  Weight DECIMAL(5,2),
+      |  BMI DECIMAL(5,2)
+      |) USING PARQUET
+      |COMMENT 'Snapshot of user profile metrics (height, weight, bmi)'
+      |TBLPROPERTIES ('graft.primaryKey'='SnapshotKey',
+      |  'graft.notNull'='UserKey,GoalKey',
+      |  'graft.foreignKeys'='UserKey->Dim_User.UserKey;GoalKey->Dim_FitnessGoal.GoalKey;TypeKey->Dim_FitnessType.TypeKey');
+      |
+      |CREATE TABLE Fact_WorkoutSession (
+      |  SessionKey BIGINT,
+      |  UserKey BIGINT,
+      |  DateKey BIGINT,
+      |  WorkoutTypeKey BIGINT,
+      |  DurationHours DECIMAL(4,2),
+      |  CaloriesBurned INT,
+      |  TotalSteps INT,
+      |  TotalDistance DECIMAL(6,2),
+      |  ActiveMinutes INT,
+      |  FrequencyPerWeek INT
+      |) USING PARQUET
+      |COMMENT 'Records of individual workout sessions'
+      |TBLPROPERTIES ('graft.primaryKey'='SessionKey',
+      |  'graft.notNull'='UserKey,DateKey',
+      |  'graft.foreignKeys'='UserKey->Dim_User.UserKey;DateKey->Dim_Date.DateKey;WorkoutTypeKey->Dim_WorkoutType.WorkoutTypeKey');
+      |
+      |CREATE TABLE Fact_HealthMetric (
+      |  MetricKey BIGINT,
+      |  UserKey BIGINT,
+      |  DateKey BIGINT,
+      |  MetricTypeKey BIGINT,
+      |  Value DECIMAL(10,2),
+      |  Unit STRING
+      |) USING PARQUET
+      |COMMENT 'Time-series health data (sleep, heart rate, etc.)'
+      |TBLPROPERTIES ('graft.primaryKey'='MetricKey',
+      |  'graft.notNull'='UserKey,DateKey,MetricTypeKey,Value',
+      |  'graft.foreignKeys'='UserKey->Dim_User.UserKey;DateKey->Dim_Date.DateKey;MetricTypeKey->Dim_MetricType.MetricTypeKey');
+      |
+      |CREATE TABLE Fact_NutritionLog (
+      |  LogKey BIGINT,
+      |  UserKey BIGINT,
+      |  DateKey BIGINT,
+      |  MealTypeKey BIGINT,
+      |  FoodKey BIGINT,
+      |  ServingSize DECIMAL(5,2),
+      |  TotalCalories DECIMAL(8,2),
+      |  TotalProtein DECIMAL(6,2),
+      |  TotalCarbs DECIMAL(6,2),
+      |  TotalFats DECIMAL(6,2)
+      |) USING PARQUET
+      |COMMENT 'User food consumption logs'
+      |TBLPROPERTIES ('graft.primaryKey'='LogKey',
+      |  'graft.notNull'='UserKey,DateKey,MealTypeKey,FoodKey',
+      |  'graft.foreignKeys'='UserKey->Dim_User.UserKey;DateKey->Dim_Date.DateKey;MealTypeKey->Dim_MealType.MealTypeKey;FoodKey->Dim_FoodItem.FoodKey');
+      |
+      |-- EXTENSION (not in db_schema.sql): hourly-grain activity fact
+      |-- from hourlyCalories_merged.csv — the input the reference
+      |-- extracts and never transforms (main_etl_pipeline.py:64).
+      |CREATE TABLE Fact_HourlyActivity (
+      |  HourlyKey BIGINT,
+      |  UserKey BIGINT,
+      |  DateKey BIGINT,
+      |  HourOfDay INT,
+      |  Calories INT
+      |) USING PARQUET
+      |COMMENT 'Hourly-grain activity rollup (extension beyond the reference)'
+      |TBLPROPERTIES ('graft.primaryKey'='HourlyKey',
+      |  'graft.notNull'='UserKey,DateKey,HourOfDay',
+      |  'graft.foreignKeys'='UserKey->Dim_User.UserKey;DateKey->Dim_Date.DateKey');
+      |""".stripMargin
+
+  /** The reference's 8 `CREATE INDEX` statements (db_schema.sql:211-218)
+    * re-expressed as Spark-native layout decisions, in
+    * information_schema.statistics shape (table_name, index_name,
+    * column_name, seq_in_index, non_unique) plus the layout note.
+    * Feeds the Q12 introspection stand-in. */
+  val indexNotes: Seq[(String, String, String, Int, Int, String)] = Seq(
+    ("fact_workoutsession", "idx_fact_workout_user", "UserKey", 1, 1,
+      "bucket by UserKey for shuffle-free user joins/rollups"),
+    ("fact_workoutsession", "idx_fact_workout_date", "DateKey", 1, 1,
+      "partition by date for partition-pruned time windows"),
+    ("fact_healthmetric", "idx_fact_metric_user", "UserKey", 1, 1,
+      "bucket by UserKey for shuffle-free user joins/rollups"),
+    ("fact_healthmetric", "idx_fact_metric_date", "DateKey", 1, 1,
+      "partition by date for partition-pruned time windows"),
+    ("fact_healthmetric", "idx_fact_metric_type", "MetricTypeKey", 1, 1,
+      "low-cardinality: broadcast dim + min/max row-group skipping"),
+    ("fact_nutritionlog", "idx_fact_nutrition_user", "UserKey", 1, 1,
+      "bucket by UserKey for shuffle-free user joins/rollups"),
+    ("fact_nutritionlog", "idx_fact_nutrition_date", "DateKey", 1, 1,
+      "partition by date for partition-pruned time windows"),
+    ("fact_nutritionlog", "idx_fact_nutrition_food", "FoodKey", 1, 1,
+      "broadcast Dim_FoodItem; parquet column stats prune FoodKey scans"))
+
+  /** Execute the ported DDL (drop + create the 18 tables). Clears any
+    * stale managed-table directory a crashed prior run left behind (the
+    * in-memory catalog forgets the table but its location blocks
+    * CREATE TABLE — same hardening as ValidationCorpus.run). */
+  def create(spark: SparkSession): Unit = synchronized {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    tableNames.foreach { t =>
+      if (!spark.catalog.tableExists(t)) {
+        val stale = new java.io.File(wh, t)
+        if (stale.isDirectory) {
+          stale.listFiles().foreach(_.delete()); stale.delete()
+        }
+      }
+    }
+    SqlRunner.run(spark, script)
+  }
+
+  /** Drop the 18 tables (test/run cleanup). */
+  def drop(spark: SparkSession): Unit =
+    tableNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Load pipeline output (snake_case columns) into the created tables:
+    * columns align case-insensitively with underscores stripped
+    * (user_key → UserKey), are cast to the declared type, and DDL
+    * columns absent from the source load as NULL. Returns per-table
+    * loaded row counts. */
+  def load(spark: SparkSession,
+      tables: Seq[(String, DataFrame)]): Map[String, Long] =
+    tables.filter(_._2.columns.nonEmpty).map { case (name, df) =>
+      val target = spark.table(name).schema
+      val byKey = df.columns
+        .map(c => c.replace("_", "").toLowerCase -> c).toMap
+      val aligned = target.fields.map { f =>
+        byKey.get(f.name.replace("_", "").toLowerCase)
+          .map(c => col(c).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+          .as(f.name)
+      }
+      df.select(aligned.toIndexedSeq: _*)
+        .write.mode("append").insertInto(name)
+      name -> spark.table(name).count()
+    }.toMap
+}

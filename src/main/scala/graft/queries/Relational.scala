@@ -591,6 +591,29 @@ object Relational {
        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A6 — hourly-grain rollup (the fact_hourlyactivity transform,
+  // Pipeline.scala: hourlyCalories → user-hour grain; EXCEEDS the
+  // reference, which extracts hourlyCalories_merged.csv and drops it,
+  // main_etl_pipeline.py:64). One partial-agg shuffle on
+  // (user, day, hour); at scale the date filter prunes partitions.
+  // ---------------------------------------------------------------------
+  private def a06(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hour_of_day"))
+      .agg(dsum(col("value")).as("total_value"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day", "hour_of_day")
+  }
+  private val a06Sql =
+    s"""SELECT user_id, CAST(ts AS DATE) AS day,
+       |  EXTRACT(hour FROM ts) AS hour_of_day,
+       |  ${sqlDsum("value")} AS total_value,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY 1, 2, 3
+       |ORDER BY user_id, day, hour_of_day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A5 — union + distinct across sources (main_etl_pipeline.py:291-294)
   // ---------------------------------------------------------------------
   private def a05(s: SparkSession, d: String): DataFrame = {
@@ -664,6 +687,7 @@ object Relational {
     QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
-    QueryDef("a05_union_distinct", Some(a05Sql), a05)
+    QueryDef("a05_union_distinct", Some(a05Sql), a05),
+    QueryDef("a06_hourly_rollup", Some(a06Sql), a06)
   )
 }

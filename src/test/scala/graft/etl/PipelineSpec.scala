@@ -11,9 +11,9 @@ class PipelineSpec extends SparkSpec {
   private lazy val res =
     Pipeline.run(spark, Pipeline.demoInputs(spark), None)
 
-  test("builds all 18 warehouse tables in load order") {
+  test("builds all 19 warehouse tables in load order") {
     val names = res.tables.map(_._1)
-    assert(names.size == 18)
+    assert(names.size == 19)
     assert(names.take(11).forall(_.startsWith("dim_")))
     assert(names.slice(11, 14).forall(_.startsWith("bridge_")))
     assert(names.drop(14).forall(_.startsWith("fact_")))
@@ -29,8 +29,8 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource == Map("mendeley" -> 3L, "gym" -> 1L, "fitbit" -> 2L))
     // surrogate keys are dense 1..N
-    val keys = users.select("user_key").collect().map(_.getInt(0)).sorted
-    assert(keys.toSeq == (1 to 6))
+    val keys = users.select("user_key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == (1L to 6L))
   }
 
   test("snapshot fact: one row per user, goals standardized, BMI nulled") {
@@ -66,6 +66,18 @@ class PipelineSpec extends SparkSpec {
       col("date_key") === 20160325).select("value")
       .head().getDouble(0)
     assert(sleepVal == 1.92) // (60+55)/60 rounded 2
+  }
+
+  test("hourly activity fact aggregates to the user-hour grain") {
+    val h = res.table("fact_hourlyactivity")
+    // 4 fixture rows, two share (user, day, hour) → 3 grain rows
+    assert(h.count() == 3)
+    val sameHour = h.filter(col("hour_of_day") === 1)
+      .select("calories").collect().map(_.getInt(0)).toSeq
+    assert(sameHour == Seq(48 + 30))
+    // every row resolves to a real user and date key
+    val users = res.table("dim_user")
+    assert(h.join(users, Seq("user_key")).count() == 3)
   }
 
   test("food dim strips units, dedups, keeps real carbs/fats") {

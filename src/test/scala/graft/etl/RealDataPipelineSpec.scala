@@ -42,7 +42,7 @@ class RealDataPipelineSpec extends SparkSpec {
     // (etl_pipeline.log:32 / etl_report: 4,698 from 15,597 row-mappings)
     assert(users.count() == 4698L)
     // user keys are dense 1..N — no duplicates, no gaps
-    assert(users.agg(max("user_key")).head().getInt(0) == users.count())
+    assert(users.agg(max("user_key")).head().getLong(0) == users.count())
     assert(users.select("user_key").distinct().count() == users.count())
   }
 
@@ -78,6 +78,19 @@ class RealDataPipelineSpec extends SparkSpec {
       .count()
     assert(sess.count() == expected, s"sessions=${sess.count()}")
     assert(sess.filter(col("active_minutes") <= 0).count() == 0)
+  }
+
+  test("hourly fact rolls up the real 24k-row hourlyCalories file") {
+    assume(exists(s"$base/fitbit/hourlyCalories_merged.csv"))
+    val h = res.table("fact_hourlyactivity")
+    // 24,084 source rows are already hourly-unique per user → grain
+    // count equals the (dateable, resolvable) row count
+    val n = h.count()
+    assert(n > 20000 && n <= 24084, s"hourly rows=$n")
+    assert(h.filter(col("hour_of_day") < 0 || col("hour_of_day") > 23)
+      .count() == 0)
+    // FK-clean against the user dim
+    assert(h.join(res.table("dim_user"), Seq("user_key")).count() == n)
   }
 
   test("quality suite passes on the real corpus") {

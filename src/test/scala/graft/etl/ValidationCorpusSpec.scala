@@ -32,7 +32,7 @@ class ValidationCorpusSpec extends SparkSpec {
     assert(out.executed == out.statements)
     assert(out.score == 100.0)
     assert(out.issues.isEmpty && out.warnings.isEmpty)
-    assert(out.tableCounts.size == 18)
+    assert(out.tableCounts.size == 19)
     assert(out.tableCounts("dim_date") == 3653L)
   }
 
