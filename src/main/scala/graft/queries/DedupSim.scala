@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.DotProduct
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -324,15 +325,10 @@ object DedupSim {
   // Dot products fold left-to-right in both engines → bit-identical
   // doubles → identical ranking; no tolerance needed.
   // ---------------------------------------------------------------------
-  private val sparkDot =
-    """aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
-      .stripMargin.replace("\n", " ")
-
   private def x05(s: SparkSession, d: String): DataFrame = {
     val withNorm = Tables.fanout(Tables.embeddings(s, d))
       .withColumn("norm",
-        sqrt(expr(sparkDot.format("embedding", "embedding"))))
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
     val q = withNorm
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -344,7 +340,7 @@ object DedupSim {
     val pairs = withNorm.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
-        expr(sparkDot.format("embedding", "q_emb")) /
+        DotProduct(col("embedding"), col("q_emb")) /
           (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -443,7 +439,7 @@ object DedupSim {
   private def x05b(s: SparkSession, d: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(s, d))
       .withColumn("norm",
-        sqrt(expr(sparkDot.format("embedding", "embedding"))))
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
     // Index sizing: one count job (catalog stats at real scale).
     val nplanes = adaptivePlanes(Tables.embeddings(s, d).count())
     val vecs = signBucketsCapped(e, "embedding", nplanes)
@@ -455,7 +451,7 @@ object DedupSim {
     val pairs = vecs.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
-        expr(sparkDot.format("embedding", "q_emb")) /
+        DotProduct(col("embedding"), col("q_emb")) /
           (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -506,7 +502,7 @@ object DedupSim {
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(emb, x -> x * 1.001)").as("emb"))
     val corpus = base.unionByName(dups)
-      .withColumn("norm", sqrt(expr(sparkDot.format("emb", "emb"))))
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
     // corpus = base + every-10th planted dup; same adaptive sizing as
     // x05b (the count is over the un-normed union — column-pruned scan)
     val nplanes = adaptivePlanes(base.unionByName(dups).count())
@@ -517,7 +513,7 @@ object DedupSim {
       col("norm").as("norm_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(sparkDot.format("emb_a", "emb_b")) /
+      .withColumn("cos", DotProduct(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.95)
       .select("vec_a", "vec_b", "cos")

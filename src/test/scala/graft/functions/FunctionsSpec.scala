@@ -39,6 +39,34 @@ class FunctionsSpec extends SparkSpec {
     assert(dNear <= 8)
   }
 
+  test("DotProduct matches the zip_with lambda fold bit-for-bit") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val got = df.select(
+      DotProduct($"a", $"b").as("native"),
+      expr("""aggregate(zip_with(a, b,
+              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("lambda"))
+      .collect()
+    got.foreach { r =>
+      // bit-identical, not approximately equal: same fold order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct handles double arrays and codegen in a real plan") {
+    val df = spark.range(500).toDF("id")
+      .withColumn("v", expr("transform(sequence(0, 7), i -> " +
+        "CAST(id * 8 + i AS DOUBLE) / 100.0)"))
+    val norms = df.withColumn("n2", DotProduct($"v", $"v"))
+      .filter($"n2" > 0).count()
+    assert(norms == 500) // every vector has a nonzero element
+  }
+
   test("poly_hash is callable from SQL via the function registry") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
