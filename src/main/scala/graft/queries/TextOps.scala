@@ -459,7 +459,139 @@ object TextOps {
        |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X15 — PII redaction: the pre-training hygiene pass that strips
+  // emails/phone numbers before text ships to a training corpus. The
+  // corpus plants synthetic PII deterministically (every 7th doc gets an
+  // email, every 11th a phone number) so the redaction provably fires.
+  // Pure row expressions — regexp_replace/regexp_count are codegen'd,
+  // zero shuffle; the patterns avoid dialect-divergent syntax so the
+  // DuckDB oracle (RE2) and Spark (java.util.regex) agree exactly.
+  // ---------------------------------------------------------------------
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val PhoneRe = "555-[0-9]+"
+
+  private def x15(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-0"),
+            (col("doc_id") % 100).cast("string"))).otherwise(lit(""))))
+    planted
+      .withColumn("n_emails", regexp_count(col("text2"), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("text2"), lit(PhoneRe)))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .orderBy("doc_id")
+  }
+  private val x15Sql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-0' ||
+       |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text2, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text2, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM planted
+       |WHERE len(regexp_extract_all(text2, '$EmailRe'))
+       |    + len(regexp_extract_all(text2, '$PhoneRe')) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X16 — repetition score (Gopher-style): fraction of duplicate word
+  // 3-grams per document — the within-doc repetition signal used to
+  // drop degenerate/looping text from training corpora. Row-local
+  // (the n-gram arrays never leave the row), zero shuffle.
+  // ---------------------------------------------------------------------
+  private def x16(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .filter(col("n_words") >= 3)
+      .withColumn("total_ngrams", col("n_words") - 2)
+      .withColumn("distinct_ngrams", size(expr(
+        """array_distinct(transform(sequence(0, size(split(text,' ')) - 3),
+          |  i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],
+          |       split(text,' ')[i+2])))""".stripMargin.replace("\n", " "))))
+      .withColumn("rep_ratio", round(lit(1.0) -
+        col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 4))
+      .withColumn("repetitive", col("rep_ratio") > 0.5)
+      .select("doc_id", "total_ngrams", "distinct_ngrams", "rep_ratio",
+        "repetitive")
+      .orderBy("doc_id")
+  }
+  private val x16Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) - 2 AS total_ngrams,
+      |    len(list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |           string_split(text, ' ')[i+1],
+      |           string_split(text, ' ')[i+2])))) AS distinct_ngrams
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT doc_id, total_ngrams, distinct_ngrams,
+      |  ROUND(1.0 - CAST(distinct_ngrams AS DOUBLE)
+      |    / CAST(total_ngrams AS DOUBLE), 4) AS rep_ratio,
+      |  (1.0 - CAST(distinct_ngrams AS DOUBLE)
+      |    / CAST(total_ngrams AS DOUBLE)) > 0.5 AS repetitive
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X17 — sequence packing: assign documents to fixed token-budget packs
+  // (context-window construction). Contiguous chunking by running token
+  // count WITHIN each source shard — the window partitions by `source`,
+  // so no single-partition global window exists and shards pack
+  // independently (exactly how a distributed packer works: pack ids are
+  // (shard, chunk), never a global sequence).
+  // ---------------------------------------------------------------------
+  private val PackBudget = 2048
+
+  private def x17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("tokens", size(split(col("text"), " ")))
+      .withColumn("prev_cum",
+        coalesce(sum(col("tokens")).over(w), lit(0)))
+      .withColumn("pack_id",
+        floor(col("prev_cum") / PackBudget).cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+  private val x17Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' ')) AS tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, tokens,
+       |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prev_cum
+       |  FROM t)
+       |SELECT source, CAST(FLOOR(prev_cum / $PackBudget) AS BIGINT)
+       |    AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x15_pii_redact", Some(x15Sql), x15),
+    QueryDef("x16_repetition", Some(x16Sql), x16),
+    QueryDef("x17_pack_chunks", Some(x17Sql), x17),
     QueryDef("x12_quality_filter", Some(x12Sql), x12),
     QueryDef("x13_domain_mix", Some(x13Sql), x13),
     QueryDef("t03_unit_strip_cast", Some(t03Sql), t03),
