@@ -42,7 +42,7 @@ object Verify {
     // tier 3: pair-generating dedup / ANN / decontamination
     case n if n.startsWith("x02") || n.startsWith("x04") ||
       n.startsWith("x05") || n.startsWith("x10") ||
-      n.startsWith("x14") => 3
+      n.startsWith("x14") || n.startsWith("x18") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") => 4
     case _ => 2

@@ -489,6 +489,97 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X18 — IVF-flat ANN: the second classic scale path next to sign-LSH
+  // (x05b). A FIXED-SIZE coarse codebook (the 16 lowest vec_ids — never
+  // grows with sf, so its broadcast is safe at any scale) partitions the
+  // corpus into Voronoi cells by cosine distance; each query probes its
+  // nearest cells and ranks only those candidates. Shuffles: the
+  // cell-assignment argmin (keyed by vec_id; its 16× fan-out is bounded
+  // by the codebook size) and the candidate join (keyed by cluster) —
+  // never O(n²). Deterministic: argmin/probe/top-k all tie-break on id;
+  // cosines are bit-identical to DuckDB (native DotProduct, same fold).
+  // ---------------------------------------------------------------------
+  // nprobe=4 of 16 cells: on near-uniform synthetic embeddings the cell
+  // structure is weak, so probing a quarter of the codebook buys recall
+  // while still scanning ~1/4 of the corpus per query (the IVF contract)
+  private val IvfK = 16
+  private val IvfProbes = 4
+
+  private def x18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val cents = e.orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    def cdist(v: Column, n: Column): Column =
+      lit(1.0) - DotProduct(v, col("c_emb")) / (n * col("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", cdist(col("embedding"), col("norm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("c_id").as("cluster"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", cdist(col("q_emb"), col("q_norm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist").asc,
+          col("c_id"))))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("c_id").as("cluster"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", DotProduct(col("embedding"), col("q_emb")) /
+        (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id", "cluster", "rank", "cos")
+      .orderBy("q_id", "rank")
+  }
+  private val x18Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+       |  FROM e ORDER BY vec_id LIMIT $IvfK),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.embedding", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_norm, c_id AS cluster FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+       |      e.norm AS q_norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.embedding", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM e CROSS JOIN cents c WHERE e.vec_id % 100 = 0)
+       |  WHERE rk <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, a.cluster,
+       |    ${duckDot.format("a.embedding", "p.q_emb")}
+       |      / (a.norm * p.q_norm) AS cos
+       |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, cluster, rank, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM cand)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X10 — embedding-cosine near-duplicate detection: corpus ∪ planted
   // scaled copies (cosine-preserving ×1.001), candidates from the same
   // sign-LSH buckets as x05b (a positively-scaled copy provably lands in
@@ -721,6 +812,7 @@ object DedupSim {
     QueryDef("x03_simhash_pairs", None, x03b),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
-    QueryDef("x05_knn_lsh", Some(x05bSql), x05b)
+    QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
+    QueryDef("x18_knn_ivf", Some(x18Sql), x18)
   )
 }

@@ -52,6 +52,22 @@ class AnnScalingSpec extends SparkSpec {
     assert(c2 > 0)
   }
 
+  test("IVF probe search recovers a meaningful share of brute-force top-k") {
+    def pairsOf(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf("x05_knn_cosine")
+    val ivf = pairsOf("x18_knn_ivf")
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    // both queries are deterministic, so recall is a constant of the
+    // dataset (0.52 at sf0.001 with nprobe=4/16 on near-uniform
+    // vectors); the floor guards against a broken cell assignment
+    // (recall would collapse toward k*nprobe/K/n ≈ noise)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("over-full buckets are dropped by the skew cap") {
     val hot = (1 to 120).map(i => (i.toLong, Array.fill(64)(1.0)))
     val cold = (200 to 240).map { i =>
