@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(args.head, args(1))))
   }
 }

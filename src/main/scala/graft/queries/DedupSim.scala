@@ -779,11 +779,16 @@ object DedupSim {
     val evalSet = shingles.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val train = shingles.filter(col("doc_id") % 97 =!= 0)
-    // No broadcast hint: the eval set here is doc_id % 97 of the corpus
-    // shingles, which grows with the corpus. A real decontamination run
-    // would pass a fixed benchmark relation (then a hint is fine); for
-    // the sf-parameterized stand-in, let AQE pick the join side.
-    train.join(evalSet, Seq("shingle"))
+    // Size-aware hint: a real decontamination run joins against a FIXED
+    // benchmark relation (always hint-broadcastable); this stand-in's
+    // eval side is doc_id % 97 of the corpus, which grows with sf — an
+    // unconditional hint would pin an ever-larger table on every
+    // executor. One cheap count (catalog stats at real scale) keeps the
+    // hint while the eval side genuinely fits: with it, the huge train
+    // side never shuffles; past the threshold AQE decides.
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0).count()
+    val ev = if (evalDocs < 20000) broadcast(evalSet) else evalSet
+    train.join(ev, Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= ContamMinShingles)

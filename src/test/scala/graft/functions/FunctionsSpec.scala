@@ -67,6 +67,15 @@ class FunctionsSpec extends SparkSpec {
     assert(norms == 500) // every vector has a nonzero element
   }
 
+  test("dot_product is callable from SQL via the function registry") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("poly_hash is callable from SQL via the function registry") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
