@@ -341,6 +341,10 @@ object SchemaDdl {
       }
       df.select(aligned.toIndexedSeq: _*)
         .write.mode("append").insertInto(name)
+      // catalog statistics are Spark's cost-based answer to the
+      // reference's indexes: loaded row/size counts feed join-side and
+      // broadcast decisions (the scale habit MySQL gets from ANALYZE)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
       name -> spark.table(name).count()
     }.toMap
 }

@@ -30,6 +30,20 @@ object Sources {
       .csv(path))
   }
 
+  /** S1 (JSONL form): newline-delimited JSON — the standard interchange
+    * format for LLM training corpora. Same declared-schema stance as
+    * [[csv]] (inference would scan the data twice and guess); a corrupt
+    * line lands in `_corrupt_record` if the schema declares it,
+    * otherwise nulls (PERMISSIVE default) — at 100 TB a malformed shard
+    * must not kill the job. None if the path is absent. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(schema).json(path))
+  }
+
   /** S1: read a set of named CSVs, skipping (and reporting) missing
     * files — returns (loaded tables, missing names). */
   def csvBatch(spark: SparkSession, files: Map[String, (String, StructType)])

@@ -25,6 +25,26 @@ class SourcesSpec extends SparkSpec {
     assert(loaded("a").schema == schema)
   }
 
+  test("S1 jsonl reads with declared schema; corrupt lines don't kill") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_src")
+    java.nio.file.Files.writeString(dir.resolve("docs.jsonl"),
+      """{"id": 1, "name": "alpha", "v": 1.5}
+        |{"id": 2, "name": "beta", "v": 2.5}
+        |not json at all
+        |{"id": 3, "name": "gamma", "v": 3.5}
+        |""".stripMargin)
+    val df = Sources.jsonl(spark, dir.resolve("docs.jsonl").toString,
+      schema).get
+    // PERMISSIVE: the corrupt line becomes an all-null row, the shard
+    // survives
+    assert(df.count() == 4)
+    val good = df.filter(df("id").isNotNull).orderBy("id").collect()
+    assert(good.length == 3)
+    assert(good(1).getString(1) == "beta" && good(1).getDouble(2) == 2.5)
+    assert(Sources.jsonl(spark, dir.resolve("gone.jsonl").toString,
+      schema).isEmpty)
+  }
+
   test("S5 ordered load writes tables in caller order") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("wh_out").toString
