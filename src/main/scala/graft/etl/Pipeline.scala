@@ -354,7 +354,15 @@ object Pipeline {
     val report = Quality.runSuite(qualityRules(tables.toMap))
 
     outDir.foreach { dir =>
-      Sources.writeOrdered(tables.filter(_._2.columns.nonEmpty), dir)
+      // date-keyed facts land hive-partitioned by date_key: time-window
+      // queries over the written warehouse prune to the touched days
+      // (the layout the reference's date indexes approximate)
+      Sources.writeOrdered(tables.filter(_._2.columns.nonEmpty), dir,
+        partitions = Map(
+          "fact_workoutsession" -> Seq("date_key"),
+          "fact_healthmetric" -> Seq("date_key"),
+          "fact_nutritionlog" -> Seq("date_key"),
+          "fact_hourlyactivity" -> Seq("date_key")))
       Sources.writeJsonReport(Quality.toJson(report), s"$dir/etl_report.json")
     }
     Result(tables, report, Seq(canonical, userMap))

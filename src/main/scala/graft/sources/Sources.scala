@@ -55,11 +55,19 @@ object Sources {
   }
 
   /** S5: ordered load — write tables sequentially (Dims → Bridges →
-    * Facts order is the caller's list order), one directory per table. */
+    * Facts order is the caller's list order), one directory per table.
+    * `partitions` opts a table into hive-style directory partitioning
+    * (e.g. facts by date key): at scale that is what makes time-window
+    * queries partition-pruned scans instead of full reads — the layout
+    * the reference's date indexes approximate. */
   def writeOrdered(tables: Seq[(String, DataFrame)], baseDir: String,
-      format: String = "parquet"): Unit =
+      format: String = "parquet",
+      partitions: Map[String, Seq[String]] = Map.empty): Unit =
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").format(format).save(s"$baseDir/$name")
+      val w = df.write.mode("overwrite").format(format)
+      partitions.get(name).filter(_.nonEmpty)
+        .fold(w)(cols => w.partitionBy(cols: _*))
+        .save(s"$baseDir/$name")
     }
 
   /** S5 (JDBC form): dependency-ordered warehouse load through Spark's

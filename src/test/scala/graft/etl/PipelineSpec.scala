@@ -100,6 +100,21 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("written warehouse partitions date-keyed facts by date_key") {
+    val dir = java.nio.file.Files.createTempDirectory("wh_out").toString
+    Pipeline.run(spark, Pipeline.demoInputs(spark), Some(dir)).unpersist()
+    val sub = new java.io.File(s"$dir/fact_healthmetric").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(sub.nonEmpty && sub.forall(_.startsWith("date_key=")), sub)
+    val back = spark.read.parquet(s"$dir/fact_healthmetric")
+    assert(back.count() == res.table("fact_healthmetric").count())
+    // a date filter now reads only that partition's directory
+    val firstKey = sub.head.stripPrefix("date_key=").toLong
+    assert(back.filter(col("date_key") === firstKey).count() ==
+      res.table("fact_healthmetric")
+        .filter(col("date_key") === firstKey).count())
+  }
+
   test("clean build scores 100; planted violations lower the score") {
     assert(res.report.score == 100.0)
     assert(res.report.results.forall(_.violations == 0))
