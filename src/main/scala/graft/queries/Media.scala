@@ -91,9 +91,49 @@ object Media {
       |  FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M3 — resize planning: letterbox each stub-decoded image into the
+  // model's square input (224×224), preserving aspect ratio. All
+  // integer arithmetic (scaled multiply + floor division), so the plan
+  // is exact in both engines — the real resize kernel would execute
+  // this plan inside MediaPipeline's partition-parallel decode.
+  // ---------------------------------------------------------------------
+  private val TargetSide = 224
+
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("width", lit(320) + col("byte_len") % 1280)
+      .withColumn("height", lit(240) + (col("byte_len") * 7) % 720)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("out_w", expr(s"(width * $TargetSide) div long_side"))
+      .withColumn("out_h", expr(s"(height * $TargetSide) div long_side"))
+      .withColumn("pad_x", expr(s"($TargetSide - out_w) div 2"))
+      .withColumn("pad_y", expr(s"($TargetSide - out_h) div 2"))
+      .withColumn("upscaled", col("long_side") < TargetSide)
+      .select("doc_id", "width", "height", "out_w", "out_h",
+        "pad_x", "pad_y", "upscaled")
+      .orderBy("doc_id")
+  }
+  private val m03Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+       |d AS (
+       |  SELECT doc_id, 320 + bl % 1280 AS width,
+       |    240 + (bl * 7) % 720 AS height FROM m),
+       |r AS (SELECT *, GREATEST(width, height) AS long_side FROM d)
+       |SELECT doc_id, width, height,
+       |  (width * $TargetSide) // long_side AS out_w,
+       |  (height * $TargetSide) // long_side AS out_h,
+       |  ($TargetSide - (width * $TargetSide) // long_side) // 2 AS pad_x,
+       |  ($TargetSide - (height * $TargetSide) // long_side) // 2 AS pad_y,
+       |  long_side < $TargetSide AS upscaled
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
+    QueryDef("m03_resize_plan", Some(m03Sql), m03),
     QueryDef("st01_event_windows", Some(st01Sql), st01)
   )
 }
