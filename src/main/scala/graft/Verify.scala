@@ -32,9 +32,9 @@ object Verify {
     case n if n.startsWith("x0") && !n.startsWith("x02") &&
       !n.startsWith("x04") && !n.startsWith("x05") => 1
     case n if n.startsWith("a0") || n.startsWith("st0") => 1
-    // row-local text ops (PII redact, repetition, packing): cheap
+    // row-local ops (PII redact, repetition, packing, quantize): cheap
     case n if n.startsWith("x15") || n.startsWith("x16") ||
-      n.startsWith("x17") => 1
+      n.startsWith("x17") || n.startsWith("x19") => 1
     case n if n.startsWith("q0") && !n.startsWith("q07") &&
       !n.startsWith("q09") => 1
     case n if n.startsWith("q1") || n.startsWith("j0") => 2

@@ -807,7 +807,46 @@ object DedupSim {
        |HAVING COUNT(*) >= $ContamMinShingles
        |ORDER BY doc_id, eval_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X19 — int8 embedding quantization audit: per-vector symmetric scale
+  // (max|x| / 127), floor-quantize, and measure the worst reconstruction
+  // error — the storage-scale path (4× smaller vectors) with its
+  // quality gate. Row-local element-wise arithmetic only (no folds), so
+  // every double is bit-identical across engines; floor (not round)
+  // avoids the .5-tie divergence class.
+  // ---------------------------------------------------------------------
+  private def x19(s: SparkSession, d: String): DataFrame = {
+    Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("emb",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale",
+        expr("array_max(transform(emb, x -> abs(x))) / 127.0"))
+      .filter(col("scale") > 0)
+      .withColumn("max_err", expr(
+        "array_max(transform(emb, x -> abs(x - floor(x / scale) * scale)))"))
+      .withColumn("within_budget", col("max_err") <= col("scale"))
+      .select("vec_id", "scale", "max_err", "within_budget")
+      .orderBy("vec_id")
+  }
+  private val x19Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, emb,
+      |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      |  FROM e)
+      |SELECT vec_id, scale,
+      |  list_max(list_transform(emb,
+      |    x -> abs(x - floor(x / scale) * scale))) AS max_err,
+      |  list_max(list_transform(emb,
+      |    x -> abs(x - floor(x / scale) * scale))) <= scale
+      |    AS within_budget
+      |FROM q WHERE scale > 0 ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x19_quantize_error", Some(x19Sql), x19),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),

@@ -130,10 +130,58 @@ object Media {
        |  long_side < $TargetSide AS upscaled
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ST2 — gap-based sessionization (batch form): the same 1800 s gap
+  // rule as streaming Sessionize (flatMapGroupsWithState), expressed as
+  // lag → new-session flag → running sum, all windows partitioned by
+  // user (scale = shuffle on user_id once, never a global sort). Gap
+  // math is in integer epoch-micros — the precision contract the
+  // streaming twin documents — so both engines agree exactly.
+  // ---------------------------------------------------------------------
+  private val GapUs = 1800L * 1000000L
+
+  private def st02(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+    Tables.events(s, d)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("tus"), 1).over(wUser))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          col("tus") - col("prev") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+  private val st02Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+       |m AS (
+       |  SELECT user_id, tus, value,
+       |    CASE WHEN lag(tus) OVER w IS NULL
+       |           OR tus - lag(tus) OVER w > $GapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+       |s AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS session_idx
+       |  FROM m)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
-    QueryDef("st01_event_windows", Some(st01Sql), st01)
+    QueryDef("st01_event_windows", Some(st01Sql), st01),
+    QueryDef("st02_sessionize", Some(st02Sql), st02)
   )
 }
