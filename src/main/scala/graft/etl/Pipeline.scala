@@ -351,8 +351,11 @@ object Pipeline {
       "fact_hourlyactivity" -> factHourly)
 
     // ---- validate (Q2/Q3/Q4/Q6 classes) + score -----------------------
+    val tValidate0 = System.nanoTime()
     val report = Quality.runSuite(qualityRules(tables.toMap))
+    val tValidate = (System.nanoTime() - tValidate0) / 1e9
 
+    val tWrite0 = System.nanoTime()
     outDir.foreach { dir =>
       // date-keyed facts land hive-partitioned by date_key: time-window
       // queries over the written warehouse prune to the touched days
@@ -365,6 +368,9 @@ object Pipeline {
           "fact_hourlyactivity" -> Seq("date_key")))
       Sources.writeJsonReport(Quality.toJson(report), s"$dir/etl_report.json")
     }
+    val tWrite = (System.nanoTime() - tWrite0) / 1e9
+    System.err.println(
+      f"[etl-phase] validate=$tValidate%.1fs write=$tWrite%.1fs")
     Result(tables, report, Seq(canonical, userMap))
   }
 

@@ -18,27 +18,38 @@ object Quality {
   case object Issue extends Severity    // −5 (PK/ORPHAN/NULL classes)
   case object Warning extends Severity  // −1 (range/domain classes)
 
-  final case class Rule(name: String, severity: Severity,
-      count: DataFrame => Long)
+  /** A rule's check, DECLARATIVE so `runSuite` can fuse every rule on a
+    * table into one aggregate pass (one scan per table, not one per
+    * rule — at warehouse scale N serial scans of the same fact table is
+    * the difference between one job and N). */
+  sealed trait Check
+  /** A conditional-count aggregate expression over the audited table. */
+  final case class AggCheck(expr: Column) extends Check
+  /** Needs the dim side: broadcast left-joined on distinct pk (row-
+    * preserving), counted in the same aggregate pass as the AggChecks. */
+  final case class FkCheck(dim: DataFrame, fk: String, pk: String)
+    extends Check
+
+  final case class Rule(name: String, severity: Severity, check: Check)
 
   /** Q2 — PK uniqueness: rows − distinct(pk). */
-  def pkUniqueness(pk: Seq[Column]): DataFrame => Long = df =>
-    df.agg((count(lit(1)) - countDistinct(pk.head, pk.tail: _*)).as("d"))
-      .head().getLong(0)
+  def pkUniqueness(pk: Seq[Column]): Check =
+    AggCheck(count(lit(1)) - countDistinct(pk.head, pk.tail: _*))
 
-  /** Q3 — FK orphans: fact rows whose fk misses the dim (anti-join).
-    * The dim key is re-aliased so fk == pk names never collide. */
-  def fkOrphans(dim: DataFrame, fk: String, pk: String): DataFrame => Long =
-    fact => fact.join(broadcast(dim.select(col(pk).as("__graft_pk"))),
-      fact(fk) === col("__graft_pk"), "left_anti").count()
+  /** Q3 — FK orphans: fact rows whose fk misses the dim. NULL fks count
+    * as orphans (anti-join-on-equality semantics, matching the
+    * reference's LEFT JOIN … IS NULL checks, validation.sql §3). */
+  def fkOrphans(dim: DataFrame, fk: String, pk: String): Check =
+    FkCheck(dim, fk, pk)
 
   /** Q4 — required column is null. */
-  def nullViolations(c: String): DataFrame => Long =
-    df => df.filter(col(c).isNull).count()
+  def nullViolations(c: String): Check =
+    AggCheck(sum(when(col(c).isNull, 1L).otherwise(0L)))
 
   /** Q6 — value outside [lo, hi]. */
-  def rangeViolations(c: String, lo: Double, hi: Double): DataFrame => Long =
-    df => df.filter(col(c).isNotNull && !col(c).between(lo, hi)).count()
+  def rangeViolations(c: String, lo: Double, hi: Double): Check =
+    AggCheck(sum(
+      when(col(c).isNotNull && !col(c).between(lo, hi), 1L).otherwise(0L)))
 
   final case class RuleResult(rule: String, severity: String,
       violations: Long)
@@ -53,12 +64,40 @@ object Quality {
 
   /** Multi-table form: each rule paired with the table it audits — one
     * combined score across the whole warehouse, the reference's
-    * validate_data_quality shape (main_etl_pipeline.py:797-870). */
+    * validate_data_quality shape (main_etl_pipeline.py:797-870).
+    *
+    * Rules are fused PER TABLE: all FkChecks become broadcast left-joins
+    * (distinct dim keys, so fact cardinality is preserved and the other
+    * rules' counts are unaffected), then every rule evaluates as one
+    * column of a single `.agg(...)` — one scan of each audited table
+    * regardless of rule count. */
   def runSuite(pairs: Seq[(Rule, DataFrame)]): Report = {
-    val results = pairs.map { case (r, df) =>
+    val indexed = pairs.zipWithIndex
+    val counts = new Array[Long](pairs.size)
+    indexed.groupBy { case ((_, df), _) => df }.foreach {
+      case (table, group) =>
+        var joined = table
+        val aggCols = group.map { case ((rule, _), idx) =>
+          val c = rule.check match {
+            case AggCheck(e) => e
+            case FkCheck(dim, fk, pk) =>
+              val a = s"__graft_pk_$idx"
+              joined = joined.join(
+                broadcast(dim.select(col(pk).as(a)).distinct()),
+                col(fk) === col(a), "left")
+              sum(when(col(a).isNull, 1L).otherwise(0L))
+          }
+          coalesce(c.cast("long"), lit(0L)).as(s"__c$idx")
+        }
+        val row = joined.agg(aggCols.head, aggCols.tail: _*).head()
+        group.map(_._2).zipWithIndex.foreach { case (idx, i) =>
+          counts(idx) = row.getLong(i)
+        }
+    }
+    val results = indexed.map { case ((r, _), idx) =>
       RuleResult(r.name,
         r.severity match { case Issue => "issue"; case Warning => "warning" },
-        r.count(df))
+        counts(idx))
     }
     val issues = results.count(r => r.severity == "issue" && r.violations > 0)
     val warnings =
