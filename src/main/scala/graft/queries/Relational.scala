@@ -548,6 +548,52 @@ object Relational {
       |ORDER BY priority_key""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J5-ext — SCD2 incremental dimension merge (etl.Scd2): the scale
+  // answer to the reference's drop-and-rebuild load
+  // (main_etl_pipeline.py:714-760). Scenario: customers seeded open
+  // since 1992-01-01; an update snapshot as of 1995-06-01 resegments
+  // every 6th key (→ close + new version), no-ops every other 3rd key
+  // (→ idempotent pass-through), and inserts a new key per 50th
+  // (→ fresh open row). The oracle constructs the expected state
+  // directly, so every branch of the merge is value-checked.
+  // ---------------------------------------------------------------------
+  private def j04(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Scd2
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val current = Scd2.seed(cust, lit("1992-01-01"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 6 === 0, lit("RESEGMENTED"))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 10000000).as("c_custkey"),
+          lit("NEWKEY").as("c_mktsegment"),
+          lit(0.0).as("c_acctbal")))
+    Scd2.merge(current, updates, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"),
+        lit("1995-06-01").cast(org.apache.spark.sql.types.DateType))
+      .orderBy("c_custkey", "effective_from")
+  }
+  private val j04Sql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |         DATE '1992-01-01' AS effective_from,
+      |         CASE WHEN c_custkey % 6 = 0 THEN DATE '1995-06-01' END
+      |           AS effective_to,
+      |         c_custkey % 6 <> 0 AS is_current
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'RESEGMENTED', c_acctbal, DATE '1995-06-01',
+      |         NULL, TRUE
+      |  FROM customer WHERE c_custkey % 6 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEWKEY', 0.0, DATE '1995-06-01',
+      |         NULL, TRUE
+      |  FROM customer WHERE c_custkey % 50 = 0
+      |) ORDER BY c_custkey, effective_from""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A3 — unpivot/melt: one row → N metric rows (main_etl_pipeline.py:587-593)
   // Perf note: BENCH_r02 showed 28.9 s at sf0.1 — investigated with
   // QBench: steady state is ~1 s (runs 2-5: 1.36/0.92/1.21/1.02 s); the
@@ -690,6 +736,7 @@ object Relational {
     QueryDef("j01_entity_resolution", Some(j01Sql), j01),
     QueryDef("j02_broadcast_lookup", Some(j02Sql), j02),
     QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
+    QueryDef("j04_scd2_merge", Some(j04Sql), j04),
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
