@@ -1,0 +1,72 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — an operator Spark lacks natively. For
+  * each left row, attach the single LATEST right row whose timestamp is
+  * at-or-before the left row's timestamp, within the same key (the
+  * sensor-reading-at-event / price-at-trade shape; DuckDB spells it
+  * `ASOF JOIN`).
+  *
+  * The naive Spark formulation — inequality join then `row_number`
+  * prune — materializes O(|L|·|R|) pairs per key before pruning (a
+  * BroadcastNestedLoopJoin or worse). This union+window formulation is
+  * linear: tag both sides, union, ONE shuffle on the key, one
+  * within-partition sort by (ts, tag), then carry the last right row
+  * forward. The right payload travels as ONE struct column so the
+  * carry-forward can never stitch together fields of different right
+  * rows (per-column `last(_, ignoreNulls)` would).
+  *
+  * Requirements: `right` must be unique per (key, ts) — pre-aggregate
+  * if it isn't (ties would otherwise resolve by sort instability). At
+  * equal timestamps the right row sorts first, so exact-ts matches ARE
+  * taken (`rightTs <= leftTs` semantics, matching DuckDB `ASOF JOIN
+  * ... ON l.ts >= r.ts`).
+  *
+  * Scale: one hash shuffle on the key; per-key history sorts within
+  * its partition (a monster key ⇒ salt by coarse time bucket first).
+  * `toleranceUs` bounds staleness: matches older than the tolerance
+  * come back NULL, without changing the plan shape.
+  */
+object Asof {
+
+  def join(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val lPayload = left.columns.filterNot(key.contains).toSeq
+    val rPayload = right.columns
+      .filterNot(c => key.contains(c) || c == rightTs).toSeq
+
+    val rStruct = struct(
+      col(rightTs).as("__rts") +: rPayload.map(col): _*)
+    val rSide = right.select(
+      key.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
+        rStruct.as("__r")) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(c)): _*)
+    val rType = rSide.schema("__r").dataType
+    val lSide = left.select(
+      key.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+        lit(null).cast(rType).as("__r")) ++ lPayload.map(col): _*)
+
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rSide.unionByName(lSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val matched = toleranceUs match {
+      case Some(tol) => when(
+        unix_micros(col("__ts")) - unix_micros(col("__m.__rts")) <= tol,
+        col("__m"))
+      case None => col("__m")
+    }
+    carried
+      .withColumn("__m", matched)
+      .select(key.map(col) ++ lPayload.map(col) ++
+        (col(s"__m.__rts").as(s"${prefix}ts") +:
+          rPayload.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
+  }
+}

@@ -575,6 +575,44 @@ object Relational {
         lit("1995-06-01").cast(org.apache.spark.sql.types.DateType))
       .orderBy("c_custkey", "effective_from")
   }
+  // ---------------------------------------------------------------------
+  // J6-ext — as-of (point-in-time) join (etl.Asof): each purchase event
+  // matched to the user's latest click at-or-before it. Spark has no
+  // native ASOF JOIN; Asof.join is the linear union+window formulation
+  // (one key shuffle — never the O(|L|·|R|) inequality-join pair blowup).
+  // Timestamps compare at microsecond grain in BOTH dialects (events.ts
+  // is nanos parquet; Spark truncates to micros at read).
+  // ---------------------------------------------------------------------
+  private def j05(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.etl.Asof.join(purch, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        unix_micros(col("asof_ts")).as("asof_ts_us"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+  private val j05Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purch AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |         c.ctus AS asof_ts_us, c.click_id,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ctus DESC) AS rn
+      |  FROM purch p LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND c.ctus <= p.ts_us)
+      |SELECT event_id, user_id, ts_us, value, asof_ts_us, click_id
+      |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   private val j04Sql =
     """SELECT * FROM (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -737,6 +775,7 @@ object Relational {
     QueryDef("j02_broadcast_lookup", Some(j02Sql), j02),
     QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
     QueryDef("j04_scd2_merge", Some(j04Sql), j04),
+    QueryDef("j05_asof_join", Some(j05Sql), j05),
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
