@@ -613,6 +613,52 @@ object Relational {
       |SELECT event_id, user_id, ts_us, value, asof_ts_us, click_id
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J7-ext — range (interval-containment) join (etl.RangeJoin): orders
+  // counted into per-supplier contract windows of varying length.
+  // A raw BETWEEN join with no equality key plans as a nested-loop
+  // cartesian; RangeJoin buckets the day axis (width 32) so it runs as
+  // an ordinary hash equi-join + exact containment filter. Both
+  // dialects compute windows from s_suppkey arithmetic on integer
+  // epoch-days, so the oracle value-checks containment edges exactly.
+  // ---------------------------------------------------------------------
+  private def j06(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_totalprice"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("pd"))
+    // windows spread across the events' 1995-2001 span: start =
+    // 1995-01-01 + (suppkey*211 mod 2200) days, length = suppkey*37
+    // mod 90 days (211/37 coprime to the span → no aliasing)
+    val win = Tables.supplier(s, d).select(col("s_suppkey"),
+      (datediff(lit("1995-01-01").cast(
+          org.apache.spark.sql.types.DateType), epoch) +
+        (col("s_suppkey") * 211) % 2200).cast("long").as("sd"))
+      .withColumn("ed", col("sd") + (col("s_suppkey") * 37) % 90)
+    graft.etl.RangeJoin
+      .pointInInterval(o, win, "pd", "sd", "ed", bucketWidth = 32L)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("s_suppkey")
+  }
+  private val j06Sql =
+    s"""WITH win AS (
+       |  SELECT s_suppkey,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (s_suppkey * 211) % 2200 AS sd,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (s_suppkey * 211) % 2200 + (s_suppkey * 37) % 90 AS ed
+       |  FROM supplier),
+       |pts AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS pd
+       |  FROM orders)
+       |SELECT w.s_suppkey, COUNT(*) AS n_orders,
+       |       ${sqlDsum("p.o_totalprice")} AS total_price
+       |FROM pts p JOIN win w ON p.pd >= w.sd AND p.pd <= w.ed
+       |GROUP BY w.s_suppkey ORDER BY w.s_suppkey""".stripMargin
+
   private val j04Sql =
     """SELECT * FROM (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -776,6 +822,7 @@ object Relational {
     QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
     QueryDef("j04_scd2_merge", Some(j04Sql), j04),
     QueryDef("j05_asof_join", Some(j05Sql), j05),
+    QueryDef("j06_range_join", Some(j06Sql), j06),
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
