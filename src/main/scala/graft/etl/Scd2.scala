@@ -88,4 +88,14 @@ object Scd2 {
     .withColumn("effective_from", from.cast(DateType))
     .withColumn("effective_to", lit(null).cast(DateType))
     .withColumn("is_current", lit(true))
+
+  /** Point-in-time read: the dimension exactly as it stood on `at` —
+    * the version whose [effective_from, effective_to) interval covers
+    * the date. A pure filter (no shuffle, pushes to the scan), so a
+    * fact build can broadcast-join the result like any dim. */
+  def asOf(state: DataFrame, at: Column): DataFrame = {
+    val d = at.cast(DateType)
+    state.filter(col("effective_from") <= d &&
+      (col("effective_to").isNull || col("effective_to") > d))
+  }
 }

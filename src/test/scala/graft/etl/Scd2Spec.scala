@@ -52,6 +52,21 @@ class Scd2Spec extends SparkSpec {
       .count() == 1)
   }
 
+  test("asOf reads the version effective on the date") {
+    val merged = Scd2.merge(state(),
+      Seq((1, "platinum", 10.0)).toDF("id", "tier", "bal"),
+      Seq("id"), Seq("tier", "bal"), asOf)
+    // day before the merge: still gold; on/after: platinum
+    val before = Scd2.asOf(merged, lit("2021-06-14")).filter($"id" === 1)
+    val after = Scd2.asOf(merged, lit("2021-06-15")).filter($"id" === 1)
+    assert(before.collect()(0).getAs[String]("tier") == "gold")
+    assert(after.collect()(0).getAs[String]("tier") == "platinum")
+    // exactly one version per key at any date
+    assert(Scd2.asOf(merged, lit("2021-06-15")).count() == 3)
+    // before the seed date the dimension is empty
+    assert(Scd2.asOf(merged, lit("2019-12-31")).count() == 0)
+  }
+
   test("closed history passes through and attr compare is null-safe") {
     val first = Scd2.merge(state(),
       Seq((1, "platinum", 10.0)).toDF("id", "tier", "bal"),
