@@ -54,21 +54,34 @@ object Sources {
     (loaded, files.keys.filterNot(loaded.contains).toSeq.sorted)
   }
 
-  /** S5: ordered load — write tables sequentially (Dims → Bridges →
-    * Facts order is the caller's list order), one directory per table.
-    * `partitions` opts a table into hive-style directory partitioning
-    * (e.g. facts by date key): at scale that is what makes time-window
-    * queries partition-pruned scans instead of full reads — the layout
-    * the reference's date indexes approximate. */
+  /** S5: file-sink load — one directory per table, Dims → Bridges →
+    * Facts list order. Unlike the JDBC form, file targets have no FK
+    * dependency, so the independent per-table write JOBS overlap on a
+    * small pool (each is its own Spark job; tiny dim writes are pure
+    * scheduling overhead that would otherwise serialize). `partitions`
+    * opts a table into hive-style directory partitioning (e.g. facts
+    * by date key): at scale that is what makes time-window queries
+    * partition-pruned scans instead of full reads — the layout the
+    * reference's date indexes approximate. */
   def writeOrdered(tables: Seq[(String, DataFrame)], baseDir: String,
       format: String = "parquet",
-      partitions: Map[String, Seq[String]] = Map.empty): Unit =
-    tables.foreach { case (name, df) =>
-      val w = df.write.mode("overwrite").format(format)
-      partitions.get(name).filter(_.nonEmpty)
-        .fold(w)(cols => w.partitionBy(cols: _*))
-        .save(s"$baseDir/$name")
-    }
+      partitions: Map[String, Seq[String]] = Map.empty): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(8, tables.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(tables.map { case (name, df) =>
+      Future {
+        val w = df.write.mode("overwrite").format(format)
+        partitions.get(name).filter(_.nonEmpty)
+          .fold(w)(cols => w.partitionBy(cols: _*))
+          .save(s"$baseDir/$name")
+      }
+    }), Duration.Inf)
+    finally pool.shutdown()
+  }
 
   /** S5 (JDBC form): dependency-ordered warehouse load through Spark's
     * JDBC sink (main_etl_pipeline.py:752-794 — `df.to_sql` per table,
