@@ -566,8 +566,11 @@ object Relational {
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 6 === 0, lit("RESEGMENTED"))
           .otherwise(col("c_mktsegment")))
+      // brand-new keys are NEGATED ids: provably absent from the real
+      // key space at any scale (an additive offset can collide with
+      // legitimate keys on larger data)
       .unionByName(cust.filter(col("c_custkey") % 50 === 0)
-        .select((col("c_custkey") + 10000000).as("c_custkey"),
+        .select((-col("c_custkey") - 1).as("c_custkey"),
           lit("NEWKEY").as("c_mktsegment"),
           lit(0.0).as("c_acctbal")))
     Scd2.merge(current, updates, Seq("c_custkey"),
@@ -672,7 +675,7 @@ object Relational {
       |         NULL, TRUE
       |  FROM customer WHERE c_custkey % 6 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 10000000, 'NEWKEY', 0.0, DATE '1995-06-01',
+      |  SELECT -c_custkey - 1, 'NEWKEY', 0.0, DATE '1995-06-01',
       |         NULL, TRUE
       |  FROM customer WHERE c_custkey % 50 = 0
       |) ORDER BY c_custkey, effective_from""".stripMargin
