@@ -591,7 +591,46 @@ object TextOps {
        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X20 — segment-level dedup (etl.SegmentDedup): the "line dedup"
+  // boilerplate-removal stage of web-scrape pipelines. The synthetic
+  // corpus has no newlines, so segmentation is 10-word windows (the
+  // operator also ships the newline splitter for real corpora); any
+  // segment appearing in >1 distinct doc is dropped and each doc is
+  // reassembled in original order. Linear: one segment-text shuffle +
+  // one doc-id shuffle, nothing pairwise.
+  // ---------------------------------------------------------------------
+  private def x20(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.SegmentDedup
+    SegmentDedup.clean(Tables.documents(s, d), "doc_id",
+        SegmentDedup.wordWindows(col("text"), 10), maxDf = 1)
+      .orderBy("doc_id")
+  }
+  private val x20Sql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg,
+      |         array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg_text
+      |  FROM words,
+      |    UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)),
+      |hot AS (
+      |  SELECT seg_text FROM segs GROUP BY 1
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |marked AS (
+      |  SELECT s.doc_id, s.seg, s.seg_text,
+      |         h.seg_text IS NOT NULL AS is_hot
+      |  FROM segs s LEFT JOIN hot h ON s.seg_text = h.seg_text)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN NOT is_hot THEN seg_text END, ' '
+      |           ORDER BY seg), '') AS clean_text,
+      |  COUNT(*) AS n_segments,
+      |  CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x20_segment_dedup", Some(x20Sql), x20),
     QueryDef("x15_pii_redact", Some(x15Sql), x15),
     QueryDef("x16_repetition", Some(x16Sql), x16),
     QueryDef("x17_pack_chunks", Some(x17Sql), x17),
