@@ -8,6 +8,20 @@ class CdcMergeSpec extends SparkSpec {
 
   private def d(s: String) = java.sql.Date.valueOf(s)
 
+  /** processAllAvailable can return while the suite's shared session is
+    * heavily contended; poll briefly for the published state version so
+    * a slow publish fails with a clear timeout, not a None.get. */
+  private def awaitState(stateDir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery) = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var s = CdcMerge.current(spark, stateDir)
+    while (s.isEmpty && System.nanoTime() < deadline) {
+      q.processAllAvailable(); Thread.sleep(200)
+      s = CdcMerge.current(spark, stateDir)
+    }
+    s.getOrElse(fail(s"no CDC state published in $stateDir within 30s"))
+  }
+
   test("streamed snapshots fold into SCD2 state across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("cdc").toString
     val in = s"$dir/in"
@@ -23,7 +37,7 @@ class CdcMergeSpec extends SparkSpec {
       s"$dir/chk")
     try {
       q.processAllAvailable()
-      val s1 = CdcMerge.current(spark, s"$dir/state").get
+      val s1 = awaitState(s"$dir/state", q)
       assert(s1.count() == 2 && s1.filter($"is_current").count() == 2)
 
       // batch 2: key 1 changes, plus an in-batch older duplicate that
@@ -33,7 +47,12 @@ class CdcMergeSpec extends SparkSpec {
         .toDF("id", "tier", "snap_date")
         .write.mode("append").parquet(in)
       q.processAllAvailable()
-      val s2 = CdcMerge.current(spark, s"$dir/state").get
+      var s2 = awaitState(s"$dir/state", q)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (s2.count() < 3 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+        s2 = awaitState(s"$dir/state", q)
+      }
       assert(s2.count() == 3)
       val v1 = s2.filter($"id" === 1).orderBy("effective_from").collect()
       assert(v1.map(_.getAs[String]("tier")).toSeq ==
