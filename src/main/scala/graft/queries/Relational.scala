@@ -800,6 +800,35 @@ object Relational {
        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A7-ext — pivot (wide-from-long), the inverse of a03's unpivot: the
+  // long (metric, value) rows come back as one column per metric with a
+  // per-order SUM. Values are passed EXPLICITLY to pivot(): without
+  // them Spark runs a driver-side distinct scan of the metric column
+  // first — never do that at scale. With explicit values the plan is
+  // plain conditional aggregation (one partial-agg shuffle), which is
+  // also exactly what the oracle SQL spells out.
+  // ---------------------------------------------------------------------
+  private def a07(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3, 'quantity', l_quantity,
+                         'price', l_extendedprice,
+                         'discount', l_discount) AS (metric, value)"""))
+      .groupBy(col("l_orderkey"))
+      .pivot("metric", Seq("discount", "price", "quantity"))
+      .agg(dsum(col("value")))
+      .orderBy("l_orderkey")
+  }
+  private val a07Sql =
+    s"""SELECT l_orderkey,
+       |  ${sqlDsum("l_discount")} AS discount,
+       |  ${sqlDsum("l_extendedprice")} AS price,
+       |  ${sqlDsum("l_quantity")} AS quantity
+       |FROM lineitem WHERE l_orderkey % 20 = 0
+       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A6 — hourly-grain rollup (the fact_hourlyactivity transform,
   // Pipeline.scala: hourlyCalories → user-hour grain; EXCEEDS the
   // reference, which extracts hourlyCalories_merged.csv and drops it,
@@ -903,6 +932,7 @@ object Relational {
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
-    QueryDef("a06_hourly_rollup", Some(a06Sql), a06)
+    QueryDef("a06_hourly_rollup", Some(a06Sql), a06),
+    QueryDef("a07_pivot", Some(a07Sql), a07)
   )
 }
