@@ -1,0 +1,36 @@
+package graft
+
+/** The 100 TB plan audit as a permanent regression test: no query may
+  * plan a CartesianProduct or BroadcastNestedLoopJoin unless its
+  * pair-producing side is bounded BY CONSTRUCTION and documented here.
+  * A new query that accidentally introduces an unkeyed join (the
+  * classic silent scale-killer — fine at sf0.001, quadratic at sf1)
+  * fails this spec instead of a future bench run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // query → why its nested-loop/cartesian side cannot grow with data
+  private val allow: Map[String, String] = Map(
+    "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
+      "query slice is joined unkeyed against the corpus on purpose"),
+    "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +
+      "(~42 at any realistic n)"),
+    "x10_dedup_embedding" ->
+      "same bounded plane-index relation as x05_knn_lsh",
+    "x18_knn_ivf" -> "fixed 16-row coarse codebook",
+    "q14_run_summary" -> "scalar subqueries (1-row relations)",
+    "j07_interval_agg" -> ("1-row first-day scalar joined to the " +
+      "bounded day grain"))
+
+  test("no unbounded cartesian/nested-loop join in any query plan") {
+    val offenders = SparkEntry.defs.flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      if (bad.nonEmpty && !allow.contains(q.name)) Some(s"${q.name}: $bad")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "unkeyed joins outside the allowlist:\n" + offenders.mkString("\n"))
+  }
+}
