@@ -82,8 +82,9 @@ object Quality {
             case AggCheck(e) => e
             case FkCheck(dim, fk, pk) =>
               val a = s"__graft_pk_$idx"
-              joined = joined.join(
-                broadcast(dim.select(col(pk).as(a)).distinct()),
+              // no broadcast hint: dims can outgrow the driver at scale;
+              // AQE broadcasts from runtime sizes while they fit
+              joined = joined.join(dim.select(col(pk).as(a)).distinct(),
                 col(fk) === col(a), "left")
               sum(when(col(a).isNull, 1L).otherwise(0L))
           }
