@@ -800,6 +800,31 @@ object Relational {
        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q15-ext — exact interpolated percentiles per group: Spark
+  // `percentile` and DuckDB `quantile_cont` share the (n-1)·p rank
+  // definition, so the profile is value-checkable. Exact percentile
+  // sorts each group's values — the profile tool's accuracy anchor; at
+  // 100 TB swap in approx_percentile (same plan shape, sketch-merged)
+  // and keep this as the small-sample audit.
+  // ---------------------------------------------------------------------
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pct"))
+      .select(col("l_returnflag"),
+        col("pct")(0).as("p50"), col("pct")(1).as("p90"),
+        col("pct")(2).as("p99"))
+      .orderBy("l_returnflag")
+  }
+  private val q15Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A7-ext — pivot (wide-from-long), the inverse of a03's unpivot: the
   // long (metric, value) rows come back as one column per metric with a
   // per-order SUM. Values are passed EXPLICITLY to pivot(): without
@@ -933,6 +958,7 @@ object Relational {
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
     QueryDef("a06_hourly_rollup", Some(a06Sql), a06),
-    QueryDef("a07_pivot", Some(a07Sql), a07)
+    QueryDef("a07_pivot", Some(a07Sql), a07),
+    QueryDef("q15_percentiles", Some(q15Sql), q15)
   )
 }
