@@ -930,6 +930,163 @@ object Relational {
       |JOIN ds ON o.o_orderstatus = ds.status_name
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q16-ext — multi-level subtotals via ROLLUP (the reference's report
+  // queries compute grand totals and per-group totals as separate
+  // statements, validation.sql:318-372; ROLLUP folds year/status
+  // subtotals + grand total into ONE partial-agg pass). CUBE / GROUPING
+  // SETS are the same plan shape (Expand → partial agg → final agg) —
+  // one scan feeds every grouping level, so at 100 TB this replaces N
+  // report scans with 1. Rolled-up levels surface as NULL and are
+  // labeled 'ALL' (the base columns are non-null in this schema).
+  // ---------------------------------------------------------------------
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .withColumn("order_year", year(col("o_orderdate")).cast("string"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .select(coalesce(col("order_year"), lit("ALL")).as("order_year"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("total"), col("n"))
+      .orderBy("order_year", "status")
+  }
+  private val q16Sql =
+    s"""SELECT COALESCE(order_year, 'ALL') AS order_year,
+       |       COALESCE(status, 'ALL') AS status, total, n
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS order_year,
+       |         o_orderstatus AS status,
+       |         ${sqlDsum("o_totalprice")} AS total, COUNT(*) AS n
+       |  FROM orders GROUP BY ROLLUP(1, 2))
+       |ORDER BY order_year, status""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q17-ext — z-score outlier detection per event type. The per-group
+  // moments (n, Σx, Σx²) accumulate through exact decimals (one
+  // partial-agg shuffle, order-independent), so mean/σ — and therefore
+  // the outlier set — are bit-identical under any partitioning. The
+  // 7-row stats relation joins back broadcast (bounded by the event-type
+  // domain, not by sf). At 100 TB this is the standard two-pass
+  // anomaly scan: moments pass + flag pass, both full scans, no extra
+  // shuffle of the fact side.
+  // ---------------------------------------------------------------------
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dec = col("value").cast("decimal(28,6)")
+    val stats = ev.groupBy(col("event_type").as("st_type"))
+      .agg(count(lit(1)).as("n"), sum(dec).cast("double").as("sm"),
+        sum(dec * dec).cast("double").as("sq"))
+    val mean = col("sm") / col("n")
+    val std = sqrt(greatest(col("sq") / col("n") - mean * mean, lit(0d)))
+    ev.join(broadcast(stats), col("event_type") === col("st_type"))
+      .filter(abs(col("value") - mean) > lit(3.0) * std)
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+  private val q17Sql =
+    """WITH s AS (
+      |  SELECT event_type AS st_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))
+      |             * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sq
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_outliers
+      |FROM events e JOIN s ON e.event_type = s.st_type
+      |WHERE ABS(e.value - sm / n)
+      |      > 3.0 * SQRT(GREATEST(sq / n - (sm / n) * (sm / n), 0))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A8-ext — trailing moving-window aggregates (7-slot rolling sum/avg
+  // per user over the daily series). Two shuffles total: one partial agg
+  // to daily grain, one window shuffle on user_id — the window sort is
+  // per-user, never global. The frame sums DECIMALS (exact, any merge
+  // order) and casts once at the end; avg is that double over the frame
+  // row count, so Spark and the oracle agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def a08(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("dtotal"))
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("user_id"), col("day"),
+        sum(col("dtotal")).over(w).cast("double").as("sum_7d"),
+        (sum(col("dtotal")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_7d"))
+      .orderBy("user_id", "day")
+  }
+  private val a08Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS dtotal
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(SUM(dtotal) OVER w AS DOUBLE) AS sum_7d,
+      |  CAST(SUM(dtotal) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X21-ext — tombstone cascade (GDPR-style delete propagation): a
+  // deletion list drives anti-joins through the FK graph — events and
+  // orders directly, lineitem transitively through its surviving
+  // orders. Per-table before/after counts audit the cascade. Scale
+  // shape: the deletion list grows with sf, so NO broadcast hint (AQE
+  // decides); each cascade hop is one keyed anti/semi join — the fact
+  // tables shuffle once on their join key and nothing is collected.
+  // ---------------------------------------------------------------------
+  private def x21(s: SparkSession, d: String): DataFrame = {
+    val del = Tables.customer(s, d).filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("del_id"))
+    val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+    val ev = Tables.events(s, d)
+    val oAfter = o.join(del, o("o_custkey") === del("del_id"), "left_anti")
+    val liAfter = li.join(oAfter.select("o_orderkey"),
+      li("l_orderkey") === oAfter("o_orderkey"), "left_semi")
+    val evAfter = ev.join(del, ev("user_id") === del("del_id"), "left_anti")
+    def audit(name: String, before: DataFrame, after: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_after"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"))
+    Seq(audit("events", ev, evAfter), audit("lineitem", li, liAfter),
+        audit("orders", o, oAfter))
+      .reduce(_ unionByName _).orderBy("table_name")
+  }
+  private val x21Sql =
+    """WITH del AS (
+      |  SELECT c_custkey AS del_id FROM customer WHERE c_custkey % 50 = 0),
+      |o_after AS (
+      |  SELECT * FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del_id = o.o_custkey)),
+      |li_after AS (
+      |  SELECT * FROM lineitem l
+      |  WHERE EXISTS (SELECT 1 FROM o_after o
+      |                WHERE o.o_orderkey = l.l_orderkey)),
+      |ev_after AS (
+      |  SELECT * FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del_id = e.user_id))
+      |SELECT * FROM (
+      |  SELECT 'events' AS table_name,
+      |         (SELECT COUNT(*) FROM events) AS rows_before,
+      |         (SELECT COUNT(*) FROM ev_after) AS rows_after,
+      |         (SELECT COUNT(*) FROM events)
+      |           - (SELECT COUNT(*) FROM ev_after) AS rows_deleted
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+      |         (SELECT COUNT(*) FROM li_after),
+      |         (SELECT COUNT(*) FROM lineitem)
+      |           - (SELECT COUNT(*) FROM li_after)
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT COUNT(*) FROM orders),
+      |         (SELECT COUNT(*) FROM o_after),
+      |         (SELECT COUNT(*) FROM orders)
+      |           - (SELECT COUNT(*) FROM o_after)
+      |) ORDER BY table_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w01_star_build", Some(w01Sql), w01),
     QueryDef("q01_catalog_antijoin", Some(q01Sql), q01),
@@ -959,6 +1116,10 @@ object Relational {
     QueryDef("a05_union_distinct", Some(a05Sql), a05),
     QueryDef("a06_hourly_rollup", Some(a06Sql), a06),
     QueryDef("a07_pivot", Some(a07Sql), a07),
-    QueryDef("q15_percentiles", Some(q15Sql), q15)
+    QueryDef("q15_percentiles", Some(q15Sql), q15),
+    QueryDef("q16_rollup", Some(q16Sql), q16),
+    QueryDef("q17_zscore_outliers", Some(q17Sql), q17),
+    QueryDef("a08_moving_window", Some(a08Sql), a08),
+    QueryDef("x21_tombstone_cascade", Some(x21Sql), x21)
   )
 }

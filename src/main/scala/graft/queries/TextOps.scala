@@ -629,7 +629,158 @@ object TextOps {
       |    AS n_dropped
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T17-ext — time-series densification (gap fill): every user's daily
+  // series is completed to a dense date axis between that user's first
+  // and last active day, with missing days zero-filled and flagged.
+  // The dense axis comes from `sequence()` exploded PER USER — spans
+  // are generated executor-side from a 1-row-per-user aggregate, never
+  // a driver loop or a global calendar cross join. Two shuffles (daily
+  // agg + span agg share the user_id key); the left join back to the
+  // daily grain is keyed. Day-count per user is bounded by the date
+  // span, not sf, so explode output stays proportional to users×days.
+  // ---------------------------------------------------------------------
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("dtotal"))
+    val dense = daily.groupBy("user_id")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    dense.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("dtotal").cast("double"), lit(0d)).as("total_value"),
+        when(col("dtotal").isNull, 1).otherwise(0).as("filled"))
+      .orderBy("user_id", "day")
+  }
+  private val t17Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS dtotal
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+      |  FROM daily GROUP BY 1),
+      |dense AS (
+      |  SELECT user_id,
+      |         CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+      |           AS day
+      |  FROM span)
+      |SELECT d.user_id, d.day,
+      |  COALESCE(CAST(dl.dtotal AS DOUBLE), 0.0) AS total_value,
+      |  CASE WHEN dl.dtotal IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM dense d
+      |LEFT JOIN daily dl ON d.user_id = dl.user_id AND d.day = dl.day
+      |ORDER BY d.user_id, d.day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X22-ext — exact corpus heavy hitters: top-20 tokens by frequency
+  // with a deterministic tie-break. One explode + one partial-agg
+  // shuffle on token; top-k via sort+limit compiles to
+  // TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+  // heads — no global sort materialization). This is the exact audit
+  // anchor for the approximate 100 TB path,
+  // [[graft.functions.SpaceSavingTopK]]: same answer shape from a
+  // fixed-size mergeable sketch when the token domain no longer fits a
+  // hash aggregate.
+  // ---------------------------------------------------------------------
+  private def x22(s: SparkSession, d: String): DataFrame = {
+    Tables.fanout(Tables.documents(s, d))
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+  }
+  private val x22Sql =
+    """WITH toks AS (
+      |  SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok
+      |  FROM documents)
+      |SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> ''
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X23-ext — TF-IDF top term per document, in EXACT integer arithmetic:
+  // score = tf * 1_000_000 div df (integral division in both engines),
+  // so ranking is bit-deterministic — no log/float divergence between
+  // engines or partitionings. Plan: explode → (doc,tok) partial-agg →
+  // df agg on tok → keyed join back on tok (df side grows with the
+  // vocabulary: NO broadcast hint, AQE decides) → per-doc window top-1.
+  // The window partitions by doc_id — millions of small groups, no
+  // skew. At 100 TB the df relation is the only wide shuffle and it is
+  // vocabulary-sized, sub-linear in the corpus.
+  // ---------------------------------------------------------------------
+  private def x23(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "tok")
+      .withColumn("score", expr("tf * 1000000L div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id")
+  }
+  private val x23Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |       WHERE tok <> '' GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |         tf.tf * 1000000 // df.df AS score
+      |  FROM tf JOIN df USING (tok)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, tok) AS rk
+      |  FROM scored)
+      |SELECT doc_id, tok AS top_term, tf, df, score
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X24-ext — deterministic stratified sampling: exactly k docs per
+  // stratum (language), chosen by a Knuth-multiplicative hash of the
+  // key so the sample is pseudo-random yet reproducible on any cluster
+  // layout — the training-mix counterpart to x13's rate-based gate when
+  // the spec says "exactly N per language", not "p% per language".
+  // One window shuffle on the stratum key; if a stratum is hot, the
+  // hash order is still computed per-partition and only k rows per
+  // stratum survive the final filter. (For unbounded strata swap the
+  // window for a per-stratum TakeOrdered via groupBy + min_by-k.)
+  // ---------------------------------------------------------------------
+  private def x24(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") * lit(2654435761L)) % 1048576).as("hkey"))
+    val w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("lang", "doc_id", "hkey")
+      .orderBy("lang", "hkey", "doc_id")
+  }
+  private val x24Sql =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         (doc_id * 2654435761) % 1048576 AS hkey FROM documents),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |             ORDER BY hkey, doc_id) AS rn FROM h)
+      |SELECT lang, doc_id, hkey FROM rk WHERE rn <= 5
+      |ORDER BY lang, hkey, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t17_gap_fill", Some(t17Sql), t17),
+    QueryDef("x22_heavy_hitters", Some(x22Sql), x22),
+    QueryDef("x23_tfidf", Some(x23Sql), x23),
+    QueryDef("x24_stratified_sample", Some(x24Sql), x24),
     QueryDef("x20_segment_dedup", Some(x20Sql), x20),
     QueryDef("x15_pii_redact", Some(x15Sql), x15),
     QueryDef("x16_repetition", Some(x16Sql), x16),

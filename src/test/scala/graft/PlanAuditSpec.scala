@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
     "x18_knn_ivf" -> "fixed 16-row coarse codebook",
     "q14_run_summary" -> "scalar subqueries (1-row relations)",
     "j07_interval_agg" -> ("1-row first-day scalar joined to the " +
-      "bounded day grain"))
+      "bounded day grain"),
+    "x21_tombstone_cascade" -> ("audit rows assemble via crossJoin of " +
+      "two SINGLE-ROW count aggregates per table (1×1 by construction); " +
+      "the cascade itself is keyed anti/semi joins"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>
