@@ -1087,6 +1087,78 @@ object Relational {
       |           - (SELECT COUNT(*) FROM o_after)
       |) ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A9-ext — lead/lag day-over-day delta per user. Same two-shuffle
+  // shape as a08 (daily partial agg + per-user window); the delta
+  // subtracts DECIMALS (exact) and casts once, so first-row NULL and
+  // every difference are bit-identical to the oracle.
+  // ---------------------------------------------------------------------
+  private def a09(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("dtotal"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily.select(col("user_id"), col("day"),
+        col("dtotal").cast("double").as("total_value"),
+        (col("dtotal") - lag(col("dtotal"), 1).over(w))
+          .cast("double").as("delta"))
+      .orderBy("user_id", "day")
+  }
+  private val a09Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS dtotal
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, CAST(dtotal AS DOUBLE) AS total_value,
+      |  CAST(dtotal - LAG(dtotal) OVER (PARTITION BY user_id ORDER BY day)
+      |       AS DOUBLE) AS delta
+      |FROM daily ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q18-ext — conversion funnel: first view → first click within 1 day
+  // → first purchase within 1 day of that click. Each stage is one
+  // keyed join (previous stage's 1-row-per-user relation, grows with
+  // users: NO broadcast hint) + a min() agg — never a window over the
+  // whole event stream. Timestamp arithmetic is µs-exact in both
+  // engines. Output is per-stage user counts as ROWS (no scalar-
+  // subquery crossJoin), so the plan stays NLJ-free.
+  // ---------------------------------------------------------------------
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def firstAfter(stage: DataFrame, evType: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(stage, Seq("user_id"))
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val c = firstAfter(v, "click")
+    val p = firstAfter(c, "purchase")
+    def stageCount(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        col("n_users"))
+    Seq(stageCount("1_view", v), stageCount("2_click_in_window", c),
+        stageCount("3_purchase_in_window", p))
+      .reduce(_ unionByName _).orderBy("stage")
+  }
+  private val q18Sql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t
+      |        AND e.ts <= v.t + INTERVAL 1 DAY GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |        AND e.ts <= c.t + INTERVAL 1 DAY GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click_in_window', COUNT(*) FROM c
+      |  UNION ALL SELECT '3_purchase_in_window', COUNT(*) FROM p
+      |) ORDER BY stage""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w01_star_build", Some(w01Sql), w01),
     QueryDef("q01_catalog_antijoin", Some(q01Sql), q01),
@@ -1120,6 +1192,8 @@ object Relational {
     QueryDef("q16_rollup", Some(q16Sql), q16),
     QueryDef("q17_zscore_outliers", Some(q17Sql), q17),
     QueryDef("a08_moving_window", Some(a08Sql), a08),
+    QueryDef("a09_lead_lag_delta", Some(a09Sql), a09),
+    QueryDef("q18_funnel", Some(q18Sql), q18),
     QueryDef("x21_tombstone_cascade", Some(x21Sql), x21)
   )
 }

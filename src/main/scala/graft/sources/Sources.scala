@@ -44,6 +44,17 @@ object Sources {
     else Some(spark.read.schema(schema).json(path))
   }
 
+  /** S1 (ORC form): columnar alternative to parquet — same pushdown/
+    * pruning properties through Spark's vectorized ORC reader; pairs
+    * with `writeOrdered(format = "orc")` for warehouses standardized on
+    * ORC. Schema comes from the file footer (self-describing, no
+    * inference scan). None if the path is absent. */
+  def orc(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(spark.read.orc(path))
+  }
+
   /** S1: read a set of named CSVs, skipping (and reporting) missing
     * files — returns (loaded tables, missing names). */
   def csvBatch(spark: SparkSession, files: Map[String, (String, StructType)])

@@ -44,4 +44,23 @@ class ScalePathsSpec extends SparkSpec {
       .findFirstMatchIn(scanned.toLowerCase)
     selected.foreach(m => assert(m.group(1).toInt == 1, scanned.take(300)))
   }
+
+  test("approx_percentile stays within its rank-error bound of exact " +
+      "(q15 scale path)") {
+    val li = Tables.lineitem(spark, sf)
+    val acc = 1000 // rank error ≤ 1/acc of the group size
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.9)").as("exact"),
+      expr(s"approx_percentile(l_extendedprice, 0.9, $acc)").as("approx"),
+      count(lit(1)).as("n")).head()
+    val (exact, approx, n) = (row.getDouble(0), row.getDouble(1),
+      row.getLong(2))
+    // convert the rank guarantee into a value check: the approx result
+    // must be a real value whose rank is within n/acc of the 0.9 rank
+    val tol = math.max(1L, n / acc)
+    val below = li.filter(col("l_extendedprice") <= approx).count()
+    val targetRank = (0.9 * n).toLong
+    assert(math.abs(below - targetRank) <= 2 * tol,
+      s"exact=$exact approx=$approx rank=$below target=$targetRank")
+  }
 }

@@ -55,6 +55,20 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_y").count() == 1)
   }
 
+  test("S1 orc round-trip through writeOrdered(format=orc)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("orc_out").toString
+    val dim = Seq((1, "yoga"), (2, "run")).toDF("k", "name")
+    Sources.writeOrdered(Seq("dim_o" -> dim), out, format = "orc")
+    val back = Sources.orc(spark, s"$out/dim_o").get
+    // nullability widens through the file round-trip; names+types hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      dim.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("yoga", "run"))
+    assert(Sources.orc(spark, s"$out/nope").isEmpty)
+  }
+
   test("S6 json report sink writes the Quality report shape") {
     val f = java.nio.file.Files.createTempDirectory("rep")
       .resolve("report.json").toString
