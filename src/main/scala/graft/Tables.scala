@@ -32,17 +32,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf) and truncate to a microsecond
-    * timestamp — same truncation DuckDB applies converting ns→µs.
+  /** events.ts is parquet TIMESTAMP(NANOS). What the scan yields depends
+    * on the Spark build: older readers reject nanos unless the legacy
+    * `nanosAsLong` conf maps them to LongType; newer 4.1.x builds read
+    * nanos natively as TIMESTAMP_NTZ (µs-truncated) and IGNORE that
+    * conf. Normalize both encodings to one contract — a session-TZ
+    * (UTC) microsecond TIMESTAMP, the same truncation DuckDB applies
+    * converting ns→µs — so downstream operators see a single type.
     * The conf write is idempotent (always "true") so concurrent plan
-    * construction is safe; the driver mains also set it at session
-    * build so shared sessions never flip it mid-flight. */
+    * construction is safe. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to a µs TIMESTAMP regardless of
+    * which encoding the parquet reader produced (long nanos, native
+    * TIMESTAMP_NTZ, or already a timestamp). */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // session TZ is UTC everywhere in this engine, so the NTZ wall
+        // time IS the UTC instant; the cast is value-preserving
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

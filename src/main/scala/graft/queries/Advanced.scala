@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced SQL-surface operators beyond the reference's corpus.
+  *
+  * The reference's analytics (validation.sql) stop at GROUP BY + ORDER
+  * BY + LIMIT; a user migrating real report workloads onto this engine
+  * also needs the standard analytic-SQL toolbox — grouping sets, set
+  * operations, semi/anti EXISTS rewrites, ranking windows, correlated
+  * aggregates, running totals. Each is expressed as the Spark plan
+  * you'd want at 100 TB (partial aggregation, keyed shuffles only, no
+  * driver-side collection) with a DuckDB-oracle-exact result.
+  */
+object Advanced {
+
+  // ---------------------------------------------------------------------
+  // Q19 — GROUPING SETS: one Expand → partial-agg pass serves four
+  // report grains ((year,status), (year), (status), ()) that would
+  // otherwise be four scans. Same plan family as q16's ROLLUP but with
+  // an explicit, non-hierarchical grain list — the general form. The
+  // grouped-out marker is GROUPING(), not NULL-ness, so the labeling
+  // is correct even if a base column were nullable.
+  // ---------------------------------------------------------------------
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("order_year", year(col("o_orderdate")).cast("string"))
+      .withColumn("status", col("o_orderstatus"))
+    o.groupingSets(
+        Seq(Seq(col("order_year"), col("status")), Seq(col("order_year")),
+          Seq(col("status")), Seq.empty),
+        col("order_year"), col("status"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"),
+        grouping(col("order_year")).as("g_year"),
+        grouping(col("status")).as("g_status"))
+      .select(
+        when(col("g_year") === 1, lit("ALL")).otherwise(col("order_year"))
+          .as("order_year"),
+        when(col("g_status") === 1, lit("ALL")).otherwise(col("status"))
+          .as("status"),
+        col("total"), col("n"), col("g_year"), col("g_status"))
+      .orderBy("g_year", "g_status", "order_year", "status")
+  }
+  private val q19Sql =
+    s"""SELECT
+       |  CASE WHEN GROUPING(order_year) = 1 THEN 'ALL' ELSE order_year END
+       |    AS order_year,
+       |  CASE WHEN GROUPING(status) = 1 THEN 'ALL' ELSE status END
+       |    AS status,
+       |  ${sqlDsum("o_totalprice")} AS total, COUNT(*) AS n,
+       |  GROUPING(order_year) AS g_year, GROUPING(status) AS g_status
+       |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)
+       |        AS order_year, o_orderstatus AS status, o_totalprice
+       |      FROM orders)
+       |GROUP BY GROUPING SETS ((order_year, status), (order_year),
+       |                        (status), ())
+       |ORDER BY g_year, g_status, order_year, status""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q20 — set operations: INTERSECT / EXCEPT between customer key sets
+  // (urgent-priority buyers vs low-priority buyers). Spark plans both
+  // as a single hash shuffle on the key with partial distinct on the
+  // map side — the same shape as a distinct groupBy join; no pairwise
+  // work, survives any scale. (The reference only ever uses UNION ALL,
+  // validation.sql:22-41.)
+  // ---------------------------------------------------------------------
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def buyers(prio: String) =
+      o.filter(col("o_orderpriority") === prio).select(col("o_custkey"))
+    val urgent = buyers("1-URGENT"); val low = buyers("5-LOW")
+    val both = urgent.intersect(low)
+      .select(lit("both").as("op"), col("o_custkey"))
+    val urgentOnly = urgent.except(low)
+      .select(lit("urgent_only").as("op"), col("o_custkey"))
+    both.unionByName(urgentOnly).orderBy("op", "o_custkey")
+  }
+  private val q20Sql =
+    """SELECT * FROM (
+      |  SELECT 'both' AS op, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |  UNION ALL
+      |  SELECT 'urgent_only', o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |) ORDER BY op, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q21 — EXISTS / NOT EXISTS as semi/anti joins, aggregated per
+  // segment: how many customers have at least one big order, and how
+  // many have none. The two probes share one scan of orders each and
+  // shuffle on the customer key only — the EXISTS never materializes
+  // matching pairs (left_semi stops at first match). The big-order
+  // threshold prunes the probe side at the parquet scan.
+  // ---------------------------------------------------------------------
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    val withBig = c.join(big, c("c_custkey") === big("o_custkey"),
+        "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_big_order"))
+    val withoutBig = c.join(big, c("c_custkey") === big("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withBig.join(withoutBig, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_big_order"), lit(0L)).as("n_with_big_order"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("c_mktsegment")
+  }
+  private val q21Sql =
+    """WITH w AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_with_big_order FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_totalprice > 300000)
+      |  GROUP BY 1),
+      |wo AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_without FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_totalprice > 300000)
+      |  GROUP BY 1)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |       COALESCE(n_with_big_order, 0) AS n_with_big_order,
+      |       COALESCE(n_without, 0) AS n_without
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q22 — NTILE quartiles of customer balance per market segment, with
+  // per-quartile stats. The window sorts WITHIN each segment partition
+  // (no global sort); ties are broken by the key so the tile
+  // assignment — and therefore the result — is deterministic under any
+  // partitioning in both engines.
+  // ---------------------------------------------------------------------
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"), min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+  private val q22Sql =
+    """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      |       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      |FROM (SELECT c_mktsegment, c_acctbal,
+      |        NTILE(4) OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal, c_custkey) AS quartile
+      |      FROM customer)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q23 — correlated aggregate: orders priced above their own
+  // customer's average order price. The correlated scalar subquery a
+  // SQL user writes decorrelates into a per-customer window average —
+  // ONE shuffle on the customer key, no join back, no re-scan. The
+  // average divides an exact decimal sum by the count, so Spark and
+  // the oracle agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    val o = Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("double") / count(lit(1)).over(w))
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > col("cust_avg"), 1L)
+          .otherwise(0L)).as("n_above_avg"))
+      .orderBy("o_custkey")
+  }
+  private val q23Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  SUM(CASE WHEN o_totalprice > cust_avg THEN 1 ELSE 0 END)
+      |    AS n_above_avg
+      |FROM (SELECT o_custkey, o_totalprice,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |               OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |          / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      |      FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q24 — argmax profile: each user's single largest event (max_by /
+  // arg_max semantics) via a ranking window with a total tie-break
+  // order, so the winner is deterministic in both engines. One window
+  // shuffle on user_id; at 100 TB this is the standard "latest/top
+  // record per key" pattern (same plan as SCD current-row extraction).
+  // ---------------------------------------------------------------------
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"),
+        col("value").as("top_value"))
+      .orderBy("user_id")
+  }
+  private val q24Sql =
+    """SELECT user_id, event_type AS top_type, value AS top_value
+      |FROM (SELECT user_id, event_type, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A10 — running total (cumulative spend per customer over time). The
+  // frame is UNBOUNDED PRECEDING..CURRENT ROW over (date, key) — a
+  // per-customer sort inside one keyed shuffle, never a global sort.
+  // The cumulative sum accumulates decimals (exact under any merge
+  // order) and casts once on output.
+  // ---------------------------------------------------------------------
+  private def a10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_day"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "order_day", "o_orderkey")
+  }
+  private val a10Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |         OVER (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J8 — skew-salted aggregation through the oracle gate: the events
+  // table has only a handful of event_type keys (extreme key skew — at
+  // 100 TB a plain groupBy funnels the whole table through ~5
+  // reducers). Skew.saltedAggregate spreads each hot key over 32
+  // (key, salt) partial groups first, then finalizes per key; the
+  // oracle is the PLAIN group-by, proving the two-phase rewrite is
+  // value-exact (sums accumulate decimals, so merge order is moot).
+  // ---------------------------------------------------------------------
+  private def j08(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Skew
+    val ev = Tables.events(s, d)
+    Skew.saltedAggregate(ev, Seq(col("event_type")), 32,
+        partial = Seq(
+          sum(col("value").cast("decimal(28,6)")).as("s"),
+          count(lit(1)).as("c")),
+        merge = Seq(sum(col("s")).as("sd"), sum(col("c")).as("n")))
+      .select(col("event_type"),
+        col("sd").cast("double").as("total_value"), col("n"),
+        (col("sd").cast("double") / col("n")).as("avg_value"))
+      .orderBy("event_type")
+  }
+  private val j08Sql =
+    s"""SELECT event_type, ${sqlDsum("value")} AS total_value,
+       |  COUNT(*) AS n, ${sqlDsum("value")} / COUNT(*) AS avg_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X25 — incremental corpus dedup: dedup an incoming document batch
+  // against an already-ingested corpus (the every-night case for a
+  // training-data pipeline — the corpus is huge, the batch is small).
+  // Exact content hash (md5) keyed: within-batch survivors via one
+  // window, cross-corpus novelty via one anti-join — both shuffle on
+  // the hash key only. NO broadcast hint: the corpus side grows
+  // without bound; AQE picks the strategy while the batch is small.
+  // ---------------------------------------------------------------------
+  private def x25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(md5(col("text")).as("h")).distinct()
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val batchSurvivors = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    batchSurvivors.join(corpus, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+  private val x25Sql =
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 10 <> 9),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 9),
+      |ranked AS (
+      |  SELECT doc_id, h,
+      |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |  FROM batch)
+      |SELECT doc_id, h AS fingerprint FROM ranked r
+      |WHERE rn = 1
+      |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = r.h)
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q19_grouping_sets", Some(q19Sql), q19),
+    QueryDef("q20_set_ops", Some(q20Sql), q20),
+    QueryDef("q21_exists_semijoin", Some(q21Sql), q21),
+    QueryDef("q22_ntile_quartiles", Some(q22Sql), q22),
+    QueryDef("q23_above_cust_avg", Some(q23Sql), q23),
+    QueryDef("q24_argmax_profile", Some(q24Sql), q24),
+    QueryDef("a10_running_total", Some(a10Sql), a10),
+    QueryDef("j08_salted_agg", Some(j08Sql), j08),
+    QueryDef("x25_incremental_dedup", Some(x25Sql), x25)
+  )
+}

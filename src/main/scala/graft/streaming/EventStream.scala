@@ -17,16 +17,6 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema with ts pre-converted to µs timestamp
-    * (the nanos column arrives as long under the legacy reader conf). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Shared batch/stream transform: 1-hour tumbling windows per
     * event_type. Uses `window()` (streaming-compatible), not date_trunc. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -39,9 +29,9 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Normalize a raw (nanos-as-long) events frame to the µs contract. */
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize a raw events frame to the µs-timestamp contract
+    * (delegates to the shared encoding-adaptive rule). */
+  def normalize(raw: DataFrame): DataFrame = graft.Tables.normalizeTs(raw)
 
   /** Open the events table as a file stream and start the windowed
     * aggregation into an in-memory sink named `queryName`.
@@ -54,8 +44,12 @@ object EventStream {
   def start(spark: SparkSession, dir: String, queryName: String,
       outputMode: String = "append"): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File streams need a declared schema; probe the footer with a batch
+    // read (driver-side, metadata only) so the declared type matches
+    // whatever encoding THIS Spark build gives the nanos column.
+    val fileSchema = spark.read.parquet(dir).schema
     val stream = spark.readStream
-      .schema(rawSchema)
+      .schema(fileSchema)
       .parquet(s"$dir")
     windowedCounts(normalize(stream))
       .writeStream
