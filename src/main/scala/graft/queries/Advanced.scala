@@ -310,6 +310,54 @@ object Advanced {
       |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = r.h)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q25 — JSON scalar extraction: events.props is a JSON string column
+  // (the reference keeps blobs as plain strings — §2.5 lists JSON
+  // functions as a capability it lacks). `get_json_object` is a
+  // codegen'd row expression, so extraction stays inside the scan's
+  // whole-stage-codegen span and the only shuffle is the final keyed
+  // aggregate. At 100 TB this is the "parse a payload column once,
+  // aggregate typed fields" pattern — no UDF, no re-scan.
+  // ---------------------------------------------------------------------
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    ev.groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("k") < 50, 1L).otherwise(0L)).as("n_small"))
+      .withColumn("avg_k",
+        col("sum_k").cast("double") / col("n"))
+      .orderBy("event_type")
+  }
+  private val q25Sql =
+    """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  SUM(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS n_small,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q26 — sketch-based distinct counting (HLL++): the 100 TB scale path
+  // for COUNT(DISTINCT). Exact distinct shuffles every distinct key;
+  // approx_count_distinct merges fixed-size HLL sketches map-side, so
+  // the shuffle is O(sketch × groups) no matter how many keys. No SQL
+  // oracle — DuckDB's HLL implementation differs — so this is a
+  // rows-only driver check; ScalePathsSpec pins the ≤5% error bound
+  // against the exact count.
+  // ---------------------------------------------------------------------
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01)
+          .as("approx_buyers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -319,6 +367,8 @@ object Advanced {
     QueryDef("q24_argmax_profile", Some(q24Sql), q24),
     QueryDef("a10_running_total", Some(a10Sql), a10),
     QueryDef("j08_salted_agg", Some(j08Sql), j08),
-    QueryDef("x25_incremental_dedup", Some(x25Sql), x25)
+    QueryDef("x25_incremental_dedup", Some(x25Sql), x25),
+    QueryDef("q25_json_extract", Some(q25Sql), q25),
+    QueryDef("q26_approx_distinct", None, q26)
   )
 }

@@ -19,6 +19,21 @@ class ScalePathsSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("q26_approx_distinct tracks per-group exact within its rsd bound") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+    val approx = SparkEntry.queries("q26_approx_distinct")(spark, sf)
+    val joined = approx.join(exact, "o_orderpriority").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_buyers")
+      val e = r.getAs[Long]("exact")
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"${r.getAs[String]("o_orderpriority")}: exact=$e approx=$a")
+    }
+  }
+
   test("date-partitioned writes prune partitions under a date filter") {
     val dir = java.nio.file.Files.createTempDirectory("part_prune")
     Tables.events(spark, sf)
