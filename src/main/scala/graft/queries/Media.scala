@@ -177,11 +177,45 @@ object Media {
        |  ${sqlDsum("value")} AS total_value
        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ST3 — stream-stream interval join (batch form): purchases
+  // attributed to a preceding view by the same user within 30 minutes.
+  // The SAME graft.streaming.StreamJoin.attributed transform runs as a
+  // watermarked two-stream join (state bounded to the horizon — proven
+  // by StreamJoinSpec's eviction test); this batch twin pins the pair
+  // semantics against the oracle. Plan: equi-join on user_id (one keyed
+  // shuffle) with the time bound as a residual — never a theta join.
+  // Output timestamps in integer epoch-micros, the precision contract
+  // both engines agree on exactly.
+  // ---------------------------------------------------------------------
+  private def st03(s: SparkSession, d: String): DataFrame = {
+    graft.streaming.StreamJoin.attributed(Tables.events(s, d))
+      .select(col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_value"))
+      .orderBy("user_id", "view_us", "purchase_us")
+  }
+  private val st03Sql =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS view_us FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS purchase_us, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, view_us, purchase_us,
+      |       p.value AS purchase_value
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND purchase_us >= view_us
+      |  AND purchase_us <= view_us + 1800000000
+      |ORDER BY user_id, view_us, purchase_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
     QueryDef("st01_event_windows", Some(st01Sql), st01),
-    QueryDef("st02_sessionize", Some(st02Sql), st02)
+    QueryDef("st02_sessionize", Some(st02Sql), st02),
+    QueryDef("st03_stream_join", Some(st03Sql), st03)
   )
 }
