@@ -107,6 +107,47 @@ object Sources {
       df.write.mode(mode).jdbc(url, name, props)
     }
 
+  /** Small-file compaction — the table-maintenance op every long-lived
+    * lake needs: streaming sinks, per-trigger micro-batches, and
+    * over-parallel writes leave thousands of KB-sized files whose
+    * open/footer overhead dominates scans long before row count does.
+    * Rewrites a directory to ≈`targetBytes` files per partition using
+    * the actual on-disk size (not a guessed file count), preserving
+    * hive partition columns if present.
+    *
+    * Atomicity: writes to `<dir>.compact.tmp` then swaps via two
+    * renames — readers never see a half-written table (rename is atomic
+    * per-directory on HDFS-like filesystems; object stores would use a
+    * manifest swap instead).
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val df = spark.read.parquet(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    if (partitionCols.nonEmpty) {
+      // one file per hive directory: all rows of a partition value land
+      // in one writer. (A partition value bigger than targetBytes would
+      // need an additional salt split — date-grain partitions at this
+      // table's write sizes sit well under it.)
+      df.repartition(partitionCols.map(org.apache.spark.sql.functions
+          .col): _*)
+        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    } else {
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      df.repartition(n).write.parquet(tmp.toString)
+    }
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    fs.getContentSummary(path).getLength
+  }
+
   /** S6: single-document JSON report sink (driver-side, tiny). */
   def writeJsonReport(json: String, path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -69,6 +69,40 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.orc(spark, s"$out/nope").isEmpty)
   }
 
+  test("compact collapses a small-file explosion, preserving content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact")
+      .resolve("t").toString
+    // 64 tiny files — a streaming-sink-shaped layout
+    (1 to 1024).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(64).write.parquet(dir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(dir) == 64)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    Sources.compact(spark, dir)
+    assert(files(dir) == 1, "1 GB-of-margin target must yield one file")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+  }
+
+  test("compact preserves hive partitions (one file per partition dir)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_p")
+      .resolve("t").toString
+    (1 to 300).map(i => (i.toLong, i % 3)).toDF("id", "day")
+      .repartition(20).write.partitionBy("day").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    Sources.compact(spark, dir, partitionCols = Seq("day"))
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(partDirs.length == 3)
+    partDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not compacted")
+    }
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+  }
+
   test("S6 json report sink writes the Quality report shape") {
     val f = java.nio.file.Files.createTempDirectory("rep")
       .resolve("report.json").toString
