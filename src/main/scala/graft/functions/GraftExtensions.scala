@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(args.head, args(1))))
+    // analysis-time refusal of large×large unkeyed joins (see
+    // CartesianGuard scaladoc for the policy and opt-outs)
+    e.injectCheckRule(session => new graft.plans.CartesianGuard(session))
   }
 }
