@@ -358,6 +358,37 @@ object Advanced {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------------
+  // X26 — deterministic epoch shuffle: a seeded global permutation of
+  // the training corpus (each epoch reshuffles with a new seed, every
+  // rerun of the same seed reproduces the same order — required for
+  // resumable training and debugging loss spikes). The permutation key
+  // is an explicit integer mix expressible in both engines (Knuth
+  // multiplicative + seeded offset, mod 2^32); positions are minted by
+  // EntityResolution.mintKeys' two-phase range-partition+zipWithIndex —
+  // a real distributed sort, NEVER a single-partition row_number
+  // window. One range shuffle at any scale; shard-count independent.
+  // ---------------------------------------------------------------------
+  private val ShuffleSeed = 1L
+
+  private def x26(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      ((col("doc_id") * 2654435761L + lit(ShuffleSeed) * 2246822519L)
+        % 4294967296L).as("shuffle_key"))
+    graft.etl.EntityResolution
+      .mintKeys(keyed, "pos", col("shuffle_key"), col("doc_id"))
+      .select(col("pos"), col("doc_id"), col("shuffle_key"))
+      .orderBy("pos")
+  }
+  private val x26Sql =
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+       |  doc_id, shuffle_key
+       |FROM (SELECT doc_id,
+       |        (doc_id * 2654435761 + $ShuffleSeed * 2246822519)
+       |          % 4294967296 AS shuffle_key
+       |      FROM documents)
+       |ORDER BY pos""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -369,6 +400,7 @@ object Advanced {
     QueryDef("j08_salted_agg", Some(j08Sql), j08),
     QueryDef("x25_incremental_dedup", Some(x25Sql), x25),
     QueryDef("q25_json_extract", Some(q25Sql), q25),
-    QueryDef("q26_approx_distinct", None, q26)
+    QueryDef("q26_approx_distinct", None, q26),
+    QueryDef("x26_epoch_shuffle", Some(x26Sql), x26)
   )
 }
