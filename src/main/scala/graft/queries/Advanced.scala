@@ -389,6 +389,41 @@ object Advanced {
        |      FROM documents)
        |ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A11 — top-k per key via the bounded-heap aggregator: q24's "top
+  // record per key" generalized to k=3, computed WITHOUT the window
+  // shuffle-everything-and-sort plan. functions.TopKPerKey prunes to
+  // ≤k rows per key inside each map partition's hash aggregate, so the
+  // one shuffle carries k×keys×partitions rows — at 100 TB that is the
+  // difference between exchanging the fact table and exchanging a few
+  // rows per key. The oracle is the plain ROW_NUMBER()<=k window SQL,
+  // proving the rewrite row-exact (total order: value desc, id asc).
+  // ---------------------------------------------------------------------
+  private def a11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKPerKey}
+    val ds = Tables.events(s, d)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues { case (_, v, id) => Scored(v, id) }
+      .agg(new TopKPerKey(3).toColumn.name("top"))
+      .flatMap { case (u, arr) =>
+        arr.iterator.zipWithIndex.map { case (sc, i) =>
+          (u, (i + 1).toLong, sc.value, sc.id)
+        }
+      }
+      .toDF("user_id", "rank", "value", "event_id")
+      .orderBy("user_id", "rank")
+  }
+  private val a11Sql =
+    """SELECT user_id, rn AS rank, value, event_id
+      |FROM (SELECT user_id, event_id, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -401,6 +436,7 @@ object Advanced {
     QueryDef("x25_incremental_dedup", Some(x25Sql), x25),
     QueryDef("q25_json_extract", Some(q25Sql), q25),
     QueryDef("q26_approx_distinct", None, q26),
-    QueryDef("x26_epoch_shuffle", Some(x26Sql), x26)
+    QueryDef("x26_epoch_shuffle", Some(x26Sql), x26),
+    QueryDef("a11_topk_per_key", Some(a11Sql), a11)
   )
 }
