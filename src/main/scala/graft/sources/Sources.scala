@@ -148,6 +148,31 @@ object Sources {
     fs.getContentSummary(path).getLength
   }
 
+  /** Partition retention — TTL enforcement on a hive-partitioned table
+    * (the other half of lake maintenance next to [[compact]]): drop
+    * whole partition directories whose partition value sorts strictly
+    * below `cutoff`. Deleting at the directory level is O(partitions)
+    * metadata work with zero data rewrite — the reason date-partitioned
+    * layouts are how retention is done at 100 TB (a row-level DELETE
+    * would rewrite every file). String comparison matches hive's
+    * lexicographic partition ordering, which for ISO dates and
+    * zero-padded keys equals value ordering.
+    *
+    * Returns the dropped partition values. */
+  def expirePartitions(spark: SparkSession, dir: String, partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Nil
+    val prefix = s"$partitionCol="
+    fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < cutoff }
+      .sortBy(_._2)
+      .map { case (p, v) => fs.delete(p, true); v }
+  }
+
   /** S6: single-document JSON report sink (driver-side, tiny). */
   def writeJsonReport(json: String, path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -103,6 +103,24 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
   }
 
+  test("expirePartitions drops only partitions below the cutoff") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("expire")
+      .resolve("t").toString
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"),
+        (4L, "2024-01-03"))
+      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+    val dropped = Sources.expirePartitions(spark, dir, "day", "2024-01-03")
+    assert(dropped == Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(dir)
+    assert(left.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(left.select("day").distinct().count() == 1)
+    // idempotent: nothing left below the cutoff
+    assert(Sources.expirePartitions(spark, dir, "day", "2024-01-03").isEmpty)
+    // missing table: no-op
+    assert(Sources.expirePartitions(spark, s"$dir-nope", "day", "x").isEmpty)
+  }
+
   test("S6 json report sink writes the Quality report shape") {
     val f = java.nio.file.Files.createTempDirectory("rep")
       .resolve("report.json").toString
