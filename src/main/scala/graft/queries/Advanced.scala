@@ -424,6 +424,74 @@ object Advanced {
       |      FROM events)
       |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A12 — RANGE-frame trailing window: per-customer 7-day trailing
+  // spend, where the frame is defined by VALUE distance (day number),
+  // not row count. Distinct from a08's ROWS frame: with sparse order
+  // days, ROWS BETWEEN 6 PRECEDING spans ~7 orders regardless of date;
+  // RANGE BETWEEN 6 PRECEDING spans exactly the last 7 calendar days.
+  // Same single keyed shuffle; the range frame is evaluated by a
+  // sliding-bound scan within each sorted partition.
+  // ---------------------------------------------------------------------
+  private def a12(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("day_num"),
+      col("o_totalprice"))
+    // pre-aggregate to (customer, day) grain first: the window then
+    // slides over bounded day rows, and ties within a day can't make
+    // the frame sum ambiguous
+    val daily = o.groupBy("o_custkey", "day_num")
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("day_spend"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("o_custkey"), col("day_num"),
+        col("day_spend").cast("double").as("day_spend"),
+        sum(col("day_spend")).over(w).cast("double").as("trailing_7d"))
+      .orderBy("o_custkey", "day_num")
+  }
+  private val a12Sql =
+    """WITH daily AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS day_num,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS day_spend
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, day_num, CAST(day_spend AS DOUBLE) AS day_spend,
+      |  CAST(SUM(day_spend) OVER (PARTITION BY o_custkey ORDER BY day_num
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_7d
+      |FROM daily ORDER BY o_custkey, day_num""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A13 — forward fill (last-non-null carry): sensor-style sparse
+  // readings propagated forward per user in event-time order. Spark's
+  // `last(_, ignoreNulls)` over an unbounded-preceding frame ≡ SQL
+  // LAST_VALUE(x IGNORE NULLS) — one keyed shuffle, one sort per
+  // partition, the standard time-series densification step. Nulls are
+  // planted deterministically (event_id % 3 = 0) so both engines agree
+  // on exactly which readings are missing.
+  // ---------------------------------------------------------------------
+  private def a13(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      when(col("event_id") % 3 =!= 0, col("value")).as("reading"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("tus"), col("reading"),
+        last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "tus", "event_id")
+  }
+  private val a13Sql =
+    """SELECT user_id, event_id, tus, reading,
+      |  LAST_VALUE(reading IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        CASE WHEN event_id % 3 <> 0 THEN value END AS reading
+      |      FROM events)
+      |ORDER BY user_id, tus, event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -437,6 +505,8 @@ object Advanced {
     QueryDef("q25_json_extract", Some(q25Sql), q25),
     QueryDef("q26_approx_distinct", None, q26),
     QueryDef("x26_epoch_shuffle", Some(x26Sql), x26),
-    QueryDef("a11_topk_per_key", Some(a11Sql), a11)
+    QueryDef("a11_topk_per_key", Some(a11Sql), a11),
+    QueryDef("a12_range_frame", Some(a12Sql), a12),
+    QueryDef("a13_forward_fill", Some(a13Sql), a13)
   )
 }
