@@ -121,6 +121,23 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.expirePartitions(spark, s"$dir-nope", "day", "x").isEmpty)
   }
 
+  test("schema evolution: old and new file generations read together " +
+      "with mergeSchema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve")
+      .resolve("t").toString
+    // generation 1: (id, v); generation 2 adds a column
+    Seq((1L, 10.0)).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, 20.0, "eu")).toDF("id", "v", "region").write.mode("append")
+      .parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "region", "v"))
+    val rows = merged.select("id", "v", "region").orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    // old-generation rows surface the new column as null
+    assert(rows == Seq((1L, 10.0, None), (2L, 20.0, Some("eu"))))
+  }
+
   test("S6 json report sink writes the Quality report shape") {
     val f = java.nio.file.Files.createTempDirectory("rep")
       .resolve("report.json").toString
