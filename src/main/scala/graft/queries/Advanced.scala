@@ -492,6 +492,47 @@ object Advanced {
       |      FROM events)
       |ORDER BY user_id, tus, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X27 — corpus-statistics fluency score: rate each document by the
+  // average corpus frequency of its bigrams (the integer-exact core of
+  // a KenLM-style LM filter — rare-bigram docs are gibberish/boilerplate
+  // candidates, a standard pretraining quality signal). Two passes over
+  // one exploded bigram relation: corpus counts (shuffle on the bigram
+  // key — vocabulary-sized), then a self-join on the same key and a
+  // per-doc aggregate. NO broadcast hint: the vocabulary grows with the
+  // corpus. Scoring is an integer sum divided once at the end, so both
+  // engines agree bit-for-bit (no per-row float log-probs to drift).
+  // ---------------------------------------------------------------------
+  private def x27(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bigram"))
+    val counts = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
+    bi.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("c")).cast("double") / count(lit(1)))
+          .as("avg_bigram_freq"))
+      .orderBy("doc_id")
+  }
+  private val x27Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> concat(w[i], ' ', w[i + 1]))) AS bigram
+      |  FROM toks),
+      |cnt AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
+      |FROM bi JOIN cnt USING (bigram)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -507,6 +548,7 @@ object Advanced {
     QueryDef("x26_epoch_shuffle", Some(x26Sql), x26),
     QueryDef("a11_topk_per_key", Some(a11Sql), a11),
     QueryDef("a12_range_frame", Some(a12Sql), a12),
-    QueryDef("a13_forward_fill", Some(a13Sql), a13)
+    QueryDef("a13_forward_fill", Some(a13Sql), a13),
+    QueryDef("x27_ngram_fluency", Some(x27Sql), x27)
   )
 }
