@@ -533,6 +533,54 @@ object Advanced {
       |FROM bi JOIN cnt USING (bigram)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X28 — snapshot diff: added/removed/changed between two corpus
+  // snapshots (nightly-crawl delta computation — the PRODUCING side of
+  // CDC, whose applying side is streaming.CdcMerge). One full-outer
+  // join on the document key; change detection compares content
+  // fingerprints, not full text, so the shuffle carries (key, hash)
+  // pairs — at 100 TB the text columns are pruned from both scans.
+  // Unchanged rows are dropped from the output (the overwhelming
+  // majority at scale — a diff that shipped them would be a copy).
+  // Snapshots are carved deterministically from the documents table so
+  // the oracle sees the identical inputs.
+  // ---------------------------------------------------------------------
+  private def x28(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("old_h"))
+    val nw = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_h"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+  private val x28Sql =
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS old_h FROM documents
+      |  WHERE doc_id % 10 <> 7),
+      |nw AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+      |                          THEN concat(text, ' v2')
+      |                          ELSE text END) AS new_h
+      |  FROM documents WHERE doc_id % 10 <> 3)
+      |SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+      |  CASE WHEN old_h IS NULL THEN 'added'
+      |       WHEN new_h IS NULL THEN 'removed'
+      |       WHEN old_h <> new_h THEN 'changed' END AS status
+      |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+      |WHERE (CASE WHEN old_h IS NULL THEN 'added'
+      |            WHEN new_h IS NULL THEN 'removed'
+      |            WHEN old_h <> new_h THEN 'changed' END) IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -549,6 +597,7 @@ object Advanced {
     QueryDef("a11_topk_per_key", Some(a11Sql), a11),
     QueryDef("a12_range_frame", Some(a12Sql), a12),
     QueryDef("a13_forward_fill", Some(a13Sql), a13),
-    QueryDef("x27_ngram_fluency", Some(x27Sql), x27)
+    QueryDef("x27_ngram_fluency", Some(x27Sql), x27),
+    QueryDef("x28_snapshot_diff", Some(x28Sql), x28)
   )
 }
