@@ -581,6 +581,86 @@ object Advanced {
       |            WHEN old_h <> new_h THEN 'changed' END) IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J9 — bloom-pruned selective join through the oracle gate: revenue
+  // per supplier for ONE nation's suppliers (≈4% of the key space).
+  // etl.BloomPrune filters the fact side BEFORE its join shuffle with
+  // an ~KB bitset built from the key side — at 100 TB the exchange
+  // carries the matching ~4% instead of the whole fact table. The
+  // oracle is the PLAIN join SQL: false positives only add rows the
+  // exact join then drops, so the pruned plan must produce the
+  // identical result — which is exactly what this query proves.
+  // ---------------------------------------------------------------------
+  private def j09(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.supplier(s, d)
+      .filter(col("s_nationkey") === 5).select(col("s_suppkey"))
+    val expected = math.max(1L, keys.count())
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val pruned = graft.etl.BloomPrune.prune(
+      fact, "l_suppkey", keys, "s_suppkey", expected)
+    pruned.join(keys, pruned("l_suppkey") === keys("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_suppkey")
+  }
+  private val j09Sql =
+    s"""SELECT l_suppkey, COUNT(*) AS n_items,
+       |  ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE s_nationkey = 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J10 — SCD2 point-in-time reads: the dimension as it stood BEFORE
+  // and AFTER the j04 merge date, via Scd2.asOf (a pure interval
+  // filter — no shuffle, pushes to the scan, so a fact build can
+  // broadcast the result like any dim). The oracle derives both
+  // snapshots directly from the base table + the deterministic update
+  // rule, pinning the interval semantics end-to-end: pre-date probes
+  // see original values only; post-date probes see resegmented rows
+  // and the brand-new negated keys.
+  // ---------------------------------------------------------------------
+  private def j10(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Scd2
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val current = Scd2.seed(cust, lit("1992-01-01"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 6 === 0, lit("RESEGMENTED"))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") % 50 === 0)
+        .select((-col("c_custkey") - 1).as("c_custkey"),
+          lit("NEWKEY").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+    val state = Scd2.merge(current, updates, Seq("c_custkey"),
+      Seq("c_mktsegment", "c_acctbal"),
+      lit("1995-06-01").cast(org.apache.spark.sql.types.DateType))
+    def probe(dt: String): DataFrame =
+      Scd2.asOf(state, lit(dt)).select(
+        lit(dt).cast(org.apache.spark.sql.types.DateType).as("probe_date"),
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    probe("1995-01-01").unionByName(probe("1995-12-31"))
+      .orderBy("probe_date", "c_custkey")
+  }
+  private val j10Sql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+      |SELECT DATE '1995-01-01' AS probe_date, c_custkey, c_mktsegment,
+      |       c_acctbal
+      |FROM base
+      |UNION ALL
+      |SELECT DATE '1995-12-31', c_custkey,
+      |  CASE WHEN c_custkey % 6 = 0 THEN 'RESEGMENTED'
+      |       ELSE c_mktsegment END,
+      |  c_acctbal
+      |FROM base
+      |UNION ALL
+      |SELECT DATE '1995-12-31', -c_custkey - 1, 'NEWKEY', 0.0
+      |FROM base WHERE c_custkey % 50 = 0
+      |ORDER BY probe_date, c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -598,6 +678,8 @@ object Advanced {
     QueryDef("a12_range_frame", Some(a12Sql), a12),
     QueryDef("a13_forward_fill", Some(a13Sql), a13),
     QueryDef("x27_ngram_fluency", Some(x27Sql), x27),
-    QueryDef("x28_snapshot_diff", Some(x28Sql), x28)
+    QueryDef("x28_snapshot_diff", Some(x28Sql), x28),
+    QueryDef("j09_bloom_join", Some(j09Sql), j09),
+    QueryDef("j10_scd2_asof", Some(j10Sql), j10)
   )
 }
