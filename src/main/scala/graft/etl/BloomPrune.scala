@@ -30,10 +30,14 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomPrune {
 
-  /** Build a bloom filter over `keys.keyCol` (long keys). */
+  /** Build a bloom filter over `keys.keyCol` (long keys). An EMPTY key
+    * side yields an empty filter (mightContain false for everything —
+    * the semantically correct "prune all" answer); Spark's own
+    * `stat.bloomFilter` NPEs on the null aggregate that case produces. */
   def build(keys: DataFrame, keyCol: String, expectedKeys: Long,
       fpp: Double = 0.01): BloomFilter =
-    keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    if (keys.isEmpty) BloomFilter.create(math.max(1L, expectedKeys), fpp)
+    else keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
 
   /** Predicate column: does `c` possibly appear in the filter? */
   def mightContain(bf: BloomFilter)(c: Column): Column = {

@@ -583,17 +583,19 @@ object Advanced {
 
   // ---------------------------------------------------------------------
   // J9 — bloom-pruned selective join through the oracle gate: revenue
-  // per supplier for ONE nation's suppliers (≈4% of the key space).
-  // etl.BloomPrune filters the fact side BEFORE its join shuffle with
-  // an ~KB bitset built from the key side — at 100 TB the exchange
-  // carries the matching ~4% instead of the whole fact table. The
-  // oracle is the PLAIN join SQL: false positives only add rows the
-  // exact join then drops, so the pruned plan must produce the
-  // identical result — which is exactly what this query proves.
+  // for a ~20% supplier slice (every 5th key — deterministic and
+  // non-empty at every scale factor, unlike a nation predicate that a
+  // 10-row sf0.001 supplier table can miss entirely). etl.BloomPrune
+  // filters the fact side BEFORE its join shuffle with an ~KB bitset
+  // built from the key side — at 100 TB the exchange carries the
+  // matching slice instead of the whole fact table. The oracle is the
+  // PLAIN join SQL: false positives only add rows the exact join then
+  // drops, so the pruned plan must produce the identical result —
+  // which is exactly what this query proves.
   // ---------------------------------------------------------------------
   private def j09(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.supplier(s, d)
-      .filter(col("s_nationkey") === 5).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 5 === 0).select(col("s_suppkey"))
     val expected = math.max(1L, keys.count())
     val fact = Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_extendedprice"))
@@ -609,7 +611,7 @@ object Advanced {
     s"""SELECT l_suppkey, COUNT(*) AS n_items,
        |  ${sqlDsum("l_extendedprice")} AS revenue
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-       |WHERE s_nationkey = 5
+       |WHERE s_suppkey % 5 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
