@@ -663,6 +663,33 @@ object Advanced {
       |FROM base WHERE c_custkey % 50 = 0
       |ORDER BY probe_date, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q28 — relative-rank windows: percent_rank and cume_dist of each
+  // customer's balance within their market segment (the "what
+  // percentile is this account in" report). Both are rational
+  // functions of integer ranks — (rank-1)/(n-1) and rows≤current/n —
+  // so the doubles are bit-identical across engines. Same single
+  // keyed window shuffle as every per-segment ranking; the DENSE_RANK
+  // tie-break keeps output deterministic under equal balances.
+  // ---------------------------------------------------------------------
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+  private val q28Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cum_dist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -682,6 +709,7 @@ object Advanced {
     QueryDef("x27_ngram_fluency", Some(x27Sql), x27),
     QueryDef("x28_snapshot_diff", Some(x28Sql), x28),
     QueryDef("j09_bloom_join", Some(j09Sql), j09),
-    QueryDef("j10_scd2_asof", Some(j10Sql), j10)
+    QueryDef("j10_scd2_asof", Some(j10Sql), j10),
+    QueryDef("q28_relative_rank", Some(q28Sql), q28)
   )
 }
