@@ -69,4 +69,49 @@ object Asof {
         (col(s"__m.__rts").as(s"${prefix}ts") +:
           rPayload.map(c => col(s"__m.$c").as(s"$prefix$c"))): _*)
   }
+
+  /** The same semantics through the NATIVE physical operator
+    * (`plans.AsofJoinExec` — co-partitioned two-pointer merge, no
+    * union/struct/window machinery; see its scaladoc for the plan
+    * shape). Output columns mirror [[join]] exactly, so the two paths
+    * are directly comparable — which is how AsofJoinExecSpec pins the
+    * operator. Registers the planner strategy on the session
+    * idempotently; tolerance is not yet supported on this path. */
+  def nativeJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_")
+      : DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, new graft.plans.AsofJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    // self-join guard: the analyzer's DeduplicateRelations only knows
+    // built-in Join nodes, so two sides derived from the same scan
+    // arrive with IDENTICAL attribute ids and references cross-bind.
+    // Re-alias the right side (fresh exprIds) whenever ids collide.
+    val rightD =
+      if (right.queryExecution.analyzed.output
+          .exists(lPlan.outputSet.contains))
+        right.select(right.columns.map(c => right(c).as(c)): _*)
+      else right
+    val rPlan = rightD.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsofJoin(lPlan, rPlan,
+      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs))
+    val joined = Bridge.ofRows(spark, node)
+    val lAttrs = node.output.take(lPlan.output.size)
+    val rAttrs = node.output.drop(lPlan.output.size)
+    val lByName = lAttrs.map(a => a.name -> a).toMap
+    val rByName = rAttrs.map(a => a.name -> a).toMap
+    val lPayload = left.columns.filterNot(key.contains).toSeq
+    val rPayload = right.columns
+      .filterNot(c => key.contains(c) || c == rightTs).toSeq
+    joined.select(
+      (key ++ lPayload).map(c => Bridge.column(lByName(c))) ++
+        (Bridge.column(rByName(rightTs)).as(s"${prefix}ts") +:
+          rPayload.map(c => Bridge.column(rByName(c)).as(s"$prefix$c"))): _*)
+  }
 }

@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis-time refusal of large×large unkeyed joins (see
     // CartesianGuard scaladoc for the policy and opt-outs)
     e.injectCheckRule(session => new graft.plans.CartesianGuard(session))
+    // plans the native as-of join (plans.AsofJoin → AsofJoinExec);
+    // Asof.nativeJoin also self-registers on sessions without extensions
+    e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

@@ -690,6 +690,44 @@ object Advanced {
       |             ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J11 — the NATIVE as-of join physical operator (plans.AsofJoinExec:
+  // custom LogicalPlan + SparkStrategy + SparkPlan; co-partitioned
+  // two-pointer merge — no union, no struct boxing, no window state)
+  // through the oracle gate. Identical query shape and oracle to j05,
+  // which runs the union+window formulation — together they pin both
+  // paths to the same DuckDB ASOF-equivalent answer.
+  // ---------------------------------------------------------------------
+  private def j11(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.etl.Asof.nativeJoin(purch, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        unix_micros(col("asof_ts")).as("asof_ts_us"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+  private val j11Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purch AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |         c.ctus AS asof_ts_us, c.click_id,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ctus DESC) AS rn
+      |  FROM purch p LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND c.ctus <= p.ts_us)
+      |SELECT event_id, user_id, ts_us, value, asof_ts_us, click_id
+      |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -710,6 +748,7 @@ object Advanced {
     QueryDef("x28_snapshot_diff", Some(x28Sql), x28),
     QueryDef("j09_bloom_join", Some(j09Sql), j09),
     QueryDef("j10_scd2_asof", Some(j10Sql), j10),
-    QueryDef("q28_relative_rank", Some(q28Sql), q28)
+    QueryDef("q28_relative_rank", Some(q28Sql), q28),
+    QueryDef("j11_asof_native", Some(j11Sql), j11)
   )
 }
