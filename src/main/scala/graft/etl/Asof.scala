@@ -76,10 +76,11 @@ object Asof {
     * shape). Output columns mirror [[join]] exactly, so the two paths
     * are directly comparable — which is how AsofJoinExecSpec pins the
     * operator. Registers the planner strategy on the session
-    * idempotently; tolerance is not yet supported on this path. */
+    * idempotently; `toleranceUs` nulls out matches staler than the
+    * bound, same contract as [[join]]. */
   def nativeJoin(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTs: String, rightTs: String, prefix: String = "asof_")
-      : DataFrame = {
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val spark = left.sparkSession
@@ -100,7 +101,7 @@ object Asof {
         throw new IllegalArgumentException(s"column $n not found"))
     val node = graft.plans.AsofJoin(lPlan, rPlan,
       key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs))
+      attr(lPlan, leftTs), attr(rPlan, rightTs), toleranceUs)
     val joined = Bridge.ofRows(spark, node)
     val lAttrs = node.output.take(lPlan.output.size)
     val rAttrs = node.output.drop(lPlan.output.size)

@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -50,8 +51,8 @@ case class AsofJoin(
   * `spark.experimental.extraStrategies`. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +60,8 @@ class AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -90,6 +92,7 @@ case class AsofJoinExec(
     val rTimeExpr = rightTime
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
+    val tol = toleranceUs
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -111,6 +114,7 @@ case class AsofJoinExec(
         // current left key
         private var curMatch: InternalRow = _
         private var curMatchKey: UnsafeRow = _
+        private var curMatchTime: Long = 0L
 
         private def advanceRight(): Unit = {
           rHead = null
@@ -139,12 +143,16 @@ case class AsofJoinExec(
           }
           var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lk)
           while (rHead != null && (cmp < 0 || (cmp == 0 && rHeadTime <= lt))) {
-            if (cmp == 0) { curMatch = rHead; curMatchKey = rHeadKey }
+            if (cmp == 0) {
+              curMatch = rHead; curMatchKey = rHeadKey
+              curMatchTime = rHeadTime
+            }
             advanceRight()
             cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lk)
           }
           val m =
-            if (curMatch != null && keyOrd.compare(curMatchKey, lk) == 0)
+            if (curMatch != null && keyOrd.compare(curMatchKey, lk) == 0 &&
+                tol.forall(t => lt - curMatchTime <= t))
               curMatch
             else nullRight
           toUnsafe(joined(l, m))

@@ -22,6 +22,25 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(viaNative.nonEmpty)
   }
 
+  test("tolerance parity: stale matches null out identically on both " +
+      "paths") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val tol = Some(3600L * 1000000L) // 1 hour
+    val viaWindow = Asof.join(purch, clicks, Seq("user_id"), "ts", "ts",
+        toleranceUs = tol).collect().map(_.toSeq).toSet
+    val viaNative = Asof.nativeJoin(purch, clicks, Seq("user_id"), "ts",
+        "ts", toleranceUs = tol).collect().map(_.toSeq).toSet
+    assert(viaNative == viaWindow)
+    // the tolerance must actually null something out vs the unbounded run
+    val unbounded = Asof.nativeJoin(purch, clicks, Seq("user_id"), "ts",
+        "ts").collect().map(_.toSeq).toSet
+    assert(viaNative != unbounded)
+  }
+
   test("edge semantics: no-match nulls, exact-ts taken, latest-of-ties") {
     import spark.implicits._
     val left = Seq(
