@@ -33,6 +33,26 @@ object EventStream {
     * (delegates to the shared encoding-adaptive rule). */
   def normalize(raw: DataFrame): DataFrame = graft.Tables.normalizeTs(raw)
 
+  /** Per-user gap sessions via Spark's NATIVE `session_window`
+    * aggregation — the built-in alternative to the custom
+    * flatMapGroupsWithState in [[Sessionize]] (use the built-in when
+    * the per-session result is a plain aggregate; drop to custom state
+    * only for arbitrary per-session logic). Same 1800 s gap as
+    * Sessionize, so the two produce identical session boundaries —
+    * asserted by spec. Works identically over batch and stream frames;
+    * with a watermark, closed sessions evict from state. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"),
+        s"${Sessionize.gapSeconds} seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("n_events"), col("total_value"))
+
   /** Open the events table as a file stream and start the windowed
     * aggregation into an in-memory sink named `queryName`.
     *

@@ -43,4 +43,26 @@ class SessionizeSpec extends SparkSpec {
     assert(stateful == batch -- lastPerUser)
     assert(stateful.nonEmpty)
   }
+
+  test("native session_window agrees with the custom sessionizer's " +
+      "boundaries and aggregates") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", coalesce($"value", lit(0.0)).as("value"))
+    // totals rounded to 6dp: sessionWindows accumulates exact decimals,
+    // sessionsBatch sums raw doubles — boundaries/counts must agree
+    // exactly, totals up to summation-order ulps
+    def canon(t: (Long, Long, Long, Double)) =
+      (t._1, t._2, t._3, math.rint(t._4 * 1e6) / 1e6)
+    val native = EventStream.sessionWindows(ev).collect()
+      .map(r => canon((r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3))))
+      .toSet
+    val reference = Sessionize
+      .sessionsBatch(spark, ev.as[Sessionize.Event]).collect()
+      .map(s => canon((s.user_id, s.start.getTime, s.n_events.toLong,
+        s.total_value)))
+      .toSet
+    assert(native == reference)
+    assert(native.nonEmpty)
+  }
 }
