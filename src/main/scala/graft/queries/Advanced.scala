@@ -728,6 +728,35 @@ object Advanced {
       |SELECT event_id, user_id, ts_us, value, asof_ts_us, click_id
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J12 — skew-salted JOIN through the oracle gate (the join half of
+  // the Skew toolkit; j08 proves the aggregate half). events has ~5
+  // hot event_type keys — a plain join funnels each key through one
+  // reducer at 100 TB. Skew.saltedJoin explodes the dim side
+  // saltBuckets times and salts the fact side, spreading each hot key
+  // over 16 reducers. The oracle is the PLAIN join + group-by: any
+  // duplicated or lost pair changes the counts, so oracle equality
+  // proves the salted rewrite preserves pairs exactly once.
+  // ---------------------------------------------------------------------
+  private def j12(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Skew
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")))
+    Skew.saltedJoin(ev, dim, "event_type", 16)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value") * col("w")).as("weighted"))
+      .orderBy("event_type")
+  }
+  private val j12Sql =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+       |SELECT e.event_type, COUNT(*) AS n,
+       |  ${sqlDsum("e.value * d.w")} AS weighted
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -749,6 +778,7 @@ object Advanced {
     QueryDef("j09_bloom_join", Some(j09Sql), j09),
     QueryDef("j10_scd2_asof", Some(j10Sql), j10),
     QueryDef("q28_relative_rank", Some(q28Sql), q28),
-    QueryDef("j11_asof_native", Some(j11Sql), j11)
+    QueryDef("j11_asof_native", Some(j11Sql), j11),
+    QueryDef("j12_salted_join", Some(j12Sql), j12)
   )
 }
