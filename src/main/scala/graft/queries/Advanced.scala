@@ -757,6 +757,56 @@ object Advanced {
        |FROM events e JOIN dim d ON e.event_type = d.event_type
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X29 — corpus card: the per-source statistics report every corpus
+  // release ships (docs, size, language spread, top language, exact
+  // dup rate). One pass builds (source, lang) counts; the top language
+  // resolves by a deterministic (count desc, lang asc) window — never
+  // a driver-side collect; the dup ratio compares distinct content
+  // hashes to doc counts. Three keyed shuffles total (source+lang agg,
+  // source agg, hash distinct), each partial-aggregated map-side.
+  // ---------------------------------------------------------------------
+  private def x29(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val perLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("lang"))
+    val topLang = perLang
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").as("top_lang_docs"))
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+    base.join(topLang, Seq("source"))
+      .select("source", "n_docs", "total_chars", "n_langs", "top_lang",
+        "top_lang_docs", "dup_ratio")
+      .orderBy("source")
+  }
+  private val x29Sql =
+    """WITH per_lang AS (
+      |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, lang AS top_lang, n AS top_lang_docs
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY n DESC, lang) AS rn FROM per_lang)
+      |  WHERE rn = 1),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    COUNT(DISTINCT md5(text)) AS n_unique
+      |  FROM documents GROUP BY 1)
+      |SELECT b.source, n_docs, total_chars, n_langs, top_lang,
+      |  top_lang_docs,
+      |  1.0 - CAST(n_unique AS DOUBLE) / n_docs AS dup_ratio
+      |FROM base b JOIN top t ON b.source = t.source
+      |ORDER BY b.source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -779,6 +829,7 @@ object Advanced {
     QueryDef("j10_scd2_asof", Some(j10Sql), j10),
     QueryDef("q28_relative_rank", Some(q28Sql), q28),
     QueryDef("j11_asof_native", Some(j11Sql), j11),
-    QueryDef("j12_salted_join", Some(j12Sql), j12)
+    QueryDef("j12_salted_join", Some(j12Sql), j12),
+    QueryDef("x29_corpus_card", Some(x29Sql), x29)
   )
 }
