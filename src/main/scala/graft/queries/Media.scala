@@ -210,10 +210,53 @@ object Media {
       |  AND purchase_us <= view_us + 1800000000
       |ORDER BY user_id, view_us, purchase_us""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M4 — audio chunking: split each stub-decoded audio payload into
+  // fixed 10-second windows (the segmentation step before feature
+  // extraction / ASR batching). Sample rate and length derive
+  // deterministically from the byte length; chunk boundaries are pure
+  // integer arithmetic, and the 1→N explode is the same generator
+  // shape as m02's frame sampling — per-row work, zero shuffle. The
+  // last chunk is ragged (end clamped to n_samples), which the oracle
+  // pins exactly.
+  // ---------------------------------------------------------------------
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("sample_rate",
+        when(col("byte_len") % 2 === 0, 16000).otherwise(44100))
+      .withColumn("n_samples", (col("byte_len") + 1) * 4000)
+      .withColumn("chunk_samples", col("sample_rate") * 10)
+      .withColumn("chunk_idx", explode(expr(
+        "sequence(0, (n_samples - 1) div chunk_samples)")))
+      .select(col("doc_id"), col("sample_rate"), col("chunk_idx"),
+        (col("chunk_idx") * col("chunk_samples")).as("start_sample"),
+        least(col("chunk_idx") * col("chunk_samples")
+          + col("chunk_samples"), col("n_samples")).as("end_sample"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  private val m04Sql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN octet_length(encode(text)) % 2 = 0
+      |         THEN 16000 ELSE 44100 END AS sample_rate,
+      |    (octet_length(encode(text)) + 1) * 4000 AS n_samples
+      |  FROM documents),
+      |c AS (SELECT *, sample_rate * 10 AS chunk_samples FROM a)
+      |SELECT doc_id, sample_rate,
+      |  unnest(generate_series(0, (n_samples - 1) // chunk_samples))
+      |    AS chunk_idx,
+      |  unnest(generate_series(0, (n_samples - 1) // chunk_samples))
+      |    * chunk_samples AS start_sample,
+      |  LEAST(unnest(generate_series(0, (n_samples - 1) // chunk_samples))
+      |    * chunk_samples + chunk_samples, n_samples) AS end_sample
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
+    QueryDef("m04_audio_chunks", Some(m04Sql), m04),
     QueryDef("st01_event_windows", Some(st01Sql), st01),
     QueryDef("st02_sessionize", Some(st02Sql), st02),
     QueryDef("st03_stream_join", Some(st03Sql), st03)
