@@ -807,6 +807,63 @@ object Advanced {
       |FROM base b JOIN top t ON b.source = t.source
       |ORDER BY b.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A14 — WAU: trailing-7-day active users per day (the DAU/WAU/MAU
+  // engagement family). Exact sliding DISTINCT can't ride a window
+  // frame (distinct isn't subtractable), so this uses the standard
+  // explode-into-affected-windows rewrite: dedup to (user, day) grain
+  // FIRST (the big win — events collapse before any blowup), then each
+  // active day contributes to 7 report days, then count distinct per
+  // report day. Shuffles: one dedup, one count-distinct — both keyed,
+  // both partial-aggregated; the 7× explode happens on the small
+  // deduped grain, never on raw events.
+  // ---------------------------------------------------------------------
+  private def a14(s: SparkSession, d: String): DataFrame = {
+    val activeDays = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    activeDays
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("report_day"))
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("report_day")
+  }
+  private val a14Sql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |contrib AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+      |      AS report_day
+      |  FROM active)
+      |SELECT CAST(report_day AS DATE) AS report_day,
+      |  COUNT(DISTINCT user_id) AS wau
+      |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T18 — text canonicalization: the first pass of every corpus
+  // cleaning pipeline — collapse whitespace runs, trim, lowercase —
+  // as pure codegen'd row expressions (no UDF, zero shuffle). The
+  // output fingerprint (md5 of the canonical form) is what exact-dedup
+  // keys on when "same text modulo spacing/case" is the dedup notion.
+  // ---------------------------------------------------------------------
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("canon",
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .select(col("doc_id"), length(col("text")).as("raw_len"),
+        length(col("canon")).as("canon_len"),
+        md5(col("canon")).as("canon_fingerprint"))
+      .orderBy("doc_id")
+  }
+  private val t18Sql =
+    """SELECT doc_id, length(text) AS raw_len,
+      |  length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    AS canon_len,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    AS canon_fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
@@ -830,6 +887,8 @@ object Advanced {
     QueryDef("q28_relative_rank", Some(q28Sql), q28),
     QueryDef("j11_asof_native", Some(j11Sql), j11),
     QueryDef("j12_salted_join", Some(j12Sql), j12),
-    QueryDef("x29_corpus_card", Some(x29Sql), x29)
+    QueryDef("x29_corpus_card", Some(x29Sql), x29),
+    QueryDef("a14_wau", Some(a14Sql), a14),
+    QueryDef("t18_normalize", Some(t18Sql), t18)
   )
 }
