@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Steady-state timing of the real-data ETL (the number BASELINE.md's
+  * 9.22 s pandas run is compared against).
+  *
+  * The headline "real-data E2E" figure has always bundled three very
+  * different costs: JVM + SparkSession startup (fixed, amortized to
+  * zero on a long-lived cluster), first-run JIT/codegen warmup, and
+  * the actual per-row extract→transform→validate→write work. This main
+  * separates them the honest way: ONE session, the full pipeline run
+  * twice back-to-back (cold then warm), phase times from Pipeline.run's
+  * own `[etl-phase]` instrumentation. The warm figure is the pipeline's
+  * real marginal cost — what a second dataset through the same session
+  * pays — and the cold−warm delta is the fixed tax.
+  *
+  * Usage: runMain graft.RealBench [dataDir] [outBase]
+  * Prints one JSON line: {"cold_sec":…,"warm_sec":…,"session_sec":…}.
+  */
+object RealBench {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/reference/data")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_realbench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val t0 = System.nanoTime()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-realbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", GraftSession.localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tSession = (System.nanoTime() - t0) / 1e9
+
+    def once(out: String): Double = {
+      val t = System.nanoTime()
+      val res = etl.Pipeline.run(spark,
+        etl.Pipeline.fileInputs(spark, base), Some(out))
+      require(res.report.score > 0, "pipeline produced no quality score")
+      (System.nanoTime() - t) / 1e9
+    }
+    val cold = once(s"$outBase/cold")
+    val warm = once(s"$outBase/warm")
+    println(f"""{"metric":"realdata_etl","cold_sec":$cold%.2f,""" +
+      f""""warm_sec":$warm%.2f,"session_sec":$tSession%.2f}""")
+    spark.stop()
+  }
+}

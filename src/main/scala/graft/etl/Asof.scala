@@ -99,9 +99,29 @@ object Asof {
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
+    // The physical merge compares keys with one ordering built from the
+    // LEFT key types and reads time via getLong — validate both here so
+    // a mismatched caller gets a clear error instead of garbage
+    // comparisons or a runtime ClassCastException inside the exec.
+    val lKeyAttrs = key.map(attr(lPlan, _))
+    val rKeyAttrs = key.map(attr(rPlan, _))
+    lKeyAttrs.zip(rKeyAttrs).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of join key '${lk.name}' has mismatched types: " +
+          s"left ${lk.dataType.sql} vs right ${rk.dataType.sql}; " +
+          "cast one side before joining")
+    }
+    val lTimeAttr = attr(lPlan, leftTs)
+    val rTimeAttr = attr(rPlan, rightTs)
+    Seq("left" -> lTimeAttr, "right" -> rTimeAttr).foreach {
+      case (side, a) =>
+        require(a.dataType == org.apache.spark.sql.types.TimestampType ||
+            a.dataType == org.apache.spark.sql.types.LongType,
+          s"as-of join $side time column '${a.name}' must be TIMESTAMP " +
+            s"or BIGINT (long-backed), got ${a.dataType.sql}")
+    }
     val node = graft.plans.AsofJoin(lPlan, rPlan,
-      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs), toleranceUs)
+      lKeyAttrs, rKeyAttrs, lTimeAttr, rTimeAttr, toleranceUs)
     val joined = Bridge.ofRows(spark, node)
     val lAttrs = node.output.take(lPlan.output.size)
     val rAttrs = node.output.drop(lPlan.output.size)

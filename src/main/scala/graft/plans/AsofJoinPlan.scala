@@ -135,12 +135,12 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          val lt = {
-            val t = lTimeProj(l)
-            // NULL left time matches nothing (sorts first; no right
-            // row can be <= it under this sentinel)
-            if (t.isNullAt(0)) Long.MinValue else t.getLong(0)
-          }
+          // NULL left time matches nothing — tracked explicitly (not
+          // via a sentinel) so a genuine Long.MinValue value in a
+          // long-backed time column still matches normally
+          val lTimeRow = lTimeProj(l)
+          val lNull = lTimeRow.isNullAt(0)
+          val lt = if (lNull) Long.MinValue else lTimeRow.getLong(0)
           var cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lk)
           while (rHead != null && (cmp < 0 || (cmp == 0 && rHeadTime <= lt))) {
             if (cmp == 0) {
@@ -151,7 +151,8 @@ case class AsofJoinExec(
             cmp = if (rHead == null) 1 else keyOrd.compare(rHeadKey, lk)
           }
           val m =
-            if (curMatch != null && keyOrd.compare(curMatchKey, lk) == 0 &&
+            if (!lNull && curMatch != null &&
+                keyOrd.compare(curMatchKey, lk) == 0 &&
                 tol.forall(t => lt - curMatchTime <= t))
               curMatch
             else nullRight

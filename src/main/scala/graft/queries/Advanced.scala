@@ -184,8 +184,8 @@ object Advanced {
   }
   private val q23Sql =
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |  SUM(CASE WHEN o_totalprice > cust_avg THEN 1 ELSE 0 END)
-      |    AS n_above_avg
+      |  CAST(SUM(CASE WHEN o_totalprice > cust_avg THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_above_avg
       |FROM (SELECT o_custkey, o_totalprice,
       |        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
       |               OVER (PARTITION BY o_custkey) AS DOUBLE)
@@ -331,9 +331,9 @@ object Advanced {
       .orderBy("event_type")
   }
   private val q25Sql =
-    """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k,
+    """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k,
-      |  SUM(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS n_small,
+      |  CAST(SUM(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
       |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -359,12 +359,69 @@ object Advanced {
   }
 
   // ---------------------------------------------------------------------
+  // Q26b — q26's exact twin: plain COUNT(DISTINCT) over the same
+  // grouping, value-checkable against the DuckDB oracle (the HLL column
+  // itself can't be — sketch implementations differ across engines).
+  // Shipping both makes the trade auditable from the round log: exact
+  // distinct shuffles every distinct (priority, custkey) pair, the
+  // sketch shuffles fixed-size state per group; ScalePathsSpec pins the
+  // sketch within its error bound of THIS query's numbers.
+  // ---------------------------------------------------------------------
+  private def q26b(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_buyers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+  private val q26bSql =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_buyers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q27 — NULL-aware NOT IN anti-join. `NOT IN (subquery)` is NOT the
+  // plain anti-join: one NULL in the subquery empties the result, and a
+  // NULL probe never qualifies — semantics Spark implements with a
+  // dedicated null-aware anti-join physical strategy when the subquery
+  // side broadcasts. This keeps orders whose customer is not in the
+  // negative-balance set. At 100 TB the subquery side here is the
+  // filtered minority (broadcastable); if it ever weren't, the rewrite
+  // is: prove the subquery column NOT NULL, then plan a plain shuffled
+  // LEFT ANTI — same result, hash-joinable. Expressed via spark.sql
+  // because only the SQL form reaches the null-aware planning path.
+  // ---------------------------------------------------------------------
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_q27_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_q27_customer")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM graft_q27_orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM graft_q27_customer
+        |                        WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+  private val q27Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                        WHERE c_acctbal < 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X26 — deterministic epoch shuffle: a seeded global permutation of
   // the training corpus (each epoch reshuffles with a new seed, every
   // rerun of the same seed reproduces the same order — required for
   // resumable training and debugging loss spikes). The permutation key
   // is an explicit integer mix expressible in both engines (Knuth
-  // multiplicative + seeded offset, mod 2^32); positions are minted by
+  // multiplicative + seeded offset, mod 2^32). doc_id is masked to
+  // 31 bits BEFORE the multiply so the product stays inside BIGINT in
+  // every engine — Spark would silently wrap on Long overflow while
+  // DuckDB promotes to HUGEINT (or errors), so an unmasked mix
+  // diverges once doc_id is large; masked, both engines compute the
+  // identical value at any scale. Positions are minted by
   // EntityResolution.mintKeys' two-phase range-partition+zipWithIndex —
   // a real distributed sort, NEVER a single-partition row_number
   // window. One range shuffle at any scale; shard-count independent.
@@ -373,7 +430,8 @@ object Advanced {
 
   private def x26(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.documents(s, d).select(col("doc_id"),
-      ((col("doc_id") * 2654435761L + lit(ShuffleSeed) * 2246822519L)
+      (((col("doc_id") % 2147483648L) * 2654435761L +
+        lit(ShuffleSeed) * 2246822519L)
         % 4294967296L).as("shuffle_key"))
     graft.etl.EntityResolution
       .mintKeys(keyed, "pos", col("shuffle_key"), col("doc_id"))
@@ -384,7 +442,8 @@ object Advanced {
     s"""SELECT ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos,
        |  doc_id, shuffle_key
        |FROM (SELECT doc_id,
-       |        (doc_id * 2654435761 + $ShuffleSeed * 2246822519)
+       |        ((doc_id % 2147483648) * 2654435761
+       |          + $ShuffleSeed * 2246822519)
        |          % 4294967296 AS shuffle_key
        |      FROM documents)
        |ORDER BY pos""".stripMargin
@@ -797,7 +856,8 @@ object Advanced {
       |          ORDER BY n DESC, lang) AS rn FROM per_lang)
       |  WHERE rn = 1),
       |base AS (
-      |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |    COUNT(DISTINCT lang) AS n_langs,
       |    COUNT(DISTINCT md5(text)) AS n_unique
       |  FROM documents GROUP BY 1)
@@ -876,6 +936,8 @@ object Advanced {
     QueryDef("x25_incremental_dedup", Some(x25Sql), x25),
     QueryDef("q25_json_extract", Some(q25Sql), q25),
     QueryDef("q26_approx_distinct", None, q26),
+    QueryDef("q26b_exact_distinct", Some(q26bSql), q26b),
+    QueryDef("q27_null_aware_anti", Some(q27Sql), q27),
     QueryDef("x26_epoch_shuffle", Some(x26Sql), x26),
     QueryDef("a11_topk_per_key", Some(a11Sql), a11),
     QueryDef("a12_range_frame", Some(a12Sql), a12),

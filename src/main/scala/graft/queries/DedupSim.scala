@@ -783,10 +783,13 @@ object DedupSim {
     // benchmark relation (always hint-broadcastable); this stand-in's
     // eval side is doc_id % 97 of the corpus, which grows with sf — an
     // unconditional hint would pin an ever-larger table on every
-    // executor. One cheap count (catalog stats at real scale) keeps the
-    // hint while the eval side genuinely fits: with it, the huge train
-    // side never shuffles; past the threshold AQE decides.
-    val evalDocs = docs.filter(col("doc_id") % 97 === 0).count()
+    // executor. The gate is a LIMIT-bounded probe (catalog stats at
+    // real scale): Spark's incremental take() stops scanning the moment
+    // the threshold is reached, so the gate's cost is capped at the
+    // threshold regardless of corpus size. Under it, the hint keeps the
+    // huge train side from ever shuffling; past it, AQE decides.
+    val evalDocs =
+      docs.filter(col("doc_id") % 97 === 0).limit(20000).count()
     val ev = if (evalDocs < 20000) broadcast(evalSet) else evalSet
     train.join(ev, Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))

@@ -245,24 +245,24 @@ object Relational {
   private val q06Sql =
     """SELECT * FROM (
       |  SELECT 'l_quantity in [1,50]' AS rule,
-      |    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
-      |             AND l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS violations
+      |    CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+      |             AND l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
       |  FROM lineitem
       |  UNION ALL SELECT 'l_discount in [0,0.1]',
-      |    SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
-      |             AND l_discount IS NOT NULL THEN 1 ELSE 0 END) FROM lineitem
+      |    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+      |             AND l_discount IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL SELECT 'l_tax in [0,0.08]',
-      |    SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08)
-      |             AND l_tax IS NOT NULL THEN 1 ELSE 0 END) FROM lineitem
+      |    CAST(SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08)
+      |             AND l_tax IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL SELECT 'o_totalprice > 0',
-      |    SUM(CASE WHEN NOT (o_totalprice > 0)
-      |             AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) FROM orders
+      |    CAST(SUM(CASE WHEN NOT (o_totalprice > 0)
+      |             AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL SELECT 'c_acctbal in [-1000,10000]',
-      |    SUM(CASE WHEN NOT (c_acctbal BETWEEN -1000 AND 10000)
-      |             AND c_acctbal IS NOT NULL THEN 1 ELSE 0 END) FROM customer
+      |    CAST(SUM(CASE WHEN NOT (c_acctbal BETWEEN -1000 AND 10000)
+      |             AND c_acctbal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
       |  UNION ALL SELECT 'value in [0,1000]',
-      |    SUM(CASE WHEN NOT (value BETWEEN 0 AND 1000)
-      |             AND value IS NOT NULL THEN 1 ELSE 0 END) FROM events
+      |    CAST(SUM(CASE WHEN NOT (value BETWEEN 0 AND 1000)
+      |             AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
       |) ORDER BY rule""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -115,10 +115,15 @@ object Sources {
     * the actual on-disk size (not a guessed file count), preserving
     * hive partition columns if present.
     *
-    * Atomicity: writes to `<dir>.compact.tmp` then swaps via two
-    * renames — readers never see a half-written table (rename is atomic
-    * per-directory on HDFS-like filesystems; object stores would use a
-    * manifest swap instead).
+    * Swap safety: writes to `<dir>.compact.tmp` then swaps via two
+    * renames, each checked — a failed rename aborts and rolls the
+    * original directory back, so the table is never lost. Note the
+    * swap is crash-SAFE but not reader-atomic: between the two renames
+    * the table path briefly does not exist (each rename is atomic on
+    * HDFS-like filesystems, but the pair isn't). A concurrent reader
+    * can observe a missing directory for that instant; coordinated
+    * maintenance windows — or a manifest/metastore pointer swap on
+    * object stores — are how production lakes close that gap.
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
@@ -142,9 +147,22 @@ object Sources {
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       df.repartition(n).write.parquet(tmp.toString)
     }
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(
+        s"[graft] compact($dir): could not move current table aside " +
+          s"($path -> $old); table left untouched, compacted copy at $tmp")
+    if (!fs.rename(tmp, path)) {
+      // Roll back: put the original table directory back before failing.
+      val restored = fs.rename(old, path)
+      throw new java.io.IOException(
+        s"[graft] compact($dir): could not move compacted copy into " +
+          s"place ($tmp -> $path); original " +
+          (if (restored) s"restored at $path"
+           else s"NOT restored — recover it manually from $old"))
+    }
+    // Only drop the previous copy once the new table is verifiably in
+    // place — this delete is the point of no return.
+    if (fs.exists(path)) fs.delete(old, true)
     fs.getContentSummary(path).getLength
   }
 

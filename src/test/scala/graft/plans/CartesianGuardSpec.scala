@@ -51,4 +51,31 @@ class CartesianGuardSpec extends SparkSpec {
     try guard()(l.join(r, l("l_id") > r("r_id")).queryExecution.analyzed)
     finally spark.conf.set("spark.graft.guard.cartesian", "true")
   }
+
+  test("pre-pushdown shapes: comma-join WHERE key and filtered product") {
+    val l = big("l"); val r = big("r")
+    // SQL comma-join: analyzes as Filter(equality) over Join(no cond) —
+    // the key hasn't been pushed into the join yet at check time
+    l.createOrReplaceTempView("guard_l")
+    r.createOrReplaceTempView("guard_r")
+    val comma = spark.sql(
+      "SELECT * FROM guard_l, guard_r WHERE l_id = r_id")
+    guard()(comma.queryExecution.analyzed)
+    // same shape from the DataFrame API
+    val filtered = l.crossJoin(r).filter(l("l_id") === r("r_id"))
+    guard()(filtered.queryExecution.analyzed)
+    // a Filter that is NOT a cross-side key does not rescue the join
+    val stillBad = spark.sql(
+      "SELECT * FROM guard_l JOIN guard_r WHERE l_id > 10")
+    intercept[SparkException] { guard()(stillBad.queryExecution.analyzed) }
+  }
+
+  test("explicit Cross joinType is the user's call — exempt") {
+    val l = big("l"); val r = big("r")
+    guard()(l.crossJoin(r).queryExecution.analyzed)
+    // but an INNER join that lost its key is still refused
+    intercept[SparkException] {
+      guard()(l.join(r, l("l_id") === l("l_id")).queryExecution.analyzed)
+    }
+  }
 }

@@ -7,28 +7,51 @@ Reads each <verifyOutDir>/<name>/ parquet result (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
 parquet tables, sorts columns by name and rows by all columns, and compares
 values cell by cell. Dev tool only — not part of the library.
+
+Driver-faithful: both sides are materialized through pandas (`fetchdf()`),
+exactly as the driver does before hashing, so type-rendering divergence is
+visible locally. In particular DuckDB types a bare integer SUM as HUGEINT,
+which pandas renders as float64; if the Spark side is int64 the driver's
+value hash diverges (`0` vs `0.0`) even though `fetchall()` would compare
+equal. We therefore compare dtype KINDS strictly (int vs float vs object)
+before comparing any values, and report a dtype mismatch as its own
+failure class.
 """
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(map(repr, t)))
+def canon_df(df):
+    """Sort columns by name, rows by the repr of all cells (driver-style)."""
+    df = df[sorted(df.columns)]
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda t: tuple(map(repr, t)))
+    kinds = [df[c].dtype.kind for c in df.columns]
+    return list(df.columns), kinds, rows
+
+
+def scalar_na(x):
+    """NA under pandas rendering: None, NaN, or NaT (fetchdf() returns
+    these for SQL NULL; NaT == NaT is False, so compare NA-ness first)."""
+    if x is None:
+        return True
+    try:
+        r = pd.isna(x)
+        return r if isinstance(r, bool) else False  # arrays: not a scalar NA
+    except (TypeError, ValueError):
+        return False
 
 
 def cells_equal(a, b):
-    if a is None or b is None:
-        return a is None and b is None
+    if scalar_na(a) or scalar_na(b):
+        return scalar_na(a) and scalar_na(b)
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
@@ -47,26 +70,32 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [c[0] for c in got.description]
-            got_rows = got.fetchall()
+            got_df = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_bad += 1
             continue
         try:
-            exp = con.execute(sql)
-            exp_cols = [c[0] for c in exp.description]
-            exp_rows = exp.fetchall()
+            exp_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
             n_bad += 1
             continue
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
+        gc, gk, gr = canon_df(got_df)
+        ec, ek, er = canon_df(exp_df)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            n_bad += 1
+            continue
+        # Strict dtype-kind compare: this is what the driver's pandas-side
+        # hash actually sees. float64-vs-int64 here means the driver hash
+        # WILL fail even if fetchall() values would compare equal.
+        if gk != ek:
+            diffs = [f"{c}: spark={a} oracle={b}"
+                     for c, a, b in zip(gc, gk, ek) if a != b]
+            print(f"FAIL {name}: dtype kind mismatch ({'; '.join(diffs)})")
             n_bad += 1
             continue
         if len(gr) != len(er):
