@@ -36,17 +36,27 @@ object RealBench {
     spark.sparkContext.setLogLevel("WARN")
     val tSession = (System.nanoTime() - t0) / 1e9
 
-    def once(out: String): Double = {
+    def timed[T](f: => T): (T, Double) = {
       val t = System.nanoTime()
-      val res = etl.Pipeline.run(spark,
-        etl.Pipeline.fileInputs(spark, base), Some(out))
-      require(res.report.score > 0, "pipeline produced no quality score")
-      (System.nanoTime() - t) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t) / 1e9)
     }
-    val cold = once(s"$outBase/cold")
-    val warm = once(s"$outBase/warm")
+    def once(out: Option[String]): Double = {
+      val (res, s) = timed(etl.Pipeline.run(spark,
+        etl.Pipeline.fileInputs(spark, base), out))
+      require(res.report.score > 0, "pipeline produced no quality score")
+      s
+    }
+    val cold = once(Some(s"$outBase/cold"))
+    val warm = once(Some(s"$outBase/warm"))
+    // warm decomposition: extraction (driver-side xlsx parse + csv
+    // schema binds) vs transform+validate without file sinks
+    val (inputs, tExtract) = timed(etl.Pipeline.fileInputs(spark, base))
+    val (_, tBuild) = timed(etl.Pipeline.run(spark, inputs, None))
     println(f"""{"metric":"realdata_etl","cold_sec":$cold%.2f,""" +
-      f""""warm_sec":$warm%.2f,"session_sec":$tSession%.2f}""")
+      f""""warm_sec":$warm%.2f,"warm_extract_sec":$tExtract%.2f,""" +
+      f""""warm_build_validate_sec":$tBuild%.2f,""" +
+      f""""session_sec":$tSession%.2f}""")
     spark.stop()
   }
 }

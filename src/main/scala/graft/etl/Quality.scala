@@ -70,31 +70,46 @@ object Quality {
     * (distinct dim keys, so fact cardinality is preserved and the other
     * rules' counts are unaffected), then every rule evaluates as one
     * column of a single `.agg(...)` — one scan of each audited table
-    * regardless of rule count. */
+    * regardless of rule count. The per-table aggregate JOBS run
+    * concurrently (they are independent; Spark's scheduler interleaves
+    * them) — serially, a 19-table warehouse pays 19× fixed job-launch
+    * latency, which at toy scale dominates the actual scan work. */
   def runSuite(pairs: Seq[(Rule, DataFrame)]): Report = {
     val indexed = pairs.zipWithIndex
     val counts = new Array[Long](pairs.size)
-    indexed.groupBy { case ((_, df), _) => df }.foreach {
-      case (table, group) =>
-        var joined = table
-        val aggCols = group.map { case ((rule, _), idx) =>
-          val c = rule.check match {
-            case AggCheck(e) => e
-            case FkCheck(dim, fk, pk) =>
-              val a = s"__graft_pk_$idx"
-              // no broadcast hint: dims can outgrow the driver at scale;
-              // AQE broadcasts from runtime sizes while they fit
-              joined = joined.join(dim.select(col(pk).as(a)).distinct(),
-                col(fk) === col(a), "left")
-              sum(when(col(a).isNull, 1L).otherwise(0L))
+    val groups = indexed.groupBy { case ((_, df), _) => df }.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(groups.size, 8)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = groups.map { case (table, group) =>
+        scala.concurrent.Future {
+          var joined = table
+          val aggCols = group.map { case ((rule, _), idx) =>
+            val c = rule.check match {
+              case AggCheck(e) => e
+              case FkCheck(dim, fk, pk) =>
+                val a = s"__graft_pk_$idx"
+                // no broadcast hint: dims can outgrow the driver at
+                // scale; AQE broadcasts from runtime sizes while they fit
+                joined = joined.join(dim.select(col(pk).as(a)).distinct(),
+                  col(fk) === col(a), "left")
+                sum(when(col(a).isNull, 1L).otherwise(0L))
+            }
+            coalesce(c.cast("long"), lit(0L)).as(s"__c$idx")
           }
-          coalesce(c.cast("long"), lit(0L)).as(s"__c$idx")
+          val row = joined.agg(aggCols.head, aggCols.tail: _*).head()
+          group.map(_._2).zipWithIndex.map { case (idx, i) =>
+            idx -> row.getLong(i)
+          }
         }
-        val row = joined.agg(aggCols.head, aggCols.tail: _*).head()
-        group.map(_._2).zipWithIndex.foreach { case (idx, i) =>
-          counts(idx) = row.getLong(i)
-        }
-    }
+      }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+        .flatten.foreach { case (idx, v) => counts(idx) = v }
+    } finally pool.shutdown()
     val results = indexed.map { case ((r, _), idx) =>
       RuleResult(r.name,
         r.severity match { case Issue => "issue"; case Warning => "warning" },
