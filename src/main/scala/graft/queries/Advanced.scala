@@ -901,6 +901,86 @@ object Advanced {
       |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A15 — cumulative distinct users over time (the "total registered
+  // users" growth curve). Sliding distinct is not subtractable (a14's
+  // problem), but CUMULATIVE distinct has an exact linear rewrite:
+  // each user contributes at their FIRST active day only, so dedupe to
+  // user grain (min day — one fact-table shuffle on user_id), count
+  // per first-day, prefix-sum over the day grain. The only global
+  // window runs over ≈2,200 day rows at ANY fact scale — the same
+  // bounded-grain trick as j07's prefix sums.
+  // ---------------------------------------------------------------------
+  private def a15(s: SparkSession, d: String): DataFrame = {
+    val first = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+    val perDay = first.groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+    perDay.withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+  private val a15Sql =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_users
+      |FROM p ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X30 — temperature-reweighted source mixing: the multi-source corpus
+  // balancing step (don't let the biggest crawl drown the small
+  // high-quality sources). Each source's keep-rate is
+  // min(1, K/sqrt(n_source)) — inverse-sqrt temperature, so a source's
+  // sampled mass grows as sqrt(n) — applied as a deterministic
+  // per-doc hash gate (reproducible; no rand()). sqrt/divide/multiply
+  // are all exactly-rounded IEEE ops, so the integer threshold is
+  // bit-identical in both engines — NO cross-source normalization sum
+  // (a Σ over doubles would be summation-order-sensitive). Plan: tiny
+  // source-count aggregate broadcast back onto the scan; the gate
+  // itself is a codegen'd row expression. One shuffle total.
+  // ---------------------------------------------------------------------
+  private val MixK = 10.0
+
+  private def x30(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          lit(MixK) / sqrt(col("n_total").cast("double"))) * 1000000)
+          .cast("long"))
+    Tables.documents(s, d)
+      .join(counts, Seq("source"))
+      .withColumn("h", pmod(
+        (col("doc_id") % 2147483648L) * 2654435761L + 7L,
+        lit(1000000L)))
+      .groupBy("source")
+      .agg(max("n_total").as("n_total"), max("thresh").as("thresh"),
+        sum(when(col("h") < col("thresh"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy("source")
+  }
+  private val x30Sql =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_total,
+       |    CAST(FLOOR(LEAST(1.0,
+       |      $MixK / SQRT(CAST(COUNT(*) AS DOUBLE))) * 1000000)
+       |      AS BIGINT) AS thresh
+       |  FROM documents GROUP BY 1)
+       |SELECT d.source, MAX(c.n_total) AS n_total,
+       |  MAX(c.thresh) AS thresh,
+       |  CAST(SUM(CASE WHEN ((d.doc_id % 2147483648) * 2654435761 + 7)
+       |    % 1000000 < c.thresh THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled
+       |FROM documents d JOIN c ON d.source = c.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T18 — text canonicalization: the first pass of every corpus
   // cleaning pipeline — collapse whitespace runs, trim, lowercase —
   // as pure codegen'd row expressions (no UDF, zero shuffle). The
@@ -951,6 +1031,8 @@ object Advanced {
     QueryDef("j12_salted_join", Some(j12Sql), j12),
     QueryDef("x29_corpus_card", Some(x29Sql), x29),
     QueryDef("a14_wau", Some(a14Sql), a14),
+    QueryDef("a15_cumulative_distinct", Some(a15Sql), a15),
+    QueryDef("x30_temperature_mix", Some(x30Sql), x30),
     QueryDef("t18_normalize", Some(t18Sql), t18)
   )
 }

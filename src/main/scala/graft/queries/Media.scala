@@ -252,8 +252,81 @@ object Media {
       |    * chunk_samples + chunk_samples, n_samples) AS end_sample
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M5 — perceptual-hash near-dup over media payloads: the image-dedup
+  // member of the dedup family (same banding discipline as x03's
+  // SimHash). The "pHash" is a deterministic 20-bit stand-in derived
+  // from the payload via the native PolyHash kernel (no codecs in this
+  // container — a real deploy swaps in a pHash/dHash decode inside
+  // MediaPipeline and NOTHING else changes). Near-dup = Hamming ≤ 1
+  // over the 20 bits: split into two 10-bit bands, docs sharing a band
+  // bucket are candidates (pigeonhole: ≤1 wrong bit leaves one band
+  // intact → exact recall), each bucket size-capped as the skew guard,
+  // and pairs are emitted exactly once via a first-matching-band
+  // FILTER (pos 0, or pos 1 only when the low bands differ) — never a
+  // distinct-pairs shuffle. Never all-pairs at any scale.
+  // ---------------------------------------------------------------------
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("ph",
+        pmod(graft.functions.PolyHash(col("payload").cast("string")),
+          lit(1048576L)))
+      .select(col("doc_id"), col("ph"))
+    val banded = docs.select(col("doc_id"), col("ph"),
+      posexplode(array(pmod(col("ph"), lit(1024L)),
+        expr("ph div 1024"))).as(Seq("pos", "band")))
+    val capped = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("pos", "band")))
+      .filter(col("__n") <= 2000).drop("__n")
+    val a = capped.select(col("pos"), col("band"),
+      col("doc_id").as("a"), col("ph").as("pha"))
+    val b = capped.select(col("pos"), col("band"),
+      col("doc_id").as("b"), col("ph").as("phb"))
+    a.join(b, Seq("pos", "band")).filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(pha ^ phb)"))
+      .filter(col("hamming") <= 1)
+      .filter(col("pos") === 0 ||
+        pmod(col("pha"), lit(1024L)) =!= pmod(col("phb"), lit(1024L)))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a")).as("n_left_docs"))
+      .orderBy("hamming")
+  }
+  private val m05Sql =
+    """WITH ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(text, ''),
+      |          ch -> ch <> ''),
+      |          ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1048576 AS ph
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, ph, 0 AS pos, ph % 1024 AS band FROM ph
+      |  UNION ALL
+      |  SELECT doc_id, ph, 1, ph // 1024 FROM ph),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY COUNT(*) OVER (PARTITION BY pos, band) <= 2000),
+      |pairs AS (
+      |  SELECT x.pos, x.ph AS pha, y.ph AS phb,
+      |         x.doc_id AS a, y.doc_id AS b,
+      |         bit_count(xor(x.ph, y.ph)) AS hamming
+      |  FROM capped x JOIN capped y
+      |    ON x.pos = y.pos AND x.band = y.band AND x.doc_id < y.doc_id)
+      |SELECT hamming, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT a) AS n_left_docs
+      |FROM pairs
+      |WHERE hamming <= 1
+      |  AND (pos = 0 OR pha % 1024 <> phb % 1024)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
+    QueryDef("m05_phash_neardup", Some(m05Sql), m05),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
     QueryDef("m04_audio_chunks", Some(m04Sql), m04),

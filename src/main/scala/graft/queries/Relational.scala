@@ -671,6 +671,61 @@ object Relational {
        |GROUP BY w.s_suppkey ORDER BY w.s_suppkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J13 — interval×interval ANY-OVERLAP join (RangeJoin.intervalOverlap):
+  // supplier service windows × a 10% customer-window sample, pairs where
+  // the intervals overlap at all. The raw inequality predicate is a
+  // BroadcastNestedLoopJoin at any cluster size; the operator explodes
+  // both sides into fixed-width buckets and equi-joins on the bucket,
+  // with exactly-once pair semantics from a first-shared-bucket FILTER
+  // (the bucket containing the overlap's left edge) — no dedup shuffle.
+  // Output is aggregated per supplier, so result size is bounded by the
+  // supplier dim while the pair stream is the documented intermediate.
+  // ---------------------------------------------------------------------
+  private def j13(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
+    val base = datediff(lit("1995-01-01").cast(
+      org.apache.spark.sql.types.DateType), epoch)
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      (base + (col("s_suppkey") * 211) % 2200).cast("long").as("sd"))
+      .withColumn("ed", col("sd") + (col("s_suppkey") * 37) % 90)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        (base + (col("c_custkey") * 149) % 2200).cast("long").as("cs"))
+      .withColumn("ce", col("cs") + (col("c_custkey") * 53) % 60)
+    graft.etl.RangeJoin
+      .intervalOverlap(sup, cust, "sd", "ed", "cs", "ce",
+        bucketWidth = 64L)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(least(col("ed"), col("ce")) -
+          greatest(col("sd"), col("cs")) + 1).as("overlap_days"))
+      .orderBy("s_suppkey")
+  }
+  private val j13Sql =
+    s"""WITH sup AS (
+       |  SELECT s_suppkey,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (s_suppkey * 211) % 2200 AS sd,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (s_suppkey * 211) % 2200 + (s_suppkey * 37) % 90 AS ed
+       |  FROM supplier),
+       |cust AS (
+       |  SELECT c_custkey,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (c_custkey * 149) % 2200 AS cs,
+       |    (DATE '1995-01-01' - DATE '1970-01-01')
+       |      + (c_custkey * 149) % 2200 + (c_custkey * 53) % 60 AS ce
+       |  FROM customer WHERE c_custkey % 10 = 0)
+       |SELECT s.s_suppkey, COUNT(*) AS n_overlaps,
+       |  COUNT(DISTINCT c.c_custkey) AS n_customers,
+       |  CAST(SUM(LEAST(s.ed, c.ce) - GREATEST(s.sd, c.cs) + 1)
+       |    AS BIGINT) AS overlap_days
+       |FROM sup s JOIN cust c ON s.sd <= c.ce AND c.cs <= s.ed
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J8-ext — interval aggregation via PREFIX SUMS: the scale shortcut
   // promised in j06's cost note, producing the IDENTICAL result (the
   // oracle SQL is literally j06's) without generating a single pair.
@@ -1183,6 +1238,7 @@ object Relational {
     // j07 computes j06's exact result by a different physical strategy
     // (prefix sums, no pair generation) — same oracle SQL on purpose
     QueryDef("j07_interval_agg", Some(j06Sql), j07),
+    QueryDef("j13_interval_overlap", Some(j13Sql), j13),
     QueryDef("a01_daily_user_rollup", Some(a01Sql), a01),
     QueryDef("a03_unpivot_metrics", Some(a03Sql), a03),
     QueryDef("a05_union_distinct", Some(a05Sql), a05),

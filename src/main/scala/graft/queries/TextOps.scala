@@ -426,7 +426,8 @@ object TextOps {
         when(col("n_words") < 50, "short")
           .when(col("n_words") < 200, "medium")
           .otherwise("long"))
-      .withColumn("h", pmod(col("doc_id") * 2654435761L + 101L,
+      .withColumn("h", pmod(
+        (col("doc_id") % 2147483648L) * 2654435761L + 101L,
         lit(1000L)))
       .withColumn("sampled", col("h") < rate)
       .groupBy(col("bucket"))
@@ -445,7 +446,7 @@ object TextOps {
        |    CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
        |         WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
        |         ELSE 'long' END AS bucket,
-       |    (doc_id * 2654435761 + 101) % 1000 AS h
+       |    ((doc_id % 2147483648) * 2654435761 + 101) % 1000 AS h
        |  FROM documents),
        |s AS (
        |  SELECT bucket, h,
@@ -760,7 +761,8 @@ object TextOps {
     val k = 5
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        ((col("doc_id") * lit(2654435761L)) % 1048576).as("hkey"))
+        (((col("doc_id") % 2147483648L) * lit(2654435761L)) % 1048576)
+          .as("hkey"))
     val w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("lang", "doc_id", "hkey")
@@ -769,7 +771,8 @@ object TextOps {
   private val x24Sql =
     """WITH h AS (
       |  SELECT doc_id, lang,
-      |         (doc_id * 2654435761) % 1048576 AS hkey FROM documents),
+      |         ((doc_id % 2147483648) * 2654435761) % 1048576 AS hkey
+      |  FROM documents),
       |rk AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
       |             ORDER BY hkey, doc_id) AS rn FROM h)

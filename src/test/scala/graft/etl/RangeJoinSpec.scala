@@ -47,4 +47,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("RangeJoin") ||
       Option(e.getCause).exists(_.getMessage.contains("RangeJoin")))
   }
+
+  test("intervalOverlap matches the naive inequality join exactly once") {
+    val left = Seq(("l1", 0L, 10L), ("l2", 8L, 40L), ("l3", 100L, 120L))
+      .toDF("l", "ls", "le")
+    val right = Seq(("r1", 10L, 20L), ("r2", 35L, 36L), ("r3", 50L, 99L),
+      ("r4", 0L, 200L)).toDF("r", "rs", "re")
+    // small bucket width forces multi-bucket intervals and shared spans
+    val out = RangeJoin.intervalOverlap(left, right,
+        "ls", "le", "rs", "re", bucketWidth = 4L)
+      .select("l", "r").as[(String, String)].collect().toList
+    val naive = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l", "r").as[(String, String)].collect().toSet
+    // same pair set AND no duplicates from shared buckets
+    assert(out.toSet == naive, s"got ${out.toSet}, want $naive")
+    assert(out.size == out.toSet.size, "pair emitted more than once")
+    // boundary touch counts as overlap (l1/r1 meet only at point 10)
+    assert(out.toSet.contains(("l1", "r1")))
+  }
+
+  test("intervalOverlap honors extra equality keys") {
+    val left = Seq(("u1", 0L, 10L), ("u2", 0L, 10L)).toDF("user", "ls", "le")
+    val right = Seq(("u1", 5L, 15L), ("u3", 5L, 15L)).toDF("user", "rs", "re")
+    val out = RangeJoin.intervalOverlap(left, right,
+        "ls", "le", "rs", "re", bucketWidth = 4L, keys = Seq("user"))
+      .select("user").as[String].collect().toList
+    assert(out == List("u1"))
+  }
 }

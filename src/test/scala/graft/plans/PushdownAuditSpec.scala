@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Scan-efficiency regression: filters and projections must reach the
+  * parquet scan. A scan that reads every column for a two-column
+  * projection, or evaluates a pushable predicate post-scan, is wrong at
+  * ANY scale and catastrophic at 100 TB — this spec pins the plan shape
+  * the engine promises (SURVEY "Scale design": PushedFilters/ReadSchema
+  * on the scan, partition pruning on partitioned layouts).
+  */
+class PushdownAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("predicate and projection reach the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 49)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // ReadSchema carries ONLY the referenced columns
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"projection not pruned: $read")
+  }
+
+  test("IsNotNull and equality push down through a join's filter side") {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = planOf(o.select("o_orderkey", "o_orderpriority"))
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
+  }
+
+  test("partition pruning on a hive-partitioned layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-02", 7.0),
+      (3L, "2024-01-03", 9.0))
+      .toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val plan = planOf(pruned)
+    // the day predicate must land in PartitionFilters (metadata-only
+    // pruning), NOT in PushedFilters (per-row evaluation)
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("2024-01-02"), plan)
+    assert(pruned.count() == 1)
+  }
+}
