@@ -64,6 +64,35 @@ object Media {
       .stripMargin
 
   // ---------------------------------------------------------------------
+  // ST4 — event-time SLIDING windows (2 h window, 1 h slide): st01's
+  // tumbling form generalized to overlap. Spark's `window()` assigns
+  // each event to its duration/slide covering windows executor-side (a
+  // 2× row expansion here — never a self-join); the oracle enumerates
+  // the same two epoch-aligned starts per event. Streaming form is the
+  // identical expression under readStream + watermark (same parity
+  // contract as st01, EventStreamSpec).
+  // ---------------------------------------------------------------------
+  private def st04(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+  private val st04Sql =
+    s"""WITH w AS (
+       |  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
+       |           AS window_start,
+       |         event_type, value
+       |  FROM events, UNNEST([0, 1]) AS t(k))
+       |SELECT window_start, event_type, COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""
+      .stripMargin
+
+  // ---------------------------------------------------------------------
   // M2 — frame sampling: the 1→N generator shape of video frame
   // extraction (every 2nd "frame" of the stub-decoded payload), the SQL
   // twin of MediaPipeline.sampleFrames.
@@ -331,6 +360,7 @@ object Media {
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
     QueryDef("m04_audio_chunks", Some(m04Sql), m04),
     QueryDef("st01_event_windows", Some(st01Sql), st01),
+    QueryDef("st04_sliding_windows", Some(st04Sql), st04),
     QueryDef("st02_sessionize", Some(st02Sql), st02),
     QueryDef("st03_stream_join", Some(st03Sql), st03)
   )

@@ -779,9 +779,57 @@ object TextOps {
       |SELECT lang, doc_id, hkey FROM rk WHERE rn <= 5
       |ORDER BY lang, hkey, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X31 — vocabulary coverage / OOV-rate audit: build the top-K corpus
+  // vocabulary (the first step of any frequency-based tokenizer train)
+  // and score every document's out-of-vocabulary token rate against
+  // it — the signal that catches encoding junk, wrong-language shards,
+  // and template noise before tokenizer training. Plan: one token
+  // shuffle for the global frequency agg, top-K is bounded by
+  // construction (broadcast), per-doc scoring is a broadcast-joined
+  // partial agg — the corpus-side token stream shuffles ONCE on
+  // doc_id, never on the vocabulary.
+  // ---------------------------------------------------------------------
+  private val VocabK = 100
+
+  private def x31(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+  private val x31Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok
+       |  FROM documents),
+       |t AS (SELECT * FROM toks WHERE tok <> ''),
+       |v AS (
+       |  SELECT tok FROM t GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT $VocabK)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+       |FROM t LEFT JOIN v ON t.tok = v.tok
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t17_gap_fill", Some(t17Sql), t17),
     QueryDef("x22_heavy_hitters", Some(x22Sql), x22),
+    QueryDef("x31_vocab_oov", Some(x31Sql), x31),
     QueryDef("x23_tfidf", Some(x23Sql), x23),
     QueryDef("x24_stratified_sample", Some(x24Sql), x24),
     QueryDef("x20_segment_dedup", Some(x20Sql), x20),

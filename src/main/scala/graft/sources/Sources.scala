@@ -30,6 +30,34 @@ object Sources {
       .csv(path))
   }
 
+  /** S1 (fault-tolerant CSV form): capture malformed rows instead of
+    * silently nulling them (PERMISSIVE default) or killing the job
+    * (FAILFAST). The declared schema is extended with `corruptCol`; a
+    * row that fails to parse lands there verbatim with the data
+    * columns null, so ingest QA can count/inspect/quarantine bad rows
+    * as a DataFrame instead of grepping logs. At 100 TB a handful of
+    * mangled rows per shard is the NORMAL case — the pipeline must
+    * quantify them, not die or hide them. None if the path is absent.
+    *
+    * Spark caveat (documented upstream): a query whose column pruning
+    * reduces the scan to ONLY the corrupt column is rejected —
+    * `.cache()` the parsed frame before corrupt-column-only
+    * aggregates (the spec pins this usage). */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true,
+      corruptCol: String = "_corrupt_record"): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .csv(path))
+  }
+
   /** S1 (JSONL form): newline-delimited JSON — the standard interchange
     * format for LLM training corpora. Same declared-schema stance as
     * [[csv]] (inference would scan the data twice and guess); a corrupt

@@ -29,6 +29,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Shared batch/stream transform, SLIDING form (2 h window, 1 h
+    * slide — the st04 query): each event lands in window/slide = 2
+    * overlapping windows, assigned executor-side by `window()` (a row
+    * expansion, never a self-join). State is bounded by active windows
+    * × event types exactly as the tumbling form — overlap multiplies
+    * the active-window count by window/slide, not by input rows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Normalize a raw events frame to the µs-timestamp contract
     * (delegates to the shared encoding-adaptive rule). */
   def normalize(raw: DataFrame): DataFrame = graft.Tables.normalizeTs(raw)
@@ -62,7 +78,9 @@ object EventStream {
     * read the full result without advancing the watermark) retains ALL
     * windows in state forever — test-only, not a production mode. */
   def start(spark: SparkSession, dir: String, queryName: String,
-      outputMode: String = "append"): StreamingQuery = {
+      outputMode: String = "append",
+      transform: DataFrame => DataFrame = windowedCounts)
+      : StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // File streams need a declared schema; probe the footer with a batch
     // read (driver-side, metadata only) so the declared type matches
@@ -71,7 +89,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(fileSchema)
       .parquet(s"$dir")
-    windowedCounts(normalize(stream))
+    transform(normalize(stream))
       .writeStream
       .outputMode(outputMode)
       .format("memory")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class SourcesSpec extends SparkSpec {
@@ -23,6 +24,35 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getString(1) == "alpha" && rows(0).getDouble(2) == 1.5)
     assert(loaded("a").schema == schema)
+  }
+
+  test("S1 csvPermissive captures malformed rows as data") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_perm")
+    java.nio.file.Files.writeString(dir.resolve("m.csv"),
+      "id,name,v\n1,alpha,1.5\n2,beta,not_a_double\n3,gamma,3.5\n")
+    val df = Sources
+      .csvPermissive(spark, dir.resolve("m.csv").toString, schema).get
+    val rows = df.select("id", "name", "v", "_corrupt_record")
+      .orderBy("name").collect()
+    assert(rows.length == 3)
+    // good rows parse; their corrupt column is null
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(3))
+    assert(rows(2).getLong(0) == 3L && rows(2).isNullAt(3))
+    // the bad row keeps its parseable cells, nulls the bad one, and
+    // carries the raw line for quarantine
+    val bad = rows(1)
+    assert(bad.isNullAt(2), "unparseable double must be null")
+    assert(bad.getString(3).contains("not_a_double"))
+    // quantify-bad-rows: aggregates over the corrupt column alone must
+    // run on a cached parse (Spark refuses to prune a raw-file scan
+    // down to ONLY the corrupt column; see csvPermissive scaladoc)
+    val cached = df.cache()
+    try assert(
+      cached.filter(col("_corrupt_record").isNotNull).count() == 1)
+    finally cached.unpersist()
+    // absent path stays None (missing-file tolerance)
+    assert(Sources.csvPermissive(spark,
+      dir.resolve("gone.csv").toString, schema).isEmpty)
   }
 
   test("S1 jsonl reads with declared schema; corrupt lines don't kill") {

@@ -25,4 +25,28 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("sliding-window streaming agg matches the batch plan (st04 form)") {
+    val batch = EventStream.slidingCounts(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("events_sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val q = EventStream.start(spark, dir.toString, "ev_sliding",
+      "complete", EventStream.slidingCounts)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_sliding").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // every event is in exactly window/slide = 2 windows: the summed
+      // event count across windows is exactly 2x the input rows
+      val total = spark.table("ev_sliding")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      assert(total == 2 * Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
 }
