@@ -933,6 +933,39 @@ object Advanced {
       |FROM p ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A16 — retention cohort matrix: users grouped by first-active day,
+  // counted again at each day offset (the cohort retention triangle
+  // behind every engagement dashboard; completes the a14 WAU / a15
+  // growth-curve engagement family). Plan: dedup to (user, day) grain
+  // FIRST (events collapse before anything fans out), one user-grain
+  // aggregate for the cohort day, one keyed join back (AQE decides the
+  // side), one (cohort, offset) aggregate. Matrix size is bounded by
+  // days², never by fact rows.
+  // ---------------------------------------------------------------------
+  private def a16(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = active.groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    active.join(cohort, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  private val a16Sql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY 1)
+      |SELECT c.cohort_day,
+      |  CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM active a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X30 — temperature-reweighted source mixing: the multi-source corpus
   // balancing step (don't let the biggest crawl drown the small
   // high-quality sources). Each source's keep-rate is
@@ -1032,6 +1065,7 @@ object Advanced {
     QueryDef("x29_corpus_card", Some(x29Sql), x29),
     QueryDef("a14_wau", Some(a14Sql), a14),
     QueryDef("a15_cumulative_distinct", Some(a15Sql), a15),
+    QueryDef("a16_retention_cohort", Some(a16Sql), a16),
     QueryDef("x30_temperature_mix", Some(x30Sql), x30),
     QueryDef("t18_normalize", Some(t18Sql), t18)
   )

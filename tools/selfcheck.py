@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [onlySubstr]
+
+With onlySubstr, only oracle entries whose name contains the substring
+are compared — pair it with Verify's single-query dumps to avoid the
+missing-dir noise for every other query.
 
 Reads each <verifyOutDir>/<name>/ parquet result (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
@@ -60,13 +64,15 @@ def cells_equal(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if only in k}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -121,4 +127,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
