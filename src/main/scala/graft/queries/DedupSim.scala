@@ -848,8 +848,97 @@ object DedupSim {
       |    AS within_budget
       |FROM q WHERE scale > 0 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X32 — cross-document repeated-SUBSTRING detection (the span-level
+  // member of the dedup family, after Lee et al.'s "deduplicating
+  // training data" — exact repeated token spans, not whole docs or
+  // whole lines): every k-token window is fingerprinted, windows whose
+  // fingerprint occurs in ≥2 DISTINCT documents are "repeated", and
+  // each doc reports how much of it is covered by the union of its
+  // repeated spans (the quantity substring-dedup would cut).
+  //
+  // Scale shape (same contract as SegmentDedup): no shuffle ever
+  // carries text. Windows are hashed row-locally (xxhash64), only
+  // (doc_id, start, hash64) triples shuffle for the document-frequency
+  // aggregate, the repeated minority joins back (AQE broadcasts it),
+  // and the interval-union length is a per-doc sorted window over that
+  // minority — sum of least(k, next_start - start), last span
+  // contributing k. Linear in total tokens at any corpus size; 64-bit
+  // fingerprint collisions are the standard accepted trade.
+  // ---------------------------------------------------------------------
+  private val SpanK = 8
+
+  private def x32(s: SparkSession, d: String): DataFrame = {
+    val k = SpanK
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = docs.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"), col("w"))
+    // one (start, fingerprint) row per k-token window — text stays put
+    val spans = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as(Seq("start", "h")))
+    val repeated = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val repStarts = spans.join(repeated, Seq("h"))
+      .select("doc_id", "start")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val cov = repStarts
+      .withColumn("nxt", lead(col("start"), 1).over(wDoc))
+      .withColumn("contrib", when(col("nxt").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong),
+          (col("nxt") - col("start")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(col("contrib")).as("covered_tokens"))
+    base.select("doc_id", "n_tokens").join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+  private val x32Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS start,
+       |    array_to_string(w[i:i+${SpanK - 1}], ' ') AS g
+       |  FROM base, unnest(generate_series(1, len(w) - ${SpanK - 1}))
+       |    AS t(i)
+       |  WHERE n_tokens >= $SpanK),
+       |rep AS (
+       |  SELECT g FROM sh GROUP BY g
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |rs AS (SELECT doc_id, start FROM sh JOIN rep USING (g)),
+       |cov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rep_spans,
+       |    CAST(SUM(contrib) AS BIGINT) AS covered_tokens
+       |  FROM (
+       |    SELECT doc_id, start,
+       |      COALESCE(LEAST($SpanK,
+       |        LEAD(start) OVER (PARTITION BY doc_id ORDER BY start)
+       |          - start), $SpanK) AS contrib
+       |    FROM rs)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  COALESCE(n_rep_spans, 0) AS n_rep_spans,
+       |  COALESCE(covered_tokens, 0) AS covered_tokens,
+       |  CAST(COALESCE(covered_tokens, 0) AS DOUBLE)
+       |    / CAST(b.n_tokens AS DOUBLE) AS dup_ratio
+       |FROM base b LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x19_quantize_error", Some(x19Sql), x19),
+    QueryDef("x32_substring_dedup", Some(x32Sql), x32),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
