@@ -936,9 +936,115 @@ object DedupSim {
        |FROM base b LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X33 — semantic dedup with survivor assignment (the SemDeDup shape:
+  // cluster the embedding space first, then near-dup detect WITHIN each
+  // cell and keep one representative). Differs from x10 (pair list) in
+  // both partitioning and output: vectors are first assigned to a
+  // fixed-size coarse codebook cell (x18's IVF idiom — 16 lowest ids,
+  // broadcast-safe at any sf), candidates must share the cell AND a
+  // sign-LSH sub-bucket (the skew guard that keeps a popular cell from
+  // costing cell² pairs), and the output is the DROP decision: each
+  // dropped vector with its cluster, its canonical keeper (min id
+  // among ≥τ-cosine mates), and the best cosine that doomed it.
+  //
+  // Scale: codebook broadcast is O(16); assignment is a bounded 16×
+  // row fan-out; the pair join is keyed on (cluster, bucket) with the
+  // BucketCap guard — never all-pairs within a cell. Planted ×1.001
+  // scaled copies (cosine-preserving) make recall provable.
+  // ---------------------------------------------------------------------
+  private def x33(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(emb, x -> x * 1.001)").as("emb"))
+    val corpus = base.unionByName(dups)
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+    val cents = corpus.orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("c_id"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("dist", lit(1.0) -
+        DotProduct(col("emb"), col("c_emb")) /
+          (col("norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("c_id").as("cluster"))
+    val nplanes = adaptivePlanes(base.unionByName(dups).count())
+    val vecs = signBucketsCapped(assigned, "emb", nplanes)
+    val a = vecs.select(col("vec_id").as("keep_id"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"),
+      col("cluster"), col("bucket"))
+    val b = vecs.select(col("vec_id").as("drop_id"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"),
+      col("cluster"), col("bucket"))
+    a.join(b, Seq("cluster", "bucket"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos", DotProduct(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= 0.95)
+      .groupBy(col("drop_id"), col("cluster"))
+      .agg(min(col("keep_id")).as("keeper_id"),
+        max(col("cos")).as("best_cos"))
+      .orderBy("drop_id")
+  }
+  private def x33Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 1.001)
+       |  FROM base WHERE vec_id % 10 = 0),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM corpus),
+       |cents AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM n ORDER BY vec_id LIMIT $IvfK),
+       |assigned AS (
+       |  SELECT vec_id, emb, norm, c_id AS cluster FROM (
+       |    SELECT n.vec_id, n.emb, n.norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("n.emb", "c.c_emb")}
+       |          / (n.norm * c.c_norm), c.c_id) AS rk
+       |    FROM n CROSS JOIN cents c) WHERE rk = 1),
+       |planes AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("corpus")} - 1))
+       |    AS p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("emb", "p.p", 64, spark = false)} > 0
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM assigned CROSS JOIN planes p
+       |  GROUP BY 1),
+       |vecs AS (
+       |  SELECT a.*, b.bucket FROM assigned a JOIN buckets b
+       |    USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap)
+       |SELECT b.vec_id AS drop_id, b.cluster,
+       |  MIN(a.vec_id) AS keeper_id,
+       |  MAX(${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm))
+       |    AS best_cos
+       |FROM vecs a JOIN vecs b
+       |  ON a.cluster = b.cluster AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |WHERE ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm)
+       |  >= 0.95
+       |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x19_quantize_error", Some(x19Sql), x19),
     QueryDef("x32_substring_dedup", Some(x32Sql), x32),
+    QueryDef("x33_semdedup", Some(x33Sql), x33),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
