@@ -1014,6 +1014,62 @@ object Advanced {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X34 — token-budget source mixing: the "fill each source to a target
+  // token budget" primitive of training-data mixture construction
+  // (x13 gates by doc-rate, x30 reweights by temperature; this one
+  // meters TOKENS, which is what the training run actually consumes).
+  // Docs are taken per source in a deterministic pseudo-random order
+  // (Knuth-mix of doc_id — reshuffleable by changing the additive
+  // seed), accumulating whitespace-token counts; a doc is kept while
+  // the running total stays inside the budget. Output is the per-source
+  // audit row: docs/tokens total vs kept.
+  //
+  // Scale: one window prefix-sum per source partition. Sources are a
+  // bounded small domain here; for a heavy-tailed source domain the
+  // two-phase range-partitioned prefix sum (a15's pattern) is the
+  // drop-in replacement — same semantics, no single-partition window.
+  // ---------------------------------------------------------------------
+  private val BudgetTokens = 4000L
+
+  private def x34(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("h", pmod(
+        (col("doc_id") % 2147483648L) * 2654435761L + 11L,
+        lit(1000000007L)))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("cum") <= BudgetTokens, 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("cum") <= BudgetTokens, col("n_tok"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+  private val x34Sql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ((doc_id % 2147483648) * 2654435761 + 11) % 1000000007 AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id)
+       |      AS cum
+       |  FROM t)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN cum <= $BudgetTokens THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(CASE WHEN cum <= $BudgetTokens THEN n_tok ELSE 0 END)
+       |    AS BIGINT) AS tokens_kept
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // T18 — text canonicalization: the first pass of every corpus
   // cleaning pipeline — collapse whitespace runs, trim, lowercase —
   // as pure codegen'd row expressions (no UDF, zero shuffle). The
@@ -1067,6 +1123,7 @@ object Advanced {
     QueryDef("a15_cumulative_distinct", Some(a15Sql), a15),
     QueryDef("a16_retention_cohort", Some(a16Sql), a16),
     QueryDef("x30_temperature_mix", Some(x30Sql), x30),
+    QueryDef("x34_token_budget_mix", Some(x34Sql), x34),
     QueryDef("t18_normalize", Some(t18Sql), t18)
   )
 }
