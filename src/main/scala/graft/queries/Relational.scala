@@ -880,6 +880,54 @@ object Relational {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q29 — robust outlier detection via median absolute deviation: the
+  // heavy-tail-safe complement of q17's z-score (mean/stddev are
+  // themselves dragged by the outliers they're meant to flag; median
+  // and MAD are not). Two exact-percentile passes (median, then median
+  // of |x − med|), each group scalar broadcast back, outlier iff
+  // |x − med| > 5·MAD. Exact `percentile` sorts within each group —
+  // fine while groups fit an executor; the 100 TB swap is
+  // approx_percentile with the same plan shape (q15's documented trade).
+  // ---------------------------------------------------------------------
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5D)").as("med"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("med")).as("median_price"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > col("mad") * 5.0, 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+  private val q29Sql =
+    """WITH med AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |dev AS (
+      |  SELECT l.l_returnflag, m.med,
+      |    abs(l.l_extendedprice - m.med) AS adev
+      |  FROM lineitem l JOIN med m USING (l_returnflag)),
+      |mad AS (
+      |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.l_returnflag, MAX(d.med) AS median_price,
+      |  MAX(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > m.mad * 5.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM dev d JOIN mad m USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A7-ext — pivot (wide-from-long), the inverse of a03's unpivot: the
   // long (metric, value) rows come back as one column per metric with a
   // per-order SUM. Values are passed EXPLICITLY to pivot(): without
@@ -1247,6 +1295,7 @@ object Relational {
     QueryDef("q15_percentiles", Some(q15Sql), q15),
     QueryDef("q16_rollup", Some(q16Sql), q16),
     QueryDef("q17_zscore_outliers", Some(q17Sql), q17),
+    QueryDef("q29_mad_outliers", Some(q29Sql), q29),
     QueryDef("a08_moving_window", Some(a08Sql), a08),
     QueryDef("a09_lead_lag_delta", Some(a09Sql), a09),
     QueryDef("q18_funnel", Some(q18Sql), q18),
