@@ -93,6 +93,46 @@ object Media {
       .stripMargin
 
   // ---------------------------------------------------------------------
+  // ST5 — streaming exact dedup, batch form: the at-least-once
+  // redelivery guard. Input replays every 20th event (the duplicate
+  // delivery an ingestion retry produces); the SHARED
+  // StreamDedup.dedup transform drops repeats on (user_id, event_id).
+  // The streaming twin is `dropDuplicatesWithinWatermark` — state
+  // bounded by the watermark horizon, eviction proven by
+  // StreamDedupSpec — so this oracle row pins the semantics both
+  // execution modes share. Output: per event_type, delivered vs
+  // surviving row counts.
+  // ---------------------------------------------------------------------
+  private def st05(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+    val redelivered =
+      ev.unionByName(ev.filter(col("event_id") % 20 === 0))
+    val in = redelivered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_delivered"))
+    val out = graft.streaming.StreamDedup.dedup(redelivered)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_deduped"))
+    in.join(out, Seq("event_type")).orderBy("event_type")
+  }
+  private val st05Sql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type FROM events
+      |  WHERE event_id % 20 = 0),
+      |i AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_delivered
+      |  FROM r GROUP BY 1),
+      |o AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_deduped
+      |  FROM (SELECT DISTINCT user_id, event_id, event_type FROM r)
+      |  GROUP BY 1)
+      |SELECT i.event_type, n_delivered, n_deduped
+      |FROM i JOIN o USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // M2 — frame sampling: the 1→N generator shape of video frame
   // extraction (every 2nd "frame" of the stub-decoded payload), the SQL
   // twin of MediaPipeline.sampleFrames.
@@ -361,6 +401,7 @@ object Media {
     QueryDef("m04_audio_chunks", Some(m04Sql), m04),
     QueryDef("st01_event_windows", Some(st01Sql), st01),
     QueryDef("st04_sliding_windows", Some(st04Sql), st04),
+    QueryDef("st05_stream_dedup", Some(st05Sql), st05),
     QueryDef("st02_sessionize", Some(st02Sql), st02),
     QueryDef("st03_stream_join", Some(st03Sql), st03)
   )
