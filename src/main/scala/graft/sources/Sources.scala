@@ -135,6 +135,55 @@ object Sources {
       df.write.mode(mode).jdbc(url, name, props)
     }
 
+  /** Z-order clustered write — multi-dimensional data skipping. A
+    * linearly-sorted table gives narrow parquet row-group min/max
+    * stats on the LEADING sort column only; filters on the second
+    * column still scan every file. Interleaving the bits of k numeric
+    * columns into one Morton key and range-sorting on it keeps every
+    * clustered dimension's per-file min/max range narrow
+    * (≈ range/2^(log2(files)/k)), so the reader's row-group stats
+    * pruning skips files for predicates on ANY clustered column — the
+    * layout trick Delta/Iceberg OPTIMIZE ZORDER applies, here as a
+    * plain parquet write.
+    *
+    * Scale: the min/max pre-pass is one O(1)-output agg job (catalog
+    * stats would replace it on a governed table);
+    * `repartitionByRange` samples the z-key exactly like any range
+    * sort; everything else is row-local bit arithmetic in codegen.
+    * NULLs in a clustered column land in cell 0 (sorted first, still
+    * skippable). */
+  def writeZOrdered(df: DataFrame, zcols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(zcols.size >= 2, "z-order needs >= 2 columns; use a plain " +
+      "sort for 1")
+    require(zcols.size * bits <= 62, "zcols*bits must fit a long")
+    import org.apache.spark.sql.functions._
+    val statCols = zcols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val maxCell = (1L << bits) - 1
+    val cells = zcols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getDouble(2 * i)
+      val hi = stats.getDouble(2 * i + 1)
+      val scale = if (hi > lo) maxCell / (hi - lo) else 0.0
+      least(lit(maxCell), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) * lit(scale))
+          .cast("long")))
+    }
+    val k = zcols.size
+    val zkey = (0 until bits).flatMap { b =>
+      cells.zipWithIndex.map { case (cell, i) =>
+        shiftleft(shiftright(cell, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the table-maintenance op every long-lived
     * lake needs: streaming sinks, per-trigger micro-batches, and
     * over-parallel writes leave thousands of KB-sized files whose
