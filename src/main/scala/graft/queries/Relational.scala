@@ -1100,6 +1100,77 @@ object Relational {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q30 — join-key skew profile: the diagnostic you run BEFORE pointing
+  // a big join at a key (j08/j12's salting exists because of what this
+  // query surfaces). Per-key counts, then a distributed top-10
+  // (orderBy+limit = TakeOrdered — never a global window over the full
+  // key domain), with each hot key's skew factor = its share of rows ×
+  // the number of keys (1.0 = perfectly uniform). The scalar totals
+  // row broadcasts.
+  // ---------------------------------------------------------------------
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = cnts.orderBy(col("cnt").desc, col("key")).limit(10)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key"))))
+      .withColumn("skew", (col("cnt") * col("n_keys")).cast("double") /
+        col("total_rows").cast("double"))
+      .select("rank", "key", "cnt", "n_keys", "total_rows", "skew")
+      .orderBy("rank")
+  }
+  private val q30Sql =
+    """WITH c AS (
+      |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys
+      |  FROM c),
+      |r AS (
+      |  SELECT key, cnt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+      |      AS rank
+      |  FROM c)
+      |SELECT rank, key, cnt, n_keys, total_rows,
+      |  CAST(cnt * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)
+      |    AS skew
+      |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A17 — equi-width histogram (20 bins over events.value): the
+  // column-profiling aggregate behind every "distribution looks
+  // sane?" data-quality gate. One O(1)-output min/max pre-pass
+  // broadcasts; binning is a row-local floor — one shuffle total for
+  // the bin counts. Per-bin min/max double back as the bin's observed
+  // bounds (exact values, no derived-edge float arithmetic in the
+  // output).
+  // ---------------------------------------------------------------------
+  private def a17(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("value"))
+    val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(st))
+      .withColumn("bin", least(lit(19L),
+        floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+          .cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("bin_min"),
+        max(col("value")).as("bin_max"))
+      .orderBy("bin")
+  }
+  private val a17Sql =
+    """WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+      |SELECT LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20)
+      |    AS BIGINT)) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS bin_min, MAX(value) AS bin_max
+      |FROM events CROSS JOIN s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A8-ext — trailing moving-window aggregates (7-slot rolling sum/avg
   // per user over the daily series). Two shuffles total: one partial agg
   // to daily grain, one window shuffle on user_id — the window sort is
@@ -1296,6 +1367,8 @@ object Relational {
     QueryDef("q16_rollup", Some(q16Sql), q16),
     QueryDef("q17_zscore_outliers", Some(q17Sql), q17),
     QueryDef("q29_mad_outliers", Some(q29Sql), q29),
+    QueryDef("q30_skew_profile", Some(q30Sql), q30),
+    QueryDef("a17_histogram", Some(a17Sql), a17),
     QueryDef("a08_moving_window", Some(a08Sql), a08),
     QueryDef("a09_lead_lag_delta", Some(a09Sql), a09),
     QueryDef("q18_funnel", Some(q18Sql), q18),

@@ -18,7 +18,13 @@ class PlanAuditSpec extends SparkSpec {
     "x10_dedup_embedding" ->
       "same bounded plane-index relation as x05_knn_lsh",
     "x18_knn_ivf" -> "fixed 16-row coarse codebook",
+    "x33_semdedup" -> ("same fixed 16-row coarse codebook as " +
+      "x18_knn_ivf, plus the bounded plane-index relation"),
     "q14_run_summary" -> "scalar subqueries (1-row relations)",
+    "q30_skew_profile" -> ("top-10 keys crossJoin a SINGLE-ROW totals " +
+      "aggregate (10×1 by construction)"),
+    "a17_histogram" -> ("rows crossJoin a SINGLE-ROW min/max " +
+      "aggregate (n×1 broadcast scalar)"),
     "j07_interval_agg" -> ("1-row first-day scalar joined to the " +
       "bounded day grain"),
     "x21_tombstone_cascade" -> ("audit rows assemble via crossJoin of " +
