@@ -133,6 +133,27 @@ object Media {
       |FROM i JOIN o USING (event_type) ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST6 — stream-static enrichment, batch form: the SHARED
+  // Enrich.bySegment transform (purchase events decorated with the
+  // customer dimension, rolled up per market segment). The streaming
+  // twin plans the same broadcast hash join fresh per micro-batch —
+  // no watermark, no join state, zero shuffle of the stream
+  // (EnrichSpec proves batch≡stream). This oracle row pins the
+  // numbers both modes must produce.
+  // ---------------------------------------------------------------------
+  private def st06(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Enrich.bySegment(Tables.events(s, d),
+        Tables.customer(s, d))
+      .orderBy("c_mktsegment")
+  private val st06Sql =
+    """SELECT c.c_mktsegment, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // M2 — frame sampling: the 1→N generator shape of video frame
   // extraction (every 2nd "frame" of the stub-decoded payload), the SQL
   // twin of MediaPipeline.sampleFrames.
@@ -402,6 +423,7 @@ object Media {
     QueryDef("st01_event_windows", Some(st01Sql), st01),
     QueryDef("st04_sliding_windows", Some(st04Sql), st04),
     QueryDef("st05_stream_dedup", Some(st05Sql), st05),
+    QueryDef("st06_stream_enrich", Some(st06Sql), st06),
     QueryDef("st02_sessionize", Some(st02Sql), st02),
     QueryDef("st03_stream_join", Some(st03Sql), st03)
   )
