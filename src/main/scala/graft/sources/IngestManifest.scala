@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental batch ingestion with an on-lake processed-files
+  * manifest — the batch twin of Structured Streaming's file-source
+  * checkpoint: each run processes only files it has never seen, and
+  * marks them processed only after the run's output is safely down.
+  *
+  * The manifest is itself a parquet table of `path` strings, so the
+  * new-file discovery is a distributed LEFT ANTI join (listing ⟕̸
+  * manifest) — at lake scale a manifest of millions of entries never
+  * materializes on the driver; only the NEW paths do (bounded by one
+  * batch's arrivals, the same row set the job must enumerate anyway).
+  * Commits append — re-committing a path is harmless because reads
+  * always go through the anti-join (idempotent, at-least-once commit +
+  * dedup-on-read = exactly-once processing).
+  *
+  * Crash contract: process-then-commit. A crash between output and
+  * commit re-processes that batch's files on the next run — safe when
+  * the downstream write is idempotent (overwrite-by-partition, dedup
+  * key, or [[Sources.writeOrdered]]'s overwrite mode), which is the
+  * standard lake ingestion discipline.
+  */
+object IngestManifest {
+
+  private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files currently present under `dir` (ignores hidden/_ files
+    * and subdirectories), as a single-column `path` DataFrame. */
+  def listing(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val files = hfs(spark, p).listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filterNot { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        n.startsWith("_") || n.startsWith(".")
+      }
+    import spark.implicits._
+    files.toDF("path")
+  }
+
+  /** Paths under `dir` not yet recorded in the manifest. The anti-join
+    * runs distributed; only the new-batch paths come back. */
+  def newFiles(spark: SparkSession, dir: String,
+      manifestDir: String): Seq[String] = {
+    val listed = listing(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(manifestDir)
+    val unseen =
+      if (!hfs(spark, m).exists(m)) listed
+      else listed.join(spark.read.parquet(manifestDir), Seq("path"),
+        "left_anti")
+    unseen.collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Record `files` as processed (append-only; duplicates are deduped
+    * by the read-side anti-join). Call AFTER the batch's output is
+    * durable. */
+  def commit(spark: SparkSession, manifestDir: String,
+      files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      import spark.implicits._
+      files.toDF("path").write.mode("append").parquet(manifestDir)
+    }
+
+  /** One incremental batch: a DataFrame over exactly the unprocessed
+    * files (None when nothing is new) plus the commit thunk to run
+    * once the batch's output is durable. */
+  def readNew(spark: SparkSession, dir: String, manifestDir: String)
+      : Option[(DataFrame, () => Unit)] = {
+    val fresh = newFiles(spark, dir, manifestDir)
+    if (fresh.isEmpty) None
+    else Some((spark.read.parquet(fresh: _*),
+      () => commit(spark, manifestDir, fresh)))
+  }
+}
