@@ -353,6 +353,84 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X35 — content-defined chunking (CDC): chunk boundaries fall where a
+  // rolling hash of the last 3 tokens hits a target residue (1/16), so
+  // boundaries move WITH the content — an insertion early in a document
+  // shifts every fixed-width window (x17's packing) but leaves CDC
+  // chunks after the edit point identical, which is what makes
+  // chunk-level dedup/caching survive edits (the rsync/LBFS trick,
+  // standard in dataset chunk stores). Document end is always a forced
+  // final boundary. Entirely row-local array lambdas over the token
+  // list + the native PolyHash codegen kernel — zero shuffle,
+  // embarrassingly parallel at any corpus size.
+  // ---------------------------------------------------------------------
+  private def x35(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    docs
+      .withColumn("bounds", when(col("n") >= 3,
+        filter(
+          transform(sequence(lit(2), size(col("w")) - 1),
+            i => when(pmod(graft.functions.PolyHash(concat_ws(" ",
+              element_at(col("w"), i - 1),
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1))), lit(16L)) === 0, i)
+              .otherwise(lit(-1))),
+          x => x >= 0))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("b2",
+        when(coalesce(try_element_at(col("bounds"), lit(-1)), lit(-2)) ===
+            col("n") - 1, col("bounds"))
+          .otherwise(concat(col("bounds"),
+            array((col("n") - 1).cast("int")))))
+      .withColumn("lens", transform(sequence(lit(0), size(col("b2")) - 1),
+        j => element_at(col("b2"), j + 1) -
+          when(j === 0, lit(-1)).otherwise(element_at(col("b2"), j))))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("b2")).cast("long").as("n_chunks"),
+        array_max(col("lens")).cast("long").as("max_chunk_tokens"),
+        (col("n").cast("double") / size(col("b2")).cast("double"))
+          .as("avg_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+  private val x35Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n >= 3 THEN list_filter(list_transform(
+      |      generate_series(3, CAST(n AS INTEGER)),
+      |      i -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(list_filter(string_split(
+      |               concat_ws(' ', w[i-2], w[i-1], w[i]), ''),
+      |               ch -> ch <> ''),
+      |               ch -> CAST(unicode(ch) AS BIGINT))),
+      |             (acc, c) -> (acc * 31 + c) % 1000000007) % 16 = 0
+      |           THEN i - 1 ELSE -1 END), x -> x >= 0)
+      |    ELSE CAST([] AS INTEGER[]) END AS bounds
+      |  FROM t),
+      |b2 AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN len(bounds) > 0 AND bounds[-1] = n - 1 THEN bounds
+      |         ELSE list_append(bounds, CAST(n - 1 AS INTEGER)) END
+      |      AS bs
+      |  FROM b),
+      |l AS (
+      |  SELECT doc_id, n, bs,
+      |    list_transform(generate_series(1, len(bs)),
+      |      j -> bs[j] - CASE WHEN j = 1 THEN -1 ELSE bs[j-1] END)
+      |      AS lens
+      |  FROM b2)
+      |SELECT doc_id, n AS n_tokens, CAST(len(bs) AS BIGINT) AS n_chunks,
+      |  CAST(list_max(lens) AS BIGINT) AS max_chunk_tokens,
+      |  CAST(n AS DOUBLE) / CAST(len(bs) AS DOUBLE)
+      |    AS avg_chunk_tokens
+      |FROM l ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X12 — Gopher-style quality FILTER: hard keep/drop rules with a
   // first-failing-rule reason (the decision stage that consumes x07-style
   // signals in a real training-data pipeline). Pure per-row expressions
@@ -830,6 +908,7 @@ object TextOps {
     QueryDef("t17_gap_fill", Some(t17Sql), t17),
     QueryDef("x22_heavy_hitters", Some(x22Sql), x22),
     QueryDef("x31_vocab_oov", Some(x31Sql), x31),
+    QueryDef("x35_cdc_chunks", Some(x35Sql), x35),
     QueryDef("x23_tfidf", Some(x23Sql), x23),
     QueryDef("x24_stratified_sample", Some(x24Sql), x24),
     QueryDef("x20_segment_dedup", Some(x20Sql), x20),
