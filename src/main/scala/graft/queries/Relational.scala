@@ -1142,6 +1142,33 @@ object Relational {
       |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q31 — join fan-out profile: the distribution of 1:N match counts
+  // for the orders→lineitem join (q30 finds hot KEYS; this shows the
+  // whole cardinality shape, including parents with ZERO children via
+  // the left join — the two ways a join silently explodes or silently
+  // drops). Two hash aggregates, output bounded by the max fan-out.
+  // ---------------------------------------------------------------------
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).select(col("o_orderkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("fanout"))
+      .groupBy(col("fanout"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("fanout")
+  }
+  private val q31Sql =
+    """WITH f AS (
+      |  SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT)
+      |    AS fanout
+      |  FROM orders o LEFT JOIN lineitem l
+      |    ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1)
+      |SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A17 — equi-width histogram (20 bins over events.value): the
   // column-profiling aggregate behind every "distribution looks
   // sane?" data-quality gate. One O(1)-output min/max pre-pass
@@ -1368,6 +1395,7 @@ object Relational {
     QueryDef("q17_zscore_outliers", Some(q17Sql), q17),
     QueryDef("q29_mad_outliers", Some(q29Sql), q29),
     QueryDef("q30_skew_profile", Some(q30Sql), q30),
+    QueryDef("q31_fanout_profile", Some(q31Sql), q31),
     QueryDef("a17_histogram", Some(a17Sql), a17),
     QueryDef("a08_moving_window", Some(a08Sql), a08),
     QueryDef("a09_lead_lag_delta", Some(a09Sql), a09),
