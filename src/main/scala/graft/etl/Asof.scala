@@ -34,7 +34,26 @@ object Asof {
 
   def join(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, prefix: String = "asof_",
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None): DataFrame =
+    directional(left, right, key, leftTs, rightTs, prefix, toleranceUs,
+      forward = false)
+
+  /** Forward-direction as-of join (pandas/polars `direction=
+    * 'forward'`): for each left row, attach the single EARLIEST right
+    * row at-or-after the left timestamp within the key — the
+    * "next-touch attribution" / "time-to-next-event" shape. Same
+    * linear union+window plan as [[join]], with the within-partition
+    * sort DESCENDING so the carry runs backward in time; `toleranceUs`
+    * bounds how far AHEAD a match may be. */
+  def joinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame =
+    directional(left, right, key, leftTs, rightTs, prefix, toleranceUs,
+      forward = true)
+
+  private def directional(left: DataFrame, right: DataFrame,
+      key: Seq[String], leftTs: String, rightTs: String, prefix: String,
+      toleranceUs: Option[Long], forward: Boolean): DataFrame = {
     val lPayload = left.columns.filterNot(key.contains).toSeq
     val rPayload = right.columns
       .filterNot(c => key.contains(c) || c == rightTs).toSeq
@@ -51,16 +70,24 @@ object Asof {
       key.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
         lit(null).cast(rType).as("__r")) ++ lPayload.map(col): _*)
 
+    // Backward: ascending time, carry the LAST right row seen.
+    // Forward: descending time, same carry = nearest FOLLOWING right
+    // row. Either way the right row (__tag 0) sorts before the left at
+    // equal __ts, so exact-timestamp matches are taken.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rSide.unionByName(lSide)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
     val matched = toleranceUs match {
-      case Some(tol) => when(
-        unix_micros(col("__ts")) - unix_micros(col("__m.__rts")) <= tol,
-        col("__m"))
+      case Some(tol) =>
+        val age =
+          if (forward)
+            unix_micros(col("__m.__rts")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__m.__rts"))
+        when(age <= tol, col("__m"))
       case None => col("__m")
     }
     carried

@@ -617,6 +617,43 @@ object Relational {
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J14 — FORWARD as-of join (pandas/polars direction='forward'): for
+  // each purchase, the first click at-or-after it per user — the
+  // next-touch attribution / time-to-next-event twin of j05's
+  // backward lookup. Same linear union+window plan, sort descending;
+  // the oracle ranks candidates ascending (ctus >= ts) instead.
+  // ---------------------------------------------------------------------
+  private def j14(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.etl.Asof.joinForward(purch, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        unix_micros(col("asof_ts")).as("next_ts_us"),
+        col("asof_click_id").as("next_click_id"))
+      .orderBy("event_id")
+  }
+  private val j14Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purch AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |         c.ctus AS next_ts_us, c.click_id AS next_click_id,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ctus ASC) AS rn
+      |  FROM purch p LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND c.ctus >= p.ts_us)
+      |SELECT event_id, user_id, ts_us, value, next_ts_us, next_click_id
+      |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J7-ext — range (interval-containment) join (etl.RangeJoin): orders
   // counted into per-supplier contract windows of varying length.
   // A raw BETWEEN join with no equality key plans as a nested-loop
@@ -1380,6 +1417,7 @@ object Relational {
     QueryDef("j03_distinct_dim_keys", Some(j03Sql), j03),
     QueryDef("j04_scd2_merge", Some(j04Sql), j04),
     QueryDef("j05_asof_join", Some(j05Sql), j05),
+    QueryDef("j14_asof_forward", Some(j14Sql), j14),
     QueryDef("j06_range_join", Some(j06Sql), j06),
     // j07 computes j06's exact result by a different physical strategy
     // (prefix sums, no pair generation) — same oracle SQL on purpose

@@ -56,4 +56,27 @@ class AsofSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("asof_px")))
     assert(out(1).getAs[Double]("asof_px") == 101.0)
   }
+
+  test("forward direction: earliest at-or-after match per key") {
+    val out = Asof.joinForward(trades, quotes, Seq("sym"), "tts", "qts")
+      .orderBy("trade_id").collect()
+    // trade 1 (10:00:04) → next AAA quote 10:00:05; trade 2 exact-ts
+    // tie matches the 10:00:05 quote itself; trade 3 (10:00:01) →
+    // BBB's 10:00:03; trade 4 has no quotes at all
+    assert(out.map(r => Option(r.getAs[java.sql.Timestamp]("asof_ts"))
+        .map(_.toString)).toSeq ==
+      Seq(Some("2024-01-01 10:00:05.0"), Some("2024-01-01 10:00:05.0"),
+        Some("2024-01-01 10:00:03.0"), None))
+    assert(out(0).getAs[Double]("asof_px") == 101.0)
+    assert(out(2).getAs[Double]("asof_px") == 50.0)
+  }
+
+  test("forward tolerance bounds how far ahead a match may be") {
+    val out = Asof.joinForward(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceUs = Some(1000000L)) // 1 s
+      .orderBy("trade_id").collect()
+    // trade 1 → +1 s ahead: kept; trade 3 → +2 s ahead: nulled
+    assert(out(0).getAs[Double]("asof_px") == 101.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_px")))
+  }
 }
