@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral/statistical analytics beyond the reference's corpus:
+  * engagement streaks, distribution-drift and digit-law audits, fuzzy
+  * (edit-distance) entity matching, and weighted corpus sampling.
+  *
+  * These extend the reference's data-quality surface (validation.sql's
+  * range/null/orphan checks — SURVEY §2.4) with the next tier of audit
+  * a production warehouse runs: "did the distribution shift", "are the
+  * values organic", "which near-identical labels should merge". Every
+  * query keeps the 100 TB plan shape: keyed shuffles only, broadcast
+  * scalar pre-passes for global bounds, distinct-domain contraction
+  * before any pairwise work.
+  */
+object Insights {
+
+  // ---------------------------------------------------------------------
+  // A18 — activity streaks (gaps-and-islands). Longest run of
+  // consecutive active days per user — the canonical engagement metric
+  // the a14 WAU / a15 growth / a16 retention family was missing.
+  // Islands via the textbook day-index-minus-row-number trick: one
+  // shuffle to (user, day) grain, one per-user window (partitioned
+  // sort, never global), then two keyed aggregates.
+  // ---------------------------------------------------------------------
+  private def a18(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        min(col("start_day")).as("first_day"))
+      .orderBy("user_id")
+  }
+  private val a18Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    (day - DATE '1970-01-01')
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  MIN(start_day) AS first_day
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q32 — Benford leading-digit audit. Fraud/synthetic-data screening
+  // for a measure column: the observed first-significant-digit
+  // frequency of o_totalprice. Digit extraction goes through integer
+  // cents (ROUND(x*100) → BIGINT → string head) because int→string is
+  // engine-identical while double→string formatting is not. One
+  // codegen'd row pass + a 9-row aggregate; the pct divisions are
+  // single exactly-rounded IEEE ops over exact integers, so the oracle
+  // matches bit-for-bit.
+  // ---------------------------------------------------------------------
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .as("leading_digit"))
+      .groupBy("leading_digit")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy() // 9-row post-agg relation: safe
+    counts
+      .withColumn("pct",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .orderBy("leading_digit")
+  }
+  private val q32Sql =
+    """WITH c AS (
+      |  SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS leading_digit,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+      |  GROUP BY 1)
+      |SELECT leading_digit, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS pct
+      |FROM c ORDER BY leading_digit""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q33 — distribution drift between time halves. Splits the event
+  // stream at the midpoint of its day range (broadcast 1-row min/max
+  // pre-pass, integer day arithmetic) and compares the event-type mix
+  // of the two halves — the shape of a training-data drift monitor.
+  // Per-type rates are exactly-rounded divisions of exact counts; the
+  // drift is ONE subtraction of those — no float accumulation, so no
+  // engine-order divergence. Sum-of-|diff| (total variation) is left
+  // to the caller precisely because summing doubles is order-dependent.
+  // ---------------------------------------------------------------------
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("epoch_day"))
+    val bounds = ev.agg(min("epoch_day").as("lo"), max("epoch_day").as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("early",
+        (col("epoch_day") < col("lo") +
+          expr("(hi - lo + 1) div 2")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("early")).as("n_early"),
+        sum(lit(1L) - col("early")).as("n_late"))
+    val w = Window.partitionBy() // bounded event-type domain post-agg
+    val rE = col("n_early").cast("double") /
+      sum(col("n_early")).over(w).cast("double")
+    val rL = col("n_late").cast("double") /
+      sum(col("n_late")).over(w).cast("double")
+    counts
+      .withColumn("rate_early", rE)
+      .withColumn("rate_late", rL)
+      .withColumn("drift", abs(col("rate_early") - col("rate_late")))
+      .orderBy(desc("drift"), col("event_type"))
+  }
+  private val q33Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day
+      |  FROM events),
+      |b AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM ev),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN epoch_day < lo + (hi - lo + 1) // 2
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+      |    CAST(SUM(CASE WHEN epoch_day < lo + (hi - lo + 1) // 2
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+      |  FROM ev CROSS JOIN b GROUP BY 1)
+      |SELECT event_type, n_early, n_late,
+      |  CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER () AS DOUBLE)
+      |    AS rate_early,
+      |  CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER () AS DOUBLE)
+      |    AS rate_late,
+      |  ABS(CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER ()
+      |      AS DOUBLE)
+      |    - CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER ()
+      |      AS DOUBLE)) AS drift
+      |FROM c ORDER BY drift DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J15 — fuzzy (edit-distance) label matching. Which near-identical
+  // part names should an entity-resolution pass merge? The 100 TB-safe
+  // shape: contract to the DISTINCT label domain first (a keyed agg —
+  // labels are a vocabulary, not a corpus), then pair WITHIN equi-join
+  // blocks (last token) under a length band, then levenshtein ≤ 2.
+  // Pairwise work is bounded by vocabulary², never corpus²; per-label
+  // row counts ride along so the caller can weigh merges.
+  // ---------------------------------------------------------------------
+  private def j15(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", substring_index(col("p_name"), " ", -1))
+    val a = names.select(col("p_name").as("name_a"),
+      col("n_parts").as("n_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("n_parts").as("n_b"), col("block"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"),
+        col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+  private val j15Sql =
+    """WITH names AS (
+      |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    str_split(p_name, ' ')[-1] AS block
+      |  FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM names a JOIN names b
+      |  ON a.block = b.block AND a.p_name < b.p_name
+      |WHERE ABS(length(a.p_name) - length(b.p_name)) <= 2
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X36 — weighted (probability-proportional-to-size) sampling gate.
+  // Sample docs with probability ∝ n_chars toward an expected target
+  // count — the standard size-weighted corpus subsample (big docs are
+  // more likely kept; x24 stratifies uniformly, x13/x30 reweight by
+  // source). Zero-shuffle row-local gate: broadcast 1-row total-weight
+  // pre-pass, then keep iff h·W < target·w·10^6 — all-integer
+  // cross-multiplication, no division, engine-exact. Products stay
+  // under 2^63 while 10^6·W < 2^63 (W ≈ 9.2×10^12 total chars ≈ 9 TB
+  // of text); past that, move the gate to DECIMAL(38,0) unchanged.
+  // Docs with target·w ≥ W·10^-6·10^6 are kept with certainty — the
+  // documented PPS saturation for heavyweight items.
+  // ---------------------------------------------------------------------
+  private val SampleTarget = 500L
+
+  private def x36(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", pmod(
+        (col("doc_id") % 2147483648L) * 2654435761L + 13L,
+        lit(1000000L)))
+    val tot = docs.agg(sum(col("n_chars")).as("total_w"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("keep", col("h") * col("total_w") <
+        lit(SampleTarget) * col("n_chars") * lit(1000000L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L))
+          .as("chars_sampled"))
+      .orderBy("source")
+  }
+  private val x36Sql =
+    s"""WITH t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_w
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, n_chars,
+       |    CASE WHEN ((doc_id % 2147483648) * 2654435761 + 13) % 1000000
+       |        * total_w < $SampleTarget * n_chars * 1000000
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM documents CROSS JOIN t)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_sampled
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("a18_streaks", Some(a18Sql), a18),
+    QueryDef("q32_benford", Some(q32Sql), q32),
+    QueryDef("q33_distribution_drift", Some(q33Sql), q33),
+    QueryDef("j15_fuzzy_join", Some(j15Sql), j15),
+    QueryDef("x36_weighted_sample", Some(x36Sql), x36)
+  )
+}

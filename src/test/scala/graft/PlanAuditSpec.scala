@@ -29,7 +29,11 @@ class PlanAuditSpec extends SparkSpec {
       "bounded day grain"),
     "x21_tombstone_cascade" -> ("audit rows assemble via crossJoin of " +
       "two SINGLE-ROW count aggregates per table (1×1 by construction); " +
-      "the cascade itself is keyed anti/semi joins"))
+      "the cascade itself is keyed anti/semi joins"),
+    "q33_distribution_drift" -> ("rows crossJoin a SINGLE-ROW min/max " +
+      "day-bounds aggregate (n×1 broadcast scalar, a17's pattern)"),
+    "x36_weighted_sample" -> ("rows crossJoin a SINGLE-ROW total-weight " +
+      "aggregate (n×1 broadcast scalar, a17's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>
