@@ -243,11 +243,153 @@ object Insights {
        |    AS chars_sampled
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q34 — functional-dependency audit. Does X determine Y (here:
+  // p_brand → p_type)? The profiling question behind schema inference
+  // and key discovery. One keyed partial-agg pass; rows come back only
+  // for violating X values, with the distinct-Y count, support, and
+  // the min/max Y as concrete witnesses. Completes the validation
+  // family (q02 PK, q03 FK, q04 NULL, q06 ranges) with the dependency
+  // dimension the reference's corpus never checks.
+  // ---------------------------------------------------------------------
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_type")).as("n_types"),
+        count(lit(1)).as("n_rows"),
+        min(col("p_type")).as("type_min"),
+        max(col("p_type")).as("type_max"))
+      .filter(col("n_types") > 1)
+      .orderBy("p_brand")
+  }
+  private val q34Sql =
+    """SELECT p_brand,
+      |  CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(p_type) AS type_min, MAX(p_type) AS type_max
+      |FROM part GROUP BY 1 HAVING COUNT(DISTINCT p_type) > 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A19 — deterministic per-group mode. The modal o_orderpriority per
+  // order status, as the explicit argmax (count DESC, value ASC) —
+  // NOT the built-in mode(), whose tie choice is engine-arbitrary.
+  // Count-then-window: the ranking window runs over the contracted
+  // (status, priority) domain, never the fact rows.
+  // ---------------------------------------------------------------------
+  private def a19(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("n"), col("o_orderpriority"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority")
+        .as("modal_priority"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+  private val a19Sql =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT o_orderstatus, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY n DESC, o_orderpriority) AS rn
+      |  FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X37 — shingle-containment detection: doc pairs where one document's
+  // 8-token shingle set is (nearly) contained in the other's — catches
+  // quote/excerpt/superset duplication that symmetric Jaccard (x04) and
+  // span coverage (x32) under-report. Scale shape: DISTINCT per-doc
+  // shingle sets, document-frequency band [2, DfCap] before the
+  // pair-generating self-join (candidate volume is Σdf² over the band,
+  // independent of corpus size per shingle), exact set-size join after.
+  // The reported containment is the df-banded lower bound — ultra-hot
+  // boilerplate shingles are excluded by definition of the audit.
+  // Deterministic top-N: containment DESC, then the pair key.
+  // ---------------------------------------------------------------------
+  private val ContainK = 8
+  private val ContainDfCap = 50
+  private val ContainTopN = 50
+
+  private def x37(s: SparkSession, d: String): DataFrame = {
+    val k = ContainK
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val banded = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= ContainDfCap)
+        .select("h"),
+      "h")
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment", col("shared").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
+      .limit(ContainTopN)
+  }
+  private val x37Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${ContainK - 1}], ' ') AS g
+       |  FROM base, unnest(generate_series(1, len(w) - ${ContainK - 1}))
+       |    AS t(i)
+       |  WHERE len(w) >= $ContainK),
+       |sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY 1),
+       |band AS (
+       |  SELECT g FROM sh GROUP BY g
+       |  HAVING COUNT(*) BETWEEN 2 AND $ContainDfCap),
+       |el AS (SELECT doc_id, g FROM sh JOIN band USING (g)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM el a JOIN el b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.shared, sa.n_sh AS n_a,
+       |  sb.n_sh AS n_b,
+       |  CAST(p.shared AS DOUBLE) /
+       |    CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |FROM p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |ORDER BY containment DESC, doc_a, doc_b
+       |LIMIT $ContainTopN""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
     QueryDef("q33_distribution_drift", Some(q33Sql), q33),
     QueryDef("j15_fuzzy_join", Some(j15Sql), j15),
-    QueryDef("x36_weighted_sample", Some(x36Sql), x36)
+    QueryDef("x36_weighted_sample", Some(x36Sql), x36),
+    QueryDef("q34_fd_audit", Some(q34Sql), q34),
+    QueryDef("a19_mode", Some(a19Sql), a19),
+    QueryDef("x37_containment", Some(x37Sql), x37)
   )
 }

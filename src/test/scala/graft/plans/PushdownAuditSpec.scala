@@ -57,4 +57,39 @@ class PushdownAuditSpec extends SparkSpec {
     assert(pf.contains("2024-01-02"), plan)
     assert(pruned.count() == 1)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered fact join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    // fact partitioned on the join key; the selective predicate lives
+    // only on the dim side, so static pruning can't help — the runtime
+    // subquery (DPP) must inject the surviving keys into the fact scan
+    (1 to 1000).map(i => (i.toLong, i % 5)).toDF("id", "rk")
+      .write.mode("overwrite").partitionBy("rk").parquet(dir)
+    // dim must be file-backed: an in-memory Seq folds to a filterless
+    // LocalRelation, and DPP only triggers off a surviving selective
+    // predicate on the build side
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_dpp_dim").toString
+    Seq((0, "keep"), (1, "a"), (2, "b"), (3, "c"), (4, "e"))
+      .toDF("rk", "name").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // DPP's benefit estimate is stats-driven; a KB-sized test table
+    // never clears it. Force the fallback-ratio path (the decision a
+    // real fact table's size stats make on their own) just for this
+    // plan — the assertion is about the MECHANISM being wired.
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val fact = spark.read.parquet(dir)
+      val joined = fact.join(
+        broadcast(dim).filter(col("name") === "keep"), "rk")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no DPP subquery in fact scan:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
 }
