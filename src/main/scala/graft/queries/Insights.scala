@@ -382,6 +382,81 @@ object Insights {
        |ORDER BY containment DESC, doc_a, doc_b
        |LIMIT $ContainTopN""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q35 — per-group Pearson correlation from EXACT moment sums. The
+  // built-in corr() accumulates doubles in partition order, so its
+  // last bits are nondeterministic across engines (and across runs at
+  // different parallelism). Here the five moments (n, Σx, Σy, Σxy,
+  // Σx², Σy²) accumulate as decimals — exact, any merge order — and r
+  // is assembled from them with a fixed expression shape, so every
+  // IEEE op is exactly rounded over identical operands in both
+  // engines: bit-for-bit reproducible at any cluster size. One
+  // partial-agg pass over lineitem.
+  // ---------------------------------------------------------------------
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    // Inputs cast to DECIMAL(18,2) FIRST (2-decimal money/quantity
+    // values: the 0.01 quantum dwarfs the double's ulp, so both
+    // engines round identically), then all products happen in exact
+    // decimal arithmetic. Casting the double PRODUCT instead is a
+    // trap: ulp(price²) ≈ 5e-7 is the size of a 6-decimal quantum, so
+    // engines disagree on the last decimal row by row (measured: Σy²
+    // off by 0.02 at sf1 before this was moved input-side).
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+          .as("sxy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .as("syy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    m.select(col("l_returnflag"), col("n"),
+        (sx / nD).as("avg_qty"), (sy / nD).as("avg_price"),
+        ((nD * col("sxy").cast("double") - sx * sy) /
+          (sqrt(nD * col("sxx").cast("double") - sx * sx) *
+            sqrt(nD * col("syy").cast("double") - sy * sy)))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+  // Oracle note: the moments convert decimal→double VIA VARCHAR.
+  // DuckDB's direct DECIMAL→DOUBLE cast double-rounds once the scaled
+  // int128 exceeds 2^53 (measured: Σprice² off by 1 ulp at sf0.01),
+  // while its VARCHAR→DOUBLE parse — like Spark's BigDecimal cast — is
+  // correctly rounded, so both engines land on the identical double.
+  private val q35Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+      |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  sxd / CAST(n AS DOUBLE) AS avg_qty,
+      |  syd / CAST(n AS DOUBLE) AS avg_price,
+      |  (CAST(n AS DOUBLE) * sxyd - sxd * syd)
+      |    / (SQRT(CAST(n AS DOUBLE) * sxxd - sxd * sxd)
+      |      * SQRT(CAST(n AS DOUBLE) * syyd - syd * syd))
+      |    AS corr_qty_price
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -390,6 +465,7 @@ object Insights {
     QueryDef("x36_weighted_sample", Some(x36Sql), x36),
     QueryDef("q34_fd_audit", Some(q34Sql), q34),
     QueryDef("a19_mode", Some(a19Sql), a19),
-    QueryDef("x37_containment", Some(x37Sql), x37)
+    QueryDef("x37_containment", Some(x37Sql), x37),
+    QueryDef("q35_correlation", Some(q35Sql), q35)
   )
 }
