@@ -457,6 +457,91 @@ object Insights {
       |    AS corr_qty_price
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A20 — time-weighted average (TWA): the metric-engine primitive for
+  // irregularly sampled series — each reading weighted by how long it
+  // was current (to the next event), so a burst of samples doesn't
+  // dominate a sparse stretch. One per-user window (lead) + one keyed
+  // agg. Exactness discipline: value is quantized to DECIMAL(18,6)
+  // (quantum ≫ double ulp → both engines round identically), the µs
+  // interval is exact integer, their product and sums are exact
+  // decimals, and the single final division is one exactly-rounded
+  // IEEE op — bit-identical at any parallelism.
+  // ---------------------------------------------------------------------
+  private def a20(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v6"))
+      .withColumn("dt_us",
+        (unix_micros(lead(col("ts"), 1).over(w)) -
+          unix_micros(col("ts"))))
+      .filter(col("dt_us").isNotNull)
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        (sum(col("v6") * col("dt_us").cast("decimal(19,0)"))
+          .cast("double") /
+          sum(col("dt_us")).cast("double")).as("twa_value"))
+      .orderBy("user_id")
+  }
+  private val a20Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(value AS DECIMAL(18,6)) AS v6,
+      |    epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+      |  FROM events),
+      |f AS (SELECT * FROM ev WHERE dt_us IS NOT NULL)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dt_us) AS BIGINT) AS span_us,
+      |  CAST(CAST(SUM(v6 * CAST(dt_us AS DECIMAL(19,0))) AS VARCHAR)
+      |      AS DOUBLE)
+      |    / CAST(CAST(CAST(SUM(dt_us) AS BIGINT) AS VARCHAR) AS DOUBLE)
+      |    AS twa_value
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q36 — contingency / association audit between two categorical
+  // columns (market segment × nation): observed cell counts vs the
+  // independence expectation (row·col/grand totals) and the lift
+  // ratio. The categorical-correlation complement of q35; flags cells
+  // whose lift strays from 1. One keyed agg to the bounded cell grid;
+  // the marginals are window sums OVER THAT GRID, never the fact
+  // rows. Expected/lift are exactly-rounded divisions of exact counts.
+  // ---------------------------------------------------------------------
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wSeg = Window.partitionBy("c_mktsegment")
+    val wNat = Window.partitionBy("c_nationkey")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("n_exp",
+        sum(col("n_obs")).over(wSeg).cast("double") *
+          sum(col("n_obs")).over(wNat).cast("double") /
+          sum(col("n_obs")).over(wAll).cast("double"))
+      .withColumn("lift", col("n_obs").cast("double") / col("n_exp"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+  private val q36Sql =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM customer GROUP BY 1, 2),
+      |e AS (
+      |  SELECT c_mktsegment, c_nationkey, n_obs,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+      |      * CAST(SUM(n_obs) OVER (PARTITION BY c_nationkey)
+      |          AS DOUBLE)
+      |      / CAST(SUM(n_obs) OVER () AS DOUBLE) AS n_exp
+      |  FROM cells)
+      |SELECT c_mktsegment, c_nationkey, n_obs, n_exp,
+      |  CAST(n_obs AS DOUBLE) / n_exp AS lift
+      |FROM e ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -466,6 +551,8 @@ object Insights {
     QueryDef("q34_fd_audit", Some(q34Sql), q34),
     QueryDef("a19_mode", Some(a19Sql), a19),
     QueryDef("x37_containment", Some(x37Sql), x37),
-    QueryDef("q35_correlation", Some(q35Sql), q35)
+    QueryDef("q35_correlation", Some(q35Sql), q35),
+    QueryDef("a20_time_weighted_avg", Some(a20Sql), a20),
+    QueryDef("q36_contingency", Some(q36Sql), q36)
   )
 }
