@@ -542,6 +542,93 @@ object Insights {
       |  CAST(n_obs AS DOUBLE) / n_exp AS lift
       |FROM e ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q37 — categorical concentration profile (Gini impurity) across
+  // columns. Entropy needs log (engine-divergent in the last ulp);
+  // Gini 1 − Σp² doesn't: Σn² is an exact decimal sum of integers and
+  // the single division n²/T² is one exactly-rounded IEEE op — an
+  // engine-exact diversity score. Each column contracts to its value
+  // domain with one keyed agg; the three profiles union. DECIMAL(38,0)
+  // for Σn² keeps the sum exact out to n ≈ 10¹⁹ per value.
+  // ---------------------------------------------------------------------
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    def profile(df: DataFrame, column: String, label: String) = {
+      val counts = df.groupBy(col(column).as("v"))
+        .agg(count(lit(1)).as("n"))
+      counts.agg(
+        lit(label).as("column_name"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n")).as("n_rows"),
+        (lit(1.0) -
+          sum((col("n") * col("n")).cast("decimal(38,0)")).cast("double")
+            / (sum(col("n")).cast("double") *
+              sum(col("n")).cast("double"))).as("gini"))
+    }
+    profile(Tables.events(s, d), "event_type", "events.event_type")
+      .unionByName(profile(Tables.orders(s, d), "o_orderstatus",
+        "orders.o_orderstatus"))
+      .unionByName(profile(Tables.customer(s, d), "c_mktsegment",
+        "customer.c_mktsegment"))
+      .orderBy("column_name")
+  }
+  private val q37Sql =
+    """WITH p AS (
+      |  SELECT 'events.event_type' AS column_name, event_type AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'orders.o_orderstatus', o_orderstatus,
+      |    CAST(COUNT(*) AS BIGINT) FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'customer.c_mktsegment', c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) FROM customer GROUP BY 2)
+      |SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  1.0 - CAST(CAST(SUM(CAST(n * n AS DECIMAL(38,0))) AS VARCHAR)
+      |      AS DOUBLE)
+      |    / (CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+      |      * CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)) AS gini
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X38 — boilerplate template detection: document PREFIXES shared
+  // across many docs (mail headers, license banners, scraped nav
+  // chrome — template spam that survives exact whole-doc dedup because
+  // the tails differ). Fingerprint the first K tokens row-locally,
+  // one keyed agg to the template domain, report templates hitting
+  // ≥ MinDocs docs with doc/source spread; the sample text rides along
+  // via min() so no second join back to the corpus.
+  // ---------------------------------------------------------------------
+  private val TemplateK = 8
+  private val TemplateMinDocs = 3
+
+  private def x38(s: SparkSession, d: String): DataFrame = {
+    val k = TemplateK
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("w"), 1, k)).as("prefix"))
+    docs.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= TemplateMinDocs)
+      .orderBy(desc("n_docs"), col("prefix"))
+  }
+  private val x38Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(w[1:$TemplateK], ' ') AS prefix
+       |  FROM d WHERE len(w) >= $TemplateK)
+       |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  MIN(doc_id) AS example_doc
+       |FROM p GROUP BY 1 HAVING COUNT(*) >= $TemplateMinDocs
+       |ORDER BY n_docs DESC, prefix""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -553,6 +640,8 @@ object Insights {
     QueryDef("x37_containment", Some(x37Sql), x37),
     QueryDef("q35_correlation", Some(q35Sql), q35),
     QueryDef("a20_time_weighted_avg", Some(a20Sql), a20),
-    QueryDef("q36_contingency", Some(q36Sql), q36)
+    QueryDef("q36_contingency", Some(q36Sql), q36),
+    QueryDef("q37_gini_profile", Some(q37Sql), q37),
+    QueryDef("x38_template_prefixes", Some(x38Sql), x38)
   )
 }
