@@ -629,6 +629,78 @@ object Insights {
        |FROM p GROUP BY 1 HAVING COUNT(*) >= $TemplateMinDocs
        |ORDER BY n_docs DESC, prefix""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X39 — embedding centroid / dispersion profile per class: the
+  // clustering-quality audit run before trusting labels or IVF
+  // codebooks (tight classes → good separation; a dispersed class →
+  // label noise). Plan: explode to (label, dim, v) — one keyed shuffle
+  // to the bounded (label × 64) grid — per-dim mean from exact decimal
+  // sums (components quantized to DECIMAL(18,6): quantum ≫ float ulp,
+  // both engines round the same exact binary value identically), the
+  // centroid reassembled as a dim-ordered array, broadcast back, and
+  // each vector's distance computed as an IN-ROW left-to-right fold
+  // (the x05 dot-product discipline — no cross-row float order). Only
+  // the final per-class distance average crosses rows, and it re-enters
+  // decimal before summing.
+  // ---------------------------------------------------------------------
+  private def x39(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cells = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val cents = cells.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("c")))), s => s.getField("c")).as("cent"))
+      .withColumn("centroid_norm",
+        sqrt(expr("aggregate(transform(cent, c -> c * c), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+    val dists = base.join(broadcast(cents), "label")
+      .withColumn("dist", sqrt(expr(
+        "aggregate(zip_with(emb, cent, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+    dists.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("centroid_norm")).as("centroid_norm"),
+        (sum(col("dist").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy("label")
+  }
+  private val x39Sql =
+    """WITH cells AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+      |        AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY dim) AS cent,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list(c ORDER BY dim), c -> c * c)),
+      |      (a, v) -> a + v)) AS centroid_norm
+      |  FROM cells GROUP BY 1),
+      |dists AS (
+      |  SELECT e.label, c.centroid_norm,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list_zip(e.embedding, c.cent),
+      |        p -> (CAST(p[1] AS DOUBLE) - p[2])
+      |          * (CAST(p[1] AS DOUBLE) - p[2]))),
+      |      (a, v) -> a + v)) AS dist
+      |  FROM embeddings e JOIN cents c ON e.label = c.label)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(centroid_norm) AS centroid_norm,
+      |  CAST(CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS VARCHAR)
+      |      AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_dist,
+      |  MAX(dist) AS max_dist
+      |FROM dists GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -642,6 +714,7 @@ object Insights {
     QueryDef("a20_time_weighted_avg", Some(a20Sql), a20),
     QueryDef("q36_contingency", Some(q36Sql), q36),
     QueryDef("q37_gini_profile", Some(q37Sql), q37),
-    QueryDef("x38_template_prefixes", Some(x38Sql), x38)
+    QueryDef("x38_template_prefixes", Some(x38Sql), x38),
+    QueryDef("x39_centroid_profile", Some(x39Sql), x39)
   )
 }
