@@ -301,6 +301,41 @@ object Media {
       |ORDER BY user_id, view_us, purchase_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST7 — left-outer stream-stream interval join (batch form): views
+  // with NO purchase inside the attribution window surface as
+  // null-matched rows — the conversion-failure/abandonment stream.
+  // The streaming twin (StreamJoin.startOuter) can only emit those
+  // nulls after the watermark proves no match can still arrive;
+  // StreamJoinSpec pins that trailing-emission behavior and the final
+  // stream≡batch row set. Same one-keyed-shuffle plan as st03 with
+  // left_outer semantics.
+  // ---------------------------------------------------------------------
+  private def st07(s: SparkSession, d: String): DataFrame = {
+    graft.streaming.StreamJoin.attributedOuter(Tables.events(s, d))
+      .select(col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_value"),
+        col("purchase_ts").isNotNull.as("converted"))
+      .orderBy("user_id", "view_us", "purchase_us")
+  }
+  private val st07Sql =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS view_us FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id AS p_user_id, epoch_us(ts) AS purchase_us,
+      |         value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, view_us, purchase_us,
+      |       p.value AS purchase_value,
+      |       purchase_us IS NOT NULL AS converted
+      |FROM v LEFT JOIN p ON v.user_id = p.p_user_id
+      |  AND purchase_us >= view_us
+      |  AND purchase_us <= view_us + 1800000000
+      |ORDER BY user_id, view_us, purchase_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // M4 — audio chunking: split each stub-decoded audio payload into
   // fixed 10-second windows (the segmentation step before feature
   // extraction / ASR batching). Sample rate and length derive
@@ -425,6 +460,7 @@ object Media {
     QueryDef("st05_stream_dedup", Some(st05Sql), st05),
     QueryDef("st06_stream_enrich", Some(st06Sql), st06),
     QueryDef("st02_sessionize", Some(st02Sql), st02),
-    QueryDef("st03_stream_join", Some(st03Sql), st03)
+    QueryDef("st03_stream_join", Some(st03Sql), st03),
+    QueryDef("st07_outer_attribution", Some(st07Sql), st07)
   )
 }

@@ -78,4 +78,60 @@ object StreamJoin {
       .outputMode("append")
       .start()
   }
+
+  /** Left-outer form of [[attributed]]: every view emits its matching
+    * purchases, or ONE null-matched row if no purchase lands inside
+    * the window — the "abandoned view" / conversion-failure stream.
+    * Batch twin of [[startOuter]]. */
+  def attributedOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    views.join(buys,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <=
+            col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  /** Streaming left-outer interval join. The semantics only work
+    * BECAUSE of watermarks: a null-matched view row can be emitted
+    * only once the watermark proves no matching purchase can still
+    * arrive (view_ts + window < watermark), so unmatched results
+    * trail the event time by the watermark delay — the correctness/
+    * latency trade outer stream joins are. State stays horizon-
+    * bounded exactly as in the inner form. */
+  def startOuter(spark: SparkSession, dir: String, queryName: String)
+      : StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(dir).schema
+    def side(): DataFrame =
+      graft.Tables.normalizeTs(
+        spark.readStream.schema(fileSchema).parquet(dir))
+    val views = side().filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(buys,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <=
+            col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        col("purchase_value"))
+    joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
 }

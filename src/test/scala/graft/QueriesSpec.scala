@@ -27,4 +27,10 @@ class QueriesSpec extends SparkSpec {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("query names are unique (duplicates would collapse in the map)") {
+    val names = SparkEntry.defs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
 }

@@ -26,6 +26,52 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer join emits null-matched views only after the watermark " +
+      "proves no match can arrive") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    import spark.implicits._
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def rows(specs: Seq[(Long, Int, String)]) = specs.map {
+      case (id, hour, typ) =>
+        (id, new Timestamp(base + hour * 3600000L +
+          (if (typ == "purchase") 300000L else 0L)), typ,
+          if (typ == "purchase") 9.99 else 0.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("sjoin_outer")
+    val in = s"$dir/in"
+    // hour 0: users 1-5 view+purchase (converted), users 6-10 view only
+    rows((1L to 5L).flatMap(i => Seq((i, 0, "view"), (i, 0, "purchase")))
+      ++ (6L to 10L).map(i => (i, 0, "view"))).write
+      .mode("append").parquet(in)
+    val q = StreamJoin.startOuter(spark, in, "sjoin_outer")
+    try {
+      q.processAllAvailable()
+      val matched = spark.table("sjoin_outer")
+      assert(matched.filter(col("purchase_ts").isNotNull).count() == 5)
+      // abandoned views CANNOT have emitted yet: the watermark hasn't
+      // passed view_ts + window, a purchase could still arrive
+      assert(matched.filter(col("purchase_ts").isNull).count() == 0)
+      // hour 10 traffic advances the watermark far past hour 0+horizon
+      rows((11L to 12L).flatMap(i =>
+        Seq((i, 10, "view"), (i, 10, "purchase")))).write
+        .mode("append").parquet(in)
+      q.processAllAvailable()
+      rows(Seq((13L, 11, "view"), (13L, 11, "purchase"))).write
+        .mode("append").parquet(in)
+      q.processAllAvailable()
+      val nulls = spark.table("sjoin_outer")
+        .filter(col("purchase_ts").isNull)
+        .select("user_id").collect().map(_.getLong(0)).sorted
+      assert(nulls.toSeq == (6L to 10L),
+        s"expected users 6-10 as abandoned views, got ${nulls.toSeq}")
+    } finally q.stop()
+  }
+
   test("join state is watermark-bounded (eviction actually happens)") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
