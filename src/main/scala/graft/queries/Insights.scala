@@ -701,6 +701,103 @@ object Insights {
       |  MAX(dist) AS max_dist
       |FROM dists GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A21 — OHLC bars (open/high/low/close per user-day): the canonical
+  // downsampling of an event stream to period bars. First/last are
+  // row_number picks under a TOTAL order (ts, then event_id) — not
+  // first()/min_by(), whose tie behavior is engine- and partition-
+  // arbitrary. Both windows ride the same (user, day) shuffle; min/max
+  // of doubles are exact.
+  // ---------------------------------------------------------------------
+  private def a21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+    val asc = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val desc_ = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc_))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        min(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+  private val a21Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id) AS rna,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM events)
+      |SELECT user_id, day,
+      |  MIN(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MIN(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X40 — quality-aware dedup survivorship: within each near-identical
+  // cluster (same canonical fingerprint — whitespace/case-insensitive),
+  // keep the RICHEST copy (longest raw text) instead of x01's min-id
+  // convention, and report what the swap saves. Survivor choice is a
+  // row_number under a total order (n_chars DESC, doc_id ASC) riding
+  // the one fingerprint-keyed shuffle. The corpus has no whole-doc
+  // duplicates, so (same convention as x02/x10) every 10th doc gets a
+  // planted case/whitespace variant — canonically identical, longer
+  // raw form — giving the operator real clusters at every scale.
+  // ---------------------------------------------------------------------
+  private def x40(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("  "),
+          upper(regexp_replace(col("text"), " ", "  "))).as("text"))
+    val docs = base.unionByName(variants)
+      .select(col("doc_id"), length(col("text")).cast("long")
+          .as("n_chars"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("fp"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("survivor_doc"),
+        min(when(col("rn") === 1, col("n_chars"))).as("survivor_chars"),
+        (sum(col("n_chars")) -
+          min(when(col("rn") === 1, col("n_chars"))))
+          .as("chars_saved"))
+      .filter(col("n_members") >= 2)
+      .orderBy("fp")
+  }
+  private val x40Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, '  ' ||
+      |    upper(regexp_replace(text, ' ', '  ', 'g'))
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |d AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |    ROW_NUMBER() OVER (PARTITION BY
+      |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY length(text) DESC, doc_id) AS rn
+      |  FROM corpus)
+      |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc,
+      |  MIN(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+      |  CAST(SUM(n_chars) - MIN(CASE WHEN rn = 1 THEN n_chars END)
+      |    AS BIGINT) AS chars_saved
+      |FROM d GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -715,6 +812,8 @@ object Insights {
     QueryDef("q36_contingency", Some(q36Sql), q36),
     QueryDef("q37_gini_profile", Some(q37Sql), q37),
     QueryDef("x38_template_prefixes", Some(x38Sql), x38),
-    QueryDef("x39_centroid_profile", Some(x39Sql), x39)
+    QueryDef("x39_centroid_profile", Some(x39Sql), x39),
+    QueryDef("a21_ohlc", Some(a21Sql), a21),
+    QueryDef("x40_dedup_best", Some(x40Sql), x40)
   )
 }
