@@ -798,6 +798,44 @@ object Insights {
       |    AS BIGINT) AS chars_saved
       |FROM d GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A22 — event-transition matrix (first-order Markov): how users move
+  // between event types, as counts and row-normalized probabilities —
+  // the product-analytics "path" primitive behind funnel discovery.
+  // One per-user lead window on the (ts, event_id) total order, one
+  // keyed agg to the bounded type×type grid, probabilities as exact
+  // divisions window-summed over that grid.
+  // ---------------------------------------------------------------------
+  private def a22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(wFrom).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+  private val a22Sql =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -814,6 +852,7 @@ object Insights {
     QueryDef("x38_template_prefixes", Some(x38Sql), x38),
     QueryDef("x39_centroid_profile", Some(x39Sql), x39),
     QueryDef("a21_ohlc", Some(a21Sql), a21),
-    QueryDef("x40_dedup_best", Some(x40Sql), x40)
+    QueryDef("x40_dedup_best", Some(x40Sql), x40),
+    QueryDef("a22_transition_matrix", Some(a22Sql), a22)
   )
 }
