@@ -836,6 +836,60 @@ object Insights {
       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X41 — train/eval split leakage audit: after a deterministic 90/10
+  // hash split, which near-duplicate clusters STRADDLE the boundary?
+  // Any crossing cluster leaks training content into eval — the
+  // contamination mode a random split always has and x14-style
+  // decontamination exists to catch. Same planted-variant corpus as
+  // x40 (the raw corpus has no whole-doc dups); the split gate is the
+  // x13/x36 integer-hash discipline, the cluster tally one keyed agg.
+  // ---------------------------------------------------------------------
+  private def x41(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("  "),
+          upper(regexp_replace(col("text"), " ", "  "))).as("text"))
+    val corpus = base.unionByName(variants)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("fp"))
+      // split on the hash's HIGH bits (div 2^16 before mod 10): the
+      // Knuth constant is ≡1 mod 10, so a bare %10 of the product
+      // cycles with doc_id and never mixes
+      .withColumn("in_train",
+        pmod(expr("((doc_id % 2147483648) * 2654435761 + 17) " +
+          "div 65536"), lit(10L)) < 9)
+    corpus.groupBy(col("fp"))
+      .agg(sum(when(col("in_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("in_train"), 1L).otherwise(0L)).as("n_eval"))
+      .filter(col("n_train") > 0 && col("n_eval") > 0)
+      .orderBy("fp")
+  }
+  private val x41Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, '  ' ||
+      |    upper(regexp_replace(text, ' ', '  ', 'g'))
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |    (((doc_id % 2147483648) * 2654435761 + 17) // 65536) % 10 < 9
+      |      AS in_train
+      |  FROM corpus)
+      |SELECT fp,
+      |  CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train,
+      |  CAST(SUM(CASE WHEN in_train THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_eval
+      |FROM g GROUP BY 1
+      |HAVING SUM(CASE WHEN in_train THEN 1 ELSE 0 END) > 0
+      |  AND SUM(CASE WHEN in_train THEN 0 ELSE 1 END) > 0
+      |ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -853,6 +907,7 @@ object Insights {
     QueryDef("x39_centroid_profile", Some(x39Sql), x39),
     QueryDef("a21_ohlc", Some(a21Sql), a21),
     QueryDef("x40_dedup_best", Some(x40Sql), x40),
-    QueryDef("a22_transition_matrix", Some(a22Sql), a22)
+    QueryDef("a22_transition_matrix", Some(a22Sql), a22),
+    QueryDef("x41_split_leakage", Some(x41Sql), x41)
   )
 }
