@@ -890,6 +890,99 @@ object Insights {
       |  AND SUM(CASE WHEN in_train THEN 0 ELSE 1 END) > 0
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A23 — per-user activity trend: least-squares slope/intercept of
+  // daily event count over the day index. Because BOTH regressors are
+  // integers (epoch day, daily count), every moment sum and the
+  // numerator/denominator are EXACT 64-bit arithmetic — identical in
+  // any engine at any parallelism — and only the final two divisions
+  // are floating point. The q35 correlation discipline, degenerated to
+  // the all-integer case where no decimal is even needed. Bounds: the
+  // products stay inside int64 out to ~10⁵ daily events over a
+  // century; past that, lift the moments to DECIMAL(38,0) unchanged.
+  // ---------------------------------------------------------------------
+  private def a23(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("c")).as("sy"),
+        sum(col("day") * col("c")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .filter(col("n") >= 2)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.select(col("user_id"), col("n").as("n_days"),
+        col("sy").as("n_events"),
+        (num.cast("double") / den.cast("double")).as("slope"),
+        ((col("sy").cast("double") -
+          (num.cast("double") / den.cast("double")) *
+            col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"))
+      .orderBy("user_id")
+  }
+  private val a23Sql =
+    """WITH daily AS (
+      |  SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(day) AS BIGINT) AS sx,
+      |    CAST(SUM(c) AS BIGINT) AS sy,
+      |    CAST(SUM(day * c) AS BIGINT) AS sxy,
+      |    CAST(SUM(day * day) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT user_id, n AS n_days, sy AS n_events,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM m ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A24 — path-pattern audit: each user's full event-type sequence
+  // (total order: ts, event_id) reduced to a fingerprint + pattern
+  // flags — "did view eventually lead to purchase" as an ordered
+  // SUBSEQUENCE test, which set-based funnels (q18) can't express.
+  // The sequence assembles deterministically via array_sort of
+  // (ts, event_id, type) structs; LIKE has identical semantics in
+  // both engines (no regex dialect risk). Output carries md5(path),
+  // not the path — value-checkable without shipping megabyte strings.
+  // ---------------------------------------------------------------------
+  private def a24(s: SparkSession, d: String): DataFrame = {
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("ts"),
+          col("event_id"), col("event_type")))),
+          sCol => sCol.getField("event_type"))).as("path"))
+    paths.select(col("user_id"),
+        (size(split(col("path"), ">", -1))).cast("long").as("n_events"),
+        md5(col("path")).as("path_md5"),
+        col("path").like("%view%purchase%").as("view_then_purchase"),
+        col("path").like("%error%error%error%").as("triple_error"))
+      .orderBy("user_id")
+  }
+  private val a24Sql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(len(string_split(path, '>')) AS BIGINT) AS n_events,
+      |  md5(path) AS path_md5,
+      |  path LIKE '%view%purchase%' AS view_then_purchase,
+      |  path LIKE '%error%error%error%' AS triple_error
+      |FROM p ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -908,6 +1001,8 @@ object Insights {
     QueryDef("a21_ohlc", Some(a21Sql), a21),
     QueryDef("x40_dedup_best", Some(x40Sql), x40),
     QueryDef("a22_transition_matrix", Some(a22Sql), a22),
-    QueryDef("x41_split_leakage", Some(x41Sql), x41)
+    QueryDef("x41_split_leakage", Some(x41Sql), x41),
+    QueryDef("a23_activity_trend", Some(a23Sql), a23),
+    QueryDef("a24_path_pattern", Some(a24Sql), a24)
   )
 }
