@@ -39,10 +39,13 @@ object Verify {
       !n.startsWith("q09") => 1
     case n if n.startsWith("q1") || n.startsWith("j0") => 2
     case n if n.startsWith("q07") || n.startsWith("q09") => 2
-    // tier 3: pair-generating dedup / ANN / decontamination
+    // tier 3: pair-generating dedup / ANN / decontamination /
+    // shingle- or fingerprint-heavy corpus passes
     case n if n.startsWith("x02") || n.startsWith("x04") ||
       n.startsWith("x05") || n.startsWith("x10") ||
-      n.startsWith("x14") || n.startsWith("x18") => 3
+      n.startsWith("x14") || n.startsWith("x18") ||
+      n.startsWith("x37") || n.startsWith("x39") ||
+      n.startsWith("x40") || n.startsWith("x41") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") => 4
     case _ => 2
