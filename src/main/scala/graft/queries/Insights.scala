@@ -983,6 +983,98 @@ object Insights {
       |  path LIKE '%error%error%error%' AS triple_error
       |FROM p ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q38 — HLL sketch ROLLUP: distinct users per month computed by
+  // merging per-day sketches (datasketches HLL, fixed-size state) —
+  // the two-level pattern that makes distinct-count dashboards
+  // feasible at 100 TB: day sketches persist once, every coarser grain
+  // is a cheap register-max merge, raw data never re-scanned. Driver
+  // check is rows-only (sketch internals are engine-specific);
+  // SketchRollupSpec proves merged == direct == within 5% of exact.
+  // ---------------------------------------------------------------------
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      date_trunc("month", col("ts")).as("month"),
+      to_date(col("ts")).as("day"), col("user_id"))
+    ev.groupBy(col("month"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_distinct_users"))
+      .orderBy("month")
+  }
+
+  // ---------------------------------------------------------------------
+  // A25 — incremental rollup maintenance: the report stays current by
+  // merging the NEW batch's partial aggregate into the existing one —
+  // no full recompute. Count/decimal-sum are a commutative monoid, so
+  // partial(old) ⊕ partial(new) ≡ direct(all); the ORACLE is the
+  // direct full rollup, making the merge algebra itself the thing the
+  // gate verifies. Split = day parity (stand-in for "yesterday's
+  // corpus" vs "today's delta").
+  // ---------------------------------------------------------------------
+  private def a25(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+      col("event_type"), col("value"),
+      (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        % 2 === 0).as("existing"))
+    def partial(df: DataFrame) = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("dtotal"))
+    val merged = partial(ev.filter(col("existing")))
+      .unionByName(partial(ev.filter(!col("existing"))))
+    merged.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("dtotal")).cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+  }
+  private val a25Sql =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ST8 — lateness profile: how out-of-order does each event type
+  // arrive? lateness = (max event time seen so far in arrival order,
+  // per user) − own event time. THE number that sizes a watermark
+  // delay: pick a delay above the observed tail or drop data. Arrival
+  // order is the ingest id; the running max rides the per-user window
+  // (never a global sort); all arithmetic is exact integer µs, and the
+  // p95 is the exact interpolated percentile both engines share.
+  // ---------------------------------------------------------------------
+  private def st08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lat = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("late_us",
+        greatest(max(col("tus")).over(w) - col("tus"), lit(0L)))
+    lat.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        expr("percentile(late_us, 0.95)").as("p95_late_us"))
+      .orderBy("event_type")
+  }
+  private val st08Sql =
+    """WITH lat AS (
+      |  SELECT event_type,
+      |    GREATEST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) - epoch_us(ts), 0) AS late_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  quantile_cont(late_us, 0.95) AS p95_late_us
+      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1003,6 +1095,9 @@ object Insights {
     QueryDef("a22_transition_matrix", Some(a22Sql), a22),
     QueryDef("x41_split_leakage", Some(x41Sql), x41),
     QueryDef("a23_activity_trend", Some(a23Sql), a23),
-    QueryDef("a24_path_pattern", Some(a24Sql), a24)
+    QueryDef("a24_path_pattern", Some(a24Sql), a24),
+    QueryDef("q38_hll_rollup", None, q38),
+    QueryDef("a25_incremental_rollup", Some(a25Sql), a25),
+    QueryDef("st08_lateness_profile", Some(st08Sql), st08)
   )
 }
