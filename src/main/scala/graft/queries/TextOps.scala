@@ -904,7 +904,77 @@ object TextOps {
        |FROM t LEFT JOIN v ON t.tok = v.tok
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X42 — metadata trust audit: where does the DECLARED language
+  // column disagree with the content (x06's lexicon argmax)? Scraped
+  // corpora routinely carry wrong language tags; this is the per-
+  // (source, declared-lang) disagreement report that decides whether
+  // the metadata is usable for filtering. Docs with no lexicon hits
+  // stay un-scored (left join) rather than counted as mismatches.
+  // ---------------------------------------------------------------------
+  private def x42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sw = lexicon.toDF("sw_lang", "sw")
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"))
+    val toks = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val hits = toks.join(broadcast(sw), col("token") === col("sw"))
+      .groupBy(col("doc_id"), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("sw_lang"))
+    val pred = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sw_lang").as("predicted"))
+    docs.join(pred, Seq("doc_id"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(when(col("predicted").isNotNull &&
+          col("predicted") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        when(col("n_scored") > 0, col("n_mismatch").cast("double") /
+          col("n_scored").cast("double")))
+      .orderBy("source", "lang")
+  }
+  private def x42Sql: String = {
+    val values = lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+    s"""WITH sw(sw_lang, sw) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, sw_lang, COUNT(*) AS hits
+       |  FROM toks JOIN sw ON token = sw GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, sw_lang AS predicted
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, sw_lang) AS rn FROM hits)
+       |  WHERE rn = 1),
+       |j AS (
+       |  SELECT d.source, d.lang, p.predicted
+       |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_scored,
+       |  CAST(SUM(CASE WHEN predicted IS NOT NULL
+       |    AND predicted <> lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_mismatch,
+       |  CASE WHEN SUM(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0
+       |      END) > 0
+       |    THEN CAST(SUM(CASE WHEN predicted IS NOT NULL
+       |        AND predicted <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0
+       |          END) AS DOUBLE)
+       |  END AS mismatch_rate
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x42_lang_mismatch", Some(x42Sql), x42),
     QueryDef("t17_gap_fill", Some(t17Sql), t17),
     QueryDef("x22_heavy_hitters", Some(x22Sql), x22),
     QueryDef("x31_vocab_oov", Some(x31Sql), x31),
