@@ -1075,6 +1075,58 @@ object Insights {
       |  quantile_cont(late_us, 0.95) AS p95_late_us
       |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A26 — audience overlap matrix: for every pair of event types, the
+  // exact user-set intersection and Jaccard — the "who does A also do
+  // B" segmentation primitive. Contract to the DISTINCT (type, user)
+  // grain first (one keyed agg), self-join ON user_id (keyed, never
+  // cross), count per ordered type pair over the bounded type grid.
+  // Set sizes ride in via the same contracted relation. At 100 TB the
+  // KMV/HLL sketches (BottomKSketch, q38) are the swap-in when even
+  // the distinct grain is too hot — this is the exact form.
+  // ---------------------------------------------------------------------
+  private def a26(s: SparkSession, d: String): DataFrame = {
+    val tu = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = tu.as("a")
+      .join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b")), "type_b")
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+  private val a26Sql =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tu GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      |  CAST(n_both AS DOUBLE) /
+      |    CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON type_a = sa.event_type
+      |JOIN sizes sb ON type_b = sb.event_type
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1098,6 +1150,7 @@ object Insights {
     QueryDef("a24_path_pattern", Some(a24Sql), a24),
     QueryDef("q38_hll_rollup", None, q38),
     QueryDef("a25_incremental_rollup", Some(a25Sql), a25),
-    QueryDef("st08_lateness_profile", Some(st08Sql), st08)
+    QueryDef("st08_lateness_profile", Some(st08Sql), st08),
+    QueryDef("a26_audience_overlap", Some(a26Sql), a26)
   )
 }
