@@ -120,7 +120,8 @@ object Asof {
     val rightD =
       if (right.queryExecution.analyzed.output
           .exists(lPlan.outputSet.contains))
-        right.select(right.columns.map(c => right(c).as(c)): _*)
+        right.select(right.columns.toIndexedSeq.map(c =>
+          right(c).as(c)): _*)
       else right
     val rPlan = rightD.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) =

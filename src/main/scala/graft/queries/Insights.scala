@@ -1127,6 +1127,83 @@ object Insights {
       |JOIN sizes sb ON type_b = sb.event_type
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A27 — ratio-to-report: each (year, status) cell's revenue share of
+  // its year and of the grand total — the percent-of-parent column
+  // every BI rollup carries. Shares divide EXACT DECIMAL window sums
+  // (a double window sum would be frame-order-dependent); the oracle
+  // converts decimals to double via VARCHAR (the >2^53 rule).
+  // ---------------------------------------------------------------------
+  private def a27(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).as("dtotal"))
+    val wY = Window.partitionBy("order_year")
+    val wAll = Window.partitionBy()
+    cells.select(col("order_year"), col("o_orderstatus"), col("n"),
+        col("dtotal").cast("double").as("total"),
+        (col("dtotal").cast("double") /
+          sum(col("dtotal")).over(wY).cast("double"))
+          .as("share_of_year"),
+        (col("dtotal").cast("double") /
+          sum(col("dtotal")).over(wAll).cast("double"))
+          .as("share_of_total"))
+      .orderBy("order_year", "o_orderstatus")
+  }
+  private val a27Sql =
+    """WITH cells AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+      |    o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS dtotal
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT order_year, o_orderstatus, n,
+      |  CAST(CAST(dtotal AS VARCHAR) AS DOUBLE) AS total,
+      |  CAST(CAST(dtotal AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(SUM(dtotal) OVER (PARTITION BY order_year)
+      |      AS VARCHAR) AS DOUBLE) AS share_of_year,
+      |  CAST(CAST(dtotal AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(SUM(dtotal) OVER () AS VARCHAR) AS DOUBLE)
+      |    AS share_of_total
+      |FROM cells ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q39 — data-quality TREND: q03's FK-orphan check lifted to a
+  // monthly series (orphan rate of orders→customer per order month) —
+  // the dashboard form that shows WHEN integrity regressed, not just
+  // that it did. Left join against the key-only dim projection; rate
+  // is an exact division of exact counts.
+  // ---------------------------------------------------------------------
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.customer(s, d)
+      .select(col("c_custkey")).distinct()
+      .withColumn("present", lit(1))
+    Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_custkey"))
+      .join(keys, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("present").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .withColumn("orphan_rate", col("n_orphans").cast("double") /
+        col("n_orders").cast("double"))
+      .orderBy("month")
+  }
+  private val q39Sql =
+    """WITH k AS (SELECT DISTINCT c_custkey, 1 AS present
+      |  FROM customer)
+      |SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN present IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_orphans,
+      |  CAST(SUM(CASE WHEN present IS NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+      |FROM orders LEFT JOIN k ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1151,6 +1228,8 @@ object Insights {
     QueryDef("q38_hll_rollup", None, q38),
     QueryDef("a25_incremental_rollup", Some(a25Sql), a25),
     QueryDef("st08_lateness_profile", Some(st08Sql), st08),
-    QueryDef("a26_audience_overlap", Some(a26Sql), a26)
+    QueryDef("a26_audience_overlap", Some(a26Sql), a26),
+    QueryDef("a27_ratio_to_report", Some(a27Sql), a27),
+    QueryDef("q39_orphan_trend", Some(q39Sql), q39)
   )
 }
