@@ -1204,6 +1204,71 @@ object Insights {
       |FROM orders LEFT JOIN k ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q40 — the TPC-H Q1 pricing summary over this schema: the canonical
+  // scan→filter→wide-agg report (8 aggregates, 2 grouping keys, one
+  // partial-agg shuffle over a handful of groups). All money math in
+  // exact decimal with precisions chosen so no product overflows
+  // either engine's 38-digit ceiling: DECIMAL(12,2)×DECIMAL(5,2) →
+  // (18,4), ×(5,2) → (24,6); sums stay exact, averages are one
+  // division each, decimals leave via the VARCHAR route.
+  // ---------------------------------------------------------------------
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val p = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val q = col("l_quantity").cast("decimal(12,2)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(q).cast("double").as("sum_qty"),
+        sum(p).cast("double").as("sum_base_price"),
+        sum(p * (lit(1).cast("decimal(3,2)") - disc)).cast("double")
+          .as("sum_disc_price"),
+        sum(p * (lit(1).cast("decimal(3,2)") - disc) *
+          (lit(1).cast("decimal(3,2)") + tax)).cast("double")
+          .as("sum_charge"),
+        (sum(q).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_qty"),
+        (sum(p).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  private val q40Sql =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+      |    CAST(l_discount AS DECIMAL(4,2)) AS disc,
+      |    CAST(l_tax AS DECIMAL(4,2)) AS tax
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    SUM(q) AS sq, SUM(p) AS sp,
+      |    SUM(p * (CAST(1 AS DECIMAL(3,2)) - disc)) AS sdp,
+      |    SUM(p * (CAST(1 AS DECIMAL(3,2)) - disc)
+      |      * (CAST(1 AS DECIMAL(3,2)) + tax)) AS sc,
+      |    SUM(disc) AS sd, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sdp AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS avg_qty,
+      |  CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS avg_price,
+      |  CAST(CAST(sd AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS avg_disc,
+      |  n AS count_order
+      |FROM m ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1230,6 +1295,7 @@ object Insights {
     QueryDef("st08_lateness_profile", Some(st08Sql), st08),
     QueryDef("a26_audience_overlap", Some(a26Sql), a26),
     QueryDef("a27_ratio_to_report", Some(a27Sql), a27),
-    QueryDef("q39_orphan_trend", Some(q39Sql), q39)
+    QueryDef("q39_orphan_trend", Some(q39Sql), q39),
+    QueryDef("q40_pricing_summary", Some(q40Sql), q40)
   )
 }
