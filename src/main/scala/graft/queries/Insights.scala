@@ -1269,6 +1269,51 @@ object Insights {
       |  n AS count_order
       |FROM m ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q41 — shipping-priority top-K (TPC-H Q3 shape): the canonical
+  // selective 3-way join → revenue agg → top-10. Filters push to all
+  // three scans before the keyed joins (customer is sf-growing: no
+  // broadcast hint, AQE decides); revenue sums exact decimal, and the
+  // top-10 is a TakeOrdered over bit-identical doubles with a key
+  // tiebreak, so both engines pick the same rows.
+  // ---------------------------------------------------------------------
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderpriority")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") -
+            col("l_discount").cast("decimal(4,2)"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+  private val q41Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2))
+      |      - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR)
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1296,6 +1341,7 @@ object Insights {
     QueryDef("a26_audience_overlap", Some(a26Sql), a26),
     QueryDef("a27_ratio_to_report", Some(a27Sql), a27),
     QueryDef("q39_orphan_trend", Some(q39Sql), q39),
-    QueryDef("q40_pricing_summary", Some(q40Sql), q40)
+    QueryDef("q40_pricing_summary", Some(q40Sql), q40),
+    QueryDef("q41_shipping_priority", Some(q41Sql), q41)
   )
 }
