@@ -1314,6 +1314,69 @@ object Insights {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q42 — market-basket affinity: part pairs co-purchased in the same
+  // order, with support and lift — the "frequently bought together"
+  // primitive. The pair join is keyed ON the order (pairs per order =
+  // items-choose-2, bounded by basket size, never corpus²), the part
+  // marginals come from one keyed agg, and lift is exact counts through
+  // exactly-rounded IEEE division. Deterministic top-50 by (lift,
+  // pair key) with a support floor.
+  // ---------------------------------------------------------------------
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val no = Tables.orders(s, d)
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+    val partN = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+    pairs
+      .join(partN.select(col("l_partkey").as("part_a"),
+        col("n_part").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"),
+        col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(no)) // 1-row scalar, a17's pattern
+      .withColumn("lift",
+        col("n_both").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("lift"))
+      .orderBy(desc("lift"), col("part_a"), col("part_b"))
+      .limit(50)
+  }
+  private val q42Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no AS (SELECT COUNT(DISTINCT o_orderkey) AS n_orders
+      |  FROM orders),
+      |pn AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+      |  FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT part_a, part_b, n_both, pa.n_part AS n_a,
+      |  pb.n_part AS n_b,
+      |  CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE))
+      |    AS lift
+      |FROM pairs
+      |JOIN pn pa ON part_a = pa.l_partkey
+      |JOIN pn pb ON part_b = pb.l_partkey
+      |CROSS JOIN no
+      |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1342,6 +1405,7 @@ object Insights {
     QueryDef("a27_ratio_to_report", Some(a27Sql), a27),
     QueryDef("q39_orphan_trend", Some(q39Sql), q39),
     QueryDef("q40_pricing_summary", Some(q40Sql), q40),
-    QueryDef("q41_shipping_priority", Some(q41Sql), q41)
+    QueryDef("q41_shipping_priority", Some(q41Sql), q41),
+    QueryDef("q42_basket_affinity", Some(q42Sql), q42)
   )
 }

@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q33_distribution_drift" -> ("rows crossJoin a SINGLE-ROW min/max " +
       "day-bounds aggregate (n×1 broadcast scalar, a17's pattern)"),
     "x36_weighted_sample" -> ("rows crossJoin a SINGLE-ROW total-weight " +
+      "aggregate (n×1 broadcast scalar, a17's pattern)"),
+    "q42_basket_affinity" -> ("pairs crossJoin a SINGLE-ROW order-count " +
       "aggregate (n×1 broadcast scalar, a17's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
