@@ -1377,6 +1377,107 @@ object Insights {
       |CROSS JOIN no
       |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A28 — bounce rate by day: gap-sessionize (st02's 1800 s rule),
+  // then the fraction of single-event sessions per session-start day —
+  // the engagement-quality KPI over the sessionizer. Two keyed
+  // shuffles (per-user window, then day agg); all µs arithmetic exact.
+  // ---------------------------------------------------------------------
+  private def a28(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val run = Window.partitionBy("user_id").orderBy("tus")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("is_new",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"))
+    sessions
+      .groupBy(to_date(timestamp_micros(col("start_us"))).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .withColumn("bounce_rate", col("n_bounces").cast("double") /
+        col("n_sessions").cast("double"))
+      .orderBy("day")
+  }
+  private val a28Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL
+      |           OR tus - lag(tus) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_idx, tus
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |    MIN(tus) AS start_us
+      |  FROM s GROUP BY 1, 2)
+      |SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q43 — segment momentum: month-over-month revenue change and rank
+  // movement per market segment — the period-comparison report (lag
+  // along time within segment, rank within month across segments).
+  // Totals are exact decimal; the MoM delta is ONE subtraction of
+  // identically-derived doubles; ranks order bit-identical doubles
+  // with a segment tiebreak.
+  // ---------------------------------------------------------------------
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("dtotal"))
+      .withColumn("total", col("dtotal").cast("double"))
+    val wSeg = Window.partitionBy("c_mktsegment").orderBy("month")
+    val wMon = Window.partitionBy("month")
+      .orderBy(desc("total"), col("c_mktsegment"))
+    rev
+      .withColumn("prev_total", lag(col("total"), 1).over(wSeg))
+      .withColumn("mom_change", col("total") - col("prev_total"))
+      .withColumn("rank_in_month", row_number().over(wMon))
+      .select(col("month"), col("c_mktsegment"), col("total"),
+        col("prev_total"), col("mom_change"), col("rank_in_month"))
+      .orderBy("month", "c_mktsegment")
+  }
+  private val q43Sql =
+    """WITH rev AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    c_mktsegment,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |      AS VARCHAR) AS DOUBLE) AS total
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT month, c_mktsegment, total,
+      |  lag(total) OVER (PARTITION BY c_mktsegment ORDER BY month)
+      |    AS prev_total,
+      |  total - lag(total) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY month) AS mom_change,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY month
+      |    ORDER BY total DESC, c_mktsegment) AS INTEGER)
+      |    AS rank_in_month
+      |FROM rev ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1406,6 +1507,8 @@ object Insights {
     QueryDef("q39_orphan_trend", Some(q39Sql), q39),
     QueryDef("q40_pricing_summary", Some(q40Sql), q40),
     QueryDef("q41_shipping_priority", Some(q41Sql), q41),
-    QueryDef("q42_basket_affinity", Some(q42Sql), q42)
+    QueryDef("q42_basket_affinity", Some(q42Sql), q42),
+    QueryDef("a28_bounce_rate", Some(a28Sql), a28),
+    QueryDef("q43_segment_momentum", Some(q43Sql), q43)
   )
 }
