@@ -1478,6 +1478,93 @@ object Insights {
       |    AS rank_in_month
       |FROM rev ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // J16 — aggregate-BELOW-join rewrite: revenue by order priority with
+  // lineitem pre-aggregated to order grain BEFORE the join, so the
+  // join is 1:1 instead of 1:N — the fact side shuffles order-grain
+  // partials, not raw line items. The ORACLE is deliberately the naive
+  // join-then-aggregate form, so the correctness gate itself proves
+  // the rewrite value-exact (exact decimal sums are associative — the
+  // regroup can't change them). At 100 TB this rewrite is the
+  // difference between shuffling 600 B rows and 150 B partials.
+  // ---------------------------------------------------------------------
+  private def j16(s: SparkSession, d: String): DataFrame = {
+    val lrev = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(28,6)"))
+        .as("drev"))
+    Tables.orders(s, d)
+      .join(lrev, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("drev")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  private val j16Sql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+      |    AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A29 — daily percentile bands: p50/p90/p99 of the event value per
+  // day — the monitoring chart behind every latency/metric dashboard.
+  // The interpolation formula is pinned EXPLICITLY on both sides
+  // (rank-pick via row_number, then lo + (hi − lo)·frac): built-in
+  // interpolated percentiles use different operation orders across
+  // engines (lo+(hi−lo)f vs lo(1−f)+hi·f), which diverge in the last
+  // ulp at non-dyadic fractions like 0.99 — measured at sf1 before
+  // this was pinned. One keyed shuffle; the rank window rides it.
+  // ---------------------------------------------------------------------
+  private def a29(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("day").orderBy("value")
+    val wAll = Window.partitionBy("day")
+    val ranked = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wAll))
+    def pct(p: Double, name: String) = {
+      val k = (col("nn") - 1).cast("double") * lit(p)
+      val loIdx = floor(k).cast("long") + 1
+      val frac = k - floor(k)
+      val lo = min(when(col("rn") === loIdx, col("value")))
+      val hi = coalesce(min(when(col("rn") === loIdx + 1, col("value"))),
+        min(when(col("rn") === loIdx, col("value"))))
+      (lo + (hi - lo) * min(frac)).as(name)
+    }
+    ranked.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), pct(0.5, "p50"), pct(0.9, "p90"),
+        pct(0.99, "p99"))
+      .orderBy("day")
+  }
+  private val a29Sql = {
+    def pct(p: String, name: String) =
+      s"""MIN(CASE WHEN rn = FLOOR((nn - 1) * $p) + 1 THEN value END)
+         |  + (COALESCE(
+         |      MIN(CASE WHEN rn = FLOOR((nn - 1) * $p) + 2 THEN value
+         |        END),
+         |      MIN(CASE WHEN rn = FLOOR((nn - 1) * $p) + 1 THEN value
+         |        END))
+         |    - MIN(CASE WHEN rn = FLOOR((nn - 1) * $p) + 1 THEN value
+         |        END))
+         |    * MIN((nn - 1) * $p - FLOOR((nn - 1) * $p)) AS $name"""
+        .stripMargin
+    s"""WITH ranked AS (
+       |  SELECT CAST(ts AS DATE) AS day, value,
+       |    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+       |      ORDER BY value) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY CAST(ts AS DATE))
+       |      AS DOUBLE) AS nn
+       |  FROM events)
+       |SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${pct("0.5", "p50")},
+       |  ${pct("0.9", "p90")},
+       |  ${pct("0.99", "p99")}
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1509,6 +1596,8 @@ object Insights {
     QueryDef("q41_shipping_priority", Some(q41Sql), q41),
     QueryDef("q42_basket_affinity", Some(q42Sql), q42),
     QueryDef("a28_bounce_rate", Some(a28Sql), a28),
-    QueryDef("q43_segment_momentum", Some(q43Sql), q43)
+    QueryDef("q43_segment_momentum", Some(q43Sql), q43),
+    QueryDef("j16_preagg_join", Some(j16Sql), j16),
+    QueryDef("a29_percentile_bands", Some(a29Sql), a29)
   )
 }
