@@ -1565,6 +1565,71 @@ object Insights {
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Q44 — repeat-transaction audit: customers placing MULTIPLE orders
+  // the same day — the finance-style double-charge screen (exact
+  // amount equality never fires on organic data; same-actor-same-day
+  // is the screen that does). One keyed agg to the candidate grain;
+  // witnesses ride along as min/max keys and the amount spread.
+  // ---------------------------------------------------------------------
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .filter(col("n_orders") > 1)
+      .orderBy("o_custkey", "order_day")
+  }
+  private val q44Sql =
+    """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A30 — inter-event gap statistics: per event type, how far apart
+  // are a user's consecutive events of that type? The distribution
+  // behind session-gap and watermark choices (complements st08's
+  // arrival lateness and a28's bounce rate). Gaps are exact integer
+  // µs from a (user, type)-keyed window; stats are min/max/exact-
+  // division mean — no float accumulation.
+  // ---------------------------------------------------------------------
+  private def a30(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_gap_us"))
+      .orderBy("event_type")
+  }
+  private val a30Sql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |      AS gap_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1598,6 +1663,8 @@ object Insights {
     QueryDef("a28_bounce_rate", Some(a28Sql), a28),
     QueryDef("q43_segment_momentum", Some(q43Sql), q43),
     QueryDef("j16_preagg_join", Some(j16Sql), j16),
-    QueryDef("a29_percentile_bands", Some(a29Sql), a29)
+    QueryDef("a29_percentile_bands", Some(a29Sql), a29),
+    QueryDef("q44_dup_transactions", Some(q44Sql), q44),
+    QueryDef("a30_interevent_gap", Some(a30Sql), a30)
   )
 }
