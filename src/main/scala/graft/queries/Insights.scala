@@ -1630,6 +1630,52 @@ object Insights {
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
       |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X43 — shard-assignment balance audit: docs hashed into N training
+  // shards (the write-side partitioner of x17/x26's pipeline), with
+  // per-shard doc/token tallies and each shard's load factor vs the
+  // even split — the check that catches a bad partitioning BEFORE a
+  // straggler shard serializes the training run. High-bit hash gate
+  // (the x41 rule: the Knuth constant is ≡1 mod small n), exact
+  // counts, one exactly-rounded division for the load factor.
+  // ---------------------------------------------------------------------
+  private val NumShards = 16L
+
+  private def x43(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        pmod(expr("((doc_id % 2147483648) * 2654435761 + 23) " +
+          s"div 65536"), lit(NumShards)))
+    val wAll = Window.partitionBy()
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("token_load_factor",
+        col("n_tokens").cast("double") * lit(NumShards).cast("double") /
+          sum(col("n_tokens")).over(wAll).cast("double"))
+      .orderBy("shard")
+  }
+  private val x43Sql =
+    s"""WITH t AS (
+       |  SELECT (((doc_id % 2147483648) * 2654435761 + 23) // 65536)
+       |      % $NumShards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    n_chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |  FROM t GROUP BY 1)
+       |SELECT shard, n_docs, n_tokens, n_chars,
+       |  CAST(n_tokens AS DOUBLE) * $NumShards
+       |    / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |    AS token_load_factor
+       |FROM g ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
@@ -1665,6 +1711,7 @@ object Insights {
     QueryDef("j16_preagg_join", Some(j16Sql), j16),
     QueryDef("a29_percentile_bands", Some(a29Sql), a29),
     QueryDef("q44_dup_transactions", Some(q44Sql), q44),
-    QueryDef("a30_interevent_gap", Some(a30Sql), a30)
+    QueryDef("a30_interevent_gap", Some(a30Sql), a30),
+    QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
 }
