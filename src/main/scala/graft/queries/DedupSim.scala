@@ -948,10 +948,18 @@ object DedupSim {
   // dropped vector with its cluster, its canonical keeper (min id
   // among ≥τ-cosine mates), and the best cosine that doomed it.
   //
-  // Scale: codebook broadcast is O(16); assignment is a bounded 16×
-  // row fan-out; the pair join is keyed on (cluster, bucket) with the
-  // BucketCap guard — never all-pairs within a cell. Planted ×1.001
-  // scaled copies (cosine-preserving) make recall provable.
+  // Scale: codebook broadcast is O(16); assignment is one broadcast
+  // fan-out folded straight back down by a map-side-combining min_by
+  // HashAggregate (no per-vector sort window); the pair join is keyed
+  // on (cluster, bucket) with the BucketCap guard — never all-pairs
+  // within a cell. Planted ×1.001 scaled copies (cosine-preserving)
+  // make recall provable. The codebook is a DETERMINISTIC PSEUDO-RANDOM
+  // SAMPLE — top-16 by Knuth multiplicative hash of the id (portable
+  // BIGINT arithmetic, identical in the oracle), not first-16-by-id,
+  // so centroids spread across the corpus instead of one insert-order
+  // corner; at 100 TB the swap is k ∝ √n centroids from the same
+  // hash-order (still a distributed top-k, never a global sort) with
+  // IvfProbes-cell assignment.
   // ---------------------------------------------------------------------
   private def x33(s: SparkSession, d: String): DataFrame = {
     val base = Tables.fanout(Tables.embeddings(s, d))
@@ -962,20 +970,26 @@ object DedupSim {
         expr("transform(emb, x -> x * 1.001)").as("emb"))
     val corpus = base.unionByName(dups)
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
-    val cents = corpus.orderBy("vec_id").limit(IvfK)
+    val cents = corpus
+      .orderBy((col("vec_id") * 2654435761L) % 1000000007L, col("vec_id"))
+      .limit(IvfK)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("c_id"))
     val assigned = corpus.crossJoin(broadcast(cents))
       .withColumn("dist", lit(1.0) -
         DotProduct(col("emb"), col("c_emb")) /
           (col("norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("norm"),
-        col("c_id").as("cluster"))
-    val nplanes = adaptivePlanes(base.unionByName(dups).count())
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("emb"), col("norm"), col("c_id")),
+        struct(col("dist"), col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.emb").as("emb"),
+        col("b.norm").as("norm"), col("b.c_id").as("cluster"))
+    // Plane count from corpus CARDINALITY, not a corpus rescan: the
+    // unfiltered count is parquet-metadata-only and the dup count
+    // scans a single pruned int column — the r4 form re-ran the whole
+    // fanout+transform lineage just to count it.
+    val nplanes = adaptivePlanes(Tables.embeddings(s, d).count() +
+      Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0).count())
     val vecs = signBucketsCapped(assigned, "emb", nplanes)
     val a = vecs.select(col("vec_id").as("keep_id"),
       col("emb").as("emb_a"), col("norm").as("norm_a"),
@@ -1009,7 +1023,8 @@ object DedupSim {
        |  FROM corpus),
        |cents AS (
        |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-       |  FROM n ORDER BY vec_id LIMIT $IvfK),
+       |  FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  LIMIT $IvfK),
        |assigned AS (
        |  SELECT vec_id, emb, norm, c_id AS cluster FROM (
        |    SELECT n.vec_id, n.emb, n.norm, c.c_id,

@@ -313,6 +313,15 @@ object Insights {
   // The reported containment is the df-banded lower bound — ultra-hot
   // boilerplate shingles are excluded by definition of the audit.
   // Deterministic top-N: containment DESC, then the pair key.
+  // ACCEPTED RISK (documented, not fixable bilaterally): the Spark
+  // side distinct-counts xxhash64(shingle) so no text ever shuffles;
+  // the oracle distinct-counts raw shingles (DuckDB has no xxhash64,
+  // and its hash() would just substitute a DIFFERENT 64-bit collision
+  // set, not align them). A collision inside one doc's shingle set
+  // would shift shared/n_sh by 1 — P ≈ n²/2⁶⁵ per doc, ~5e-8 at test
+  // scales; at 10¹² corpus shingles the expected handful of collisions
+  // moves an audit metric by ±1 pair count, which the df-banded
+  // lower-bound semantics already absorb.
   // ---------------------------------------------------------------------
   private val ContainK = 8
   private val ContainDfCap = 50
@@ -1033,8 +1042,8 @@ object Insights {
   private val a25Sql =
     """SELECT CAST(ts AS DATE) AS day, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-      |    AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+      |    AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1043,8 +1052,12 @@ object Insights {
   // per user) − own event time. THE number that sizes a watermark
   // delay: pick a delay above the observed tail or drop data. Arrival
   // order is the ingest id; the running max rides the per-user window
-  // (never a global sort); all arithmetic is exact integer µs, and the
-  // p95 is the exact interpolated percentile both engines share.
+  // (never a global sort); all arithmetic is exact integer µs. The p95
+  // runs on the q15 histogram path — (type, late_us)→count, cumulative
+  // counts, rank-pick + the repo-pinned lo + (hi − lo)·frac formula
+  // replicated verbatim in the oracle — so no engine-built-in
+  // interpolation-order divergence can enter, and no per-group value
+  // buffer exists (n / n_late / max ride the same histogram).
   // ---------------------------------------------------------------------
   private def st08(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -1054,26 +1067,38 @@ object Insights {
         unix_micros(col("ts")).as("tus"))
       .withColumn("late_us",
         greatest(max(col("tus")).over(w) - col("tus"), lit(0L)))
-    lat.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+    val hist = lat.groupBy(col("event_type"), col("late_us"))
+      .agg(count(lit(1)).as("c"))
+    Relational.histCum(hist, "event_type", "late_us")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("late_us") > 0, col("c")).otherwise(0L)).as("n_late"),
         max(col("late_us")).as("max_late_us"),
-        expr("percentile(late_us, 0.95)").as("p95_late_us"))
+        Relational.histPct(0.95, "late_us").as("p95_late_us"))
       .orderBy("event_type")
   }
   private val st08Sql =
-    """WITH lat AS (
-      |  SELECT event_type,
-      |    GREATEST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
-      |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-      |      CURRENT ROW) - epoch_us(ts), 0) AS late_us
-      |  FROM events)
-      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_late,
-      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
-      |  quantile_cont(late_us, 0.95) AS p95_late_us
-      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH lat AS (
+       |  SELECT event_type,
+       |    GREATEST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) - epoch_us(ts), 0) AS late_us
+       |  FROM events),
+       |hist AS (
+       |  SELECT event_type, late_us, COUNT(*) AS c
+       |  FROM lat GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, late_us, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY late_us)
+       |      AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS nn
+       |  FROM hist)
+       |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN late_us > 0 THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_late,
+       |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       |  ${Relational.sqlHistPct("0.95", "late_us")} AS p95_late_us
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // A26 — audience overlap matrix: for every pair of event types, the

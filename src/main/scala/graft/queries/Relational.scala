@@ -892,77 +892,146 @@ object Relational {
        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Q15-ext — exact interpolated percentiles per group: Spark
-  // `percentile` and DuckDB `quantile_cont` share the (n-1)·p rank
-  // definition, so the profile is value-checkable. Exact percentile
-  // sorts each group's values — the profile tool's accuracy anchor; at
-  // 100 TB swap in approx_percentile (same plan shape, sketch-merged)
-  // and keep this as the small-sample audit.
+  // Q15-ext — exact interpolated percentiles per group WITHOUT per-group
+  // value buffers. The r4 form used Spark's `percentile` object
+  // aggregate, which materializes EVERY group value into (here) 3 merge
+  // buffers — a scale-killer on a low-cardinality key. This form is
+  // exact AND distributed: build a (group, value)→count histogram (one
+  // codegen HashAggregate with map-side combine; shuffles only distinct
+  // pairs), cumulative counts over the histogram (a window over
+  // distinct-value-sized data), then rank-pick lo/hi and interpolate
+  // with the repo-pinned lo + (hi − lo)·frac formula (see a29 — the
+  // formula is replicated verbatim in the oracle so the last-ulp
+  // divergence between engines' built-ins never enters).
+  // A value v with cumulative range [cum_lo, cum_hi) covers 0-indexed
+  // rank r iff cum_hi ≥ r+1, so v_lo = MIN(v | cum_hi ≥ ⌊k⌋+1) and
+  // v_hi = MIN(v | cum_hi ≥ ⌊k⌋+2), k = (n−1)·p.
   // ---------------------------------------------------------------------
+  /** Cumulative-count columns over a (group, value, count) histogram:
+    * `cum_hi` = inclusive running count in value order, `nn` = group
+    * total as double. Shared by q15/q29. */
+  private[queries] def histCum(hist: DataFrame, grp: String, v: String): DataFrame = {
+    val wCum = Window.partitionBy(grp).orderBy(v)
+    val wAll = Window.partitionBy(grp)
+    hist.withColumn("cum_hi", sum(col("c")).over(wCum))
+      .withColumn("nn", sum(col("c")).over(wAll).cast("double"))
+  }
+  /** Interpolated percentile agg expression over histCum output. */
+  private[queries] def histPct(p: Double, v: String): Column = {
+    val k = (col("nn") - 1) * lit(p)
+    val loIdx = floor(k).cast("long")
+    val frac = k - floor(k)
+    val lo = min(when(col("cum_hi") >= loIdx + 1, col(v)))
+    val hi = coalesce(min(when(col("cum_hi") >= loIdx + 2, col(v))),
+      min(when(col("cum_hi") >= loIdx + 1, col(v))))
+    lo + (hi - lo) * min(frac)
+  }
+  /** Oracle-side twin of [[histPct]] (same ops, same order). */
+  private[queries] def sqlHistPct(p: String, v: String): String =
+    s"""MIN(CASE WHEN cum_hi >= FLOOR((nn - 1) * $p) + 1 THEN $v END)
+       |  + (COALESCE(
+       |      MIN(CASE WHEN cum_hi >= FLOOR((nn - 1) * $p) + 2 THEN $v
+       |        END),
+       |      MIN(CASE WHEN cum_hi >= FLOOR((nn - 1) * $p) + 1 THEN $v
+       |        END))
+       |    - MIN(CASE WHEN cum_hi >= FLOOR((nn - 1) * $p) + 1 THEN $v
+       |        END))
+       |    * MIN((nn - 1) * $p - FLOOR((nn - 1) * $p))""".stripMargin
   private def q15(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d)
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .agg(count(lit(1)).as("c"))
+    histCum(hist, "l_returnflag", "x")
       .groupBy(col("l_returnflag"))
-      .agg(expr(
-        "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("pct"))
-      .select(col("l_returnflag"),
-        col("pct")(0).as("p50"), col("pct")(1).as("p90"),
-        col("pct")(2).as("p99"))
+      .agg(histPct(0.5, "x").as("p50"), histPct(0.9, "x").as("p90"),
+        histPct(0.99, "x").as("p99"))
       .orderBy("l_returnflag")
   }
   private val q15Sql =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_extendedprice, 0.5) AS p50,
-      |  quantile_cont(l_extendedprice, 0.9) AS p90,
-      |  quantile_cont(l_extendedprice, 0.99) AS p99
-      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH hist AS (
+       |  SELECT l_returnflag, l_extendedprice AS x, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, x,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS nn
+       |  FROM hist)
+       |SELECT l_returnflag,
+       |  ${sqlHistPct("0.5", "x")} AS p50,
+       |  ${sqlHistPct("0.9", "x")} AS p90,
+       |  ${sqlHistPct("0.99", "x")} AS p99
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q29 — robust outlier detection via median absolute deviation: the
   // heavy-tail-safe complement of q17's z-score (mean/stddev are
   // themselves dragged by the outliers they're meant to flag; median
-  // and MAD are not). Two exact-percentile passes (median, then median
-  // of |x − med|), each group scalar broadcast back, outlier iff
-  // |x − med| > 5·MAD. Exact `percentile` sorts within each group —
-  // fine while groups fit an executor; the 100 TB swap is
-  // approx_percentile with the same plan shape (q15's documented trade).
+  // and MAD are not). Both medians run on the q15 histogram path (no
+  // per-group value buffers — exact AND distributed): median from the
+  // (flag, price) histogram, then the deviation histogram re-keys the
+  // SAME histogram on |x − med| (distinct-value-sized, never a row
+  // scan), and the outlier count is a weighted sum over it. Three
+  // column-pruned lineitem scans via lineage recompute; at 100 TB
+  // you'd persist histX (distinct-price-sized, domain-bounded) and pay
+  // one — recompute keeps the bench honest (no cross-run cache).
   // ---------------------------------------------------------------------
   private def q29(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-    val med = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5D)").as("med"))
-    val dev = li.join(broadcast(med), Seq("l_returnflag"))
-      .withColumn("adev", abs(col("x") - col("med")))
-    val mad = dev.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(adev, 0.5D)").as("mad"))
-    dev.join(broadcast(mad), Seq("l_returnflag"))
+    val histX = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = histCum(histX, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
-      .agg(max(col("med")).as("median_price"),
-        max(col("mad")).as("mad"),
-        sum(when(col("adev") > col("mad") * 5.0, 1L).otherwise(0L))
+      .agg(histPct(0.5, "v").as("med"))
+    val histA = histX.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), abs(col("v") - col("med")).as("v"),
+        col("c"))
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(sum(col("c")).as("c"))
+    val mad = histCum(histA, "l_returnflag", "v")
+      .groupBy(col("l_returnflag"))
+      .agg(histPct(0.5, "v").as("mad"))
+    histA.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("v") > col("mad") * 5.0, col("c")).otherwise(0L))
           .as("n_outliers"),
-        count(lit(1)).as("n_rows"))
+        sum(col("c")).as("n_rows"),
+        max(col("mad")).as("mad"))
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("med").as("median_price"),
+        col("mad"), col("n_outliers"), col("n_rows"))
       .orderBy("l_returnflag")
   }
   private val q29Sql =
-    """WITH med AS (
-      |  SELECT l_returnflag,
-      |    quantile_cont(l_extendedprice, 0.5) AS med
-      |  FROM lineitem GROUP BY 1),
-      |dev AS (
-      |  SELECT l.l_returnflag, m.med,
-      |    abs(l.l_extendedprice - m.med) AS adev
-      |  FROM lineitem l JOIN med m USING (l_returnflag)),
-      |mad AS (
-      |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
-      |  FROM dev GROUP BY 1)
-      |SELECT d.l_returnflag, MAX(d.med) AS median_price,
-      |  MAX(m.mad) AS mad,
-      |  CAST(SUM(CASE WHEN d.adev > m.mad * 5.0 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_outliers,
-      |  CAST(COUNT(*) AS BIGINT) AS n_rows
-      |FROM dev d JOIN mad m USING (l_returnflag)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH histx AS (
+       |  SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cumx AS (
+       |  SELECT l_returnflag, v,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS nn
+       |  FROM histx),
+       |med AS (
+       |  SELECT l_returnflag, ${sqlHistPct("0.5", "v")} AS med
+       |  FROM cumx GROUP BY 1),
+       |hista AS (
+       |  SELECT h.l_returnflag, ABS(h.v - m.med) AS v, SUM(h.c) AS c
+       |  FROM histx h JOIN med m USING (l_returnflag) GROUP BY 1, 2),
+       |cuma AS (
+       |  SELECT l_returnflag, v,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS nn
+       |  FROM hista),
+       |mad AS (
+       |  SELECT l_returnflag, ${sqlHistPct("0.5", "v")} AS mad
+       |  FROM cuma GROUP BY 1)
+       |SELECT h.l_returnflag, MAX(me.med) AS median_price,
+       |  MAX(ma.mad) AS mad,
+       |  CAST(SUM(CASE WHEN h.v > ma.mad * 5.0 THEN h.c ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  CAST(SUM(h.c) AS BIGINT) AS n_rows
+       |FROM hista h JOIN mad ma USING (l_returnflag)
+       |JOIN med me USING (l_returnflag)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // A7-ext — pivot (wide-from-long), the inverse of a03's unpivot: the
@@ -1126,9 +1195,11 @@ object Relational {
   private val q17Sql =
     """WITH s AS (
       |  SELECT event_type AS st_type, COUNT(*) AS n,
-      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
-      |    CAST(SUM(CAST(value AS DECIMAL(28,6))
-      |             * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sq
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+      |      AS DOUBLE) AS sm,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))
+      |             * CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+      |      AS DOUBLE) AS sq
       |  FROM events GROUP BY 1)
       |SELECT e.event_type, COUNT(*) AS n_outliers
       |FROM events e JOIN s ON e.event_type = s.st_type
@@ -1259,8 +1330,9 @@ object Relational {
       |         SUM(CAST(value AS DECIMAL(28,6))) AS dtotal
       |  FROM events GROUP BY 1, 2)
       |SELECT user_id, day,
-      |  CAST(SUM(dtotal) OVER w AS DOUBLE) AS sum_7d,
-      |  CAST(SUM(dtotal) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+      |  CAST(CAST(SUM(dtotal) OVER w AS VARCHAR) AS DOUBLE) AS sum_7d,
+      |  CAST(CAST(SUM(dtotal) OVER w AS VARCHAR) AS DOUBLE)
+      |    / COUNT(*) OVER w AS avg_7d
       |FROM daily
       |WINDOW w AS (PARTITION BY user_id ORDER BY day
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1347,8 +1419,10 @@ object Relational {
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |         SUM(CAST(value AS DECIMAL(28,6))) AS dtotal
       |  FROM events GROUP BY 1, 2)
-      |SELECT user_id, day, CAST(dtotal AS DOUBLE) AS total_value,
-      |  CAST(dtotal - LAG(dtotal) OVER (PARTITION BY user_id ORDER BY day)
+      |SELECT user_id, day,
+      |  CAST(CAST(dtotal AS VARCHAR) AS DOUBLE) AS total_value,
+      |  CAST(CAST(dtotal - LAG(dtotal) OVER (PARTITION BY user_id
+      |         ORDER BY day) AS VARCHAR)
       |       AS DOUBLE) AS delta
       |FROM daily ORDER BY user_id, day""".stripMargin
 

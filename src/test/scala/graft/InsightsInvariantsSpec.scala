@@ -44,7 +44,10 @@ class InsightsInvariantsSpec extends SparkSpec {
       (e._1, e._3.toLocalDateTime.toLocalDate.toString))
     assert(got.keySet == byBar.keySet)
     byBar.foreach { case (bar, evs) =>
-      val ordered = evs.sortBy(e => (e._3.getTime, e._2))
+      // Full-µs order (getTime alone is ms-truncated — sub-ms ties
+      // would mis-order open/close vs the query's full-ts sort).
+      val ordered = evs.sortBy(e =>
+        (e._3.getTime * 1000 + e._3.getNanos / 1000 % 1000, e._2))
       assert(got(bar) == ((ordered.head._5, ordered.last._5)), s"$bar")
     }
   }
