@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque binary columns
   * with typed metadata, decoded partition-parallel.
   *
-  * The decode itself is a STUB — this container ships no image/audio
-  * codecs — but it is a *deterministic* stub (arithmetic on the payload
-  * bytes), so the surrounding Spark plumbing (schema, encoders,
-  * mapPartitions batching, partition sizing) is fully real and testable.
-  * Swapping `decodeStub` for a JNI/javacv call changes nothing upstream.
+  * The IMAGE path is real: PNG payloads are parsed from their actual
+  * bytes (signature + IHDR chunk, CRC-verified — pure JVM, no codec
+  * dependency), and [[pngBytes]] writes spec-valid PNGs so the
+  * write→parse round trip is oracle-checkable end to end (m01/m03).
+  * Video/audio decode remains a clearly-marked deterministic STUB
+  * (this container ships no codecs); swapping `decodeStub` for a
+  * JNI/javacv call changes nothing upstream.
   *
   * Scale notes: decode runs inside `mapPartitions` so per-partition
-  * setup (codec init, model load) amortizes across rows; payloads stay
+  * setup (codec handles, buffers) amortizes across rows; payloads stay
   * off the driver; partition size is governed by
   * `spark.sql.files.maxPartitionBytes` on the parquet scan.
   */
@@ -25,9 +27,65 @@ object MediaPipeline {
   final case class FrameSample(media_id: Long, frame_idx: Int,
       feature: Double)
 
-  /** STUB decode: stands in for an image/audio header parse. Derives
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
+    0x0a).map(_.toByte)
+
+  /** Byte length of every [[pngBytes]] output: 8 signature + 25 IHDR
+    * + 22 IDAT (10 payload bytes) + 12 IEND. The m01 oracle pins this
+    * constant, so a writer change that shifts it fails the gate. */
+  val SyntheticPngLen: Int = 8 + 25 + 22 + 12
+
+  /** Minimal spec-valid PNG: signature, IHDR (real CRC32), one fixed
+    * IDAT, IEND. The header parse path treats it exactly like a real
+    * file — only the pixel data is fake. */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(SyntheticPngLen)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val crc = new java.util.zip.CRC32()
+      val t = tpe.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      out.put(t).put(data).putInt(crc.getValue.toInt)
+    }
+    out.put(PngSig)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/none/none
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", Array.fill(10)(0.toByte))
+    chunk("IEND", Array.empty)
+    out.array()
+  }
+
+  /** Real PNG header parse: verifies the 8-byte signature and the
+    * IHDR chunk layout + CRC, returns its width/height. None for
+    * anything that isn't a well-formed PNG prefix. */
+  def decodePng(r: MediaRow): Option[MediaMeta] = {
+    val p = r.payload
+    if (p.length < 33 || !p.view.take(8).sameElements(PngSig)) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(p, 8, 25)
+      val len = bb.getInt
+      val tpe = new Array[Byte](4); bb.get(tpe)
+      if (len != 13 || new String(tpe, "US-ASCII") != "IHDR") None
+      else {
+        val width = bb.getInt
+        val height = bb.getInt
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, 12, 4 + 13)
+        val stored = java.nio.ByteBuffer.wrap(p, 8 + 4 + 4 + 13, 4).getInt
+        if (crc.getValue.toInt != stored) None
+        else Some(MediaMeta(r.media_id, p.length, width, height, 1, "png"))
+      }
+    }
+  }
+
+  /** STUB decode: stands in for a video/audio header parse. Derives
     * metadata deterministically from the byte length so tests and the
-    * m01 oracle query agree. */
+    * oracle queries agree. */
   def decodeStub(r: MediaRow): MediaMeta = {
     val n = r.payload.length
     MediaMeta(r.media_id, n, 320 + n % 1280, 240 + (n * 7) % 720,
@@ -36,12 +94,15 @@ object MediaPipeline {
       })
   }
 
+  /** Format dispatch: real parse for PNG payloads, stub otherwise. */
+  def decode(r: MediaRow): MediaMeta = decodePng(r).getOrElse(decodeStub(r))
+
   /** Binary payloads → typed metadata, partition-parallel. */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init (codec handles, buffers) would live here
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 

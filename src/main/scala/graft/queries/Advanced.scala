@@ -381,6 +381,29 @@ object Advanced {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q26c — the sketch ERROR CONTRACT as a driver-gate row: emits
+  // whether |approx − exact| ≤ 5%·exact per group, with the oracle
+  // asserting TRUE. This turns q26's "rows-only by design" into a
+  // hash-checked bound — if the HLL estimate ever drifts outside its
+  // contract, the gate (not just ScalePathsSpec) goes red.
+  // ---------------------------------------------------------------------
+  private def q26c(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+        countDistinct(col("o_custkey")).as("exact_buyers"))
+      .select(col("o_orderpriority"), col("exact_buyers"),
+        (abs(col("approx") - col("exact_buyers")).cast("double") <=
+          col("exact_buyers").cast("double") * 0.05).as("within_bound"))
+      .orderBy("o_orderpriority")
+  }
+  private val q26cSql =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_buyers,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q27 — NULL-aware NOT IN anti-join. `NOT IN (subquery)` is NOT the
   // plain anti-join: one NULL in the subquery empties the result, and a
   // NULL probe never qualifies — semantics Spark implements with a
@@ -1106,6 +1129,7 @@ object Advanced {
     QueryDef("q25_json_extract", Some(q25Sql), q25),
     QueryDef("q26_approx_distinct", None, q26),
     QueryDef("q26b_exact_distinct", Some(q26bSql), q26b),
+    QueryDef("q26c_approx_bound", Some(q26cSql), q26c),
     QueryDef("q27_null_aware_anti", Some(q27Sql), q27),
     QueryDef("x26_epoch_shuffle", Some(x26Sql), x26),
     QueryDef("a11_topk_per_key", Some(a11Sql), a11),

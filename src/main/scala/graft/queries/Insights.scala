@@ -1015,6 +1015,38 @@ object Insights {
   }
 
   // ---------------------------------------------------------------------
+  // Q38b — q38's error contract as a driver-gate row (q26c pattern):
+  // the day-sketch→month-merge estimate must land within 5% of the
+  // exact per-month distinct; the oracle asserts TRUE per month, so a
+  // sketch-merge regression turns the gate red instead of hiding
+  // behind "rows-only by design".
+  // ---------------------------------------------------------------------
+  private def q38b(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      date_trunc("month", col("ts")).as("month"),
+      to_date(col("ts")).as("day"), col("user_id"))
+    val est = ev.groupBy(col("month"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct_users"))
+    est.join(exact, Seq("month"))
+      .select(col("month"), col("n_days"), col("exact_distinct_users"),
+        (abs(col("est") - col("exact_distinct_users")).cast("double") <=
+          col("exact_distinct_users").cast("double") * 0.05)
+          .as("within_bound"))
+      .orderBy("month")
+  }
+  private val q38bSql =
+    """SELECT date_trunc('month', ts) AS month,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A25 — incremental rollup maintenance: the report stays current by
   // merging the NEW batch's partial aggregate into the existing one —
   // no full recompute. Count/decimal-sum are a commutative monoid, so
@@ -1723,6 +1755,7 @@ object Insights {
     QueryDef("a23_activity_trend", Some(a23Sql), a23),
     QueryDef("a24_path_pattern", Some(a24Sql), a24),
     QueryDef("q38_hll_rollup", None, q38),
+    QueryDef("q38b_hll_bound", Some(q38bSql), q38b),
     QueryDef("a25_incremental_rollup", Some(a25Sql), a25),
     QueryDef("st08_lateness_profile", Some(st08Sql), st08),
     QueryDef("a26_audience_overlap", Some(a26Sql), a26),

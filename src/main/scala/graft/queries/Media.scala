@@ -7,43 +7,47 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing and event-time windowed aggregation.
   *
   * Multimodal contract: media payloads are opaque `binary` columns with
-  * typed metadata alongside. The decode step is a clearly-marked
-  * deterministic STUB (this container has no image/audio codecs); the
-  * Spark-side plumbing — schema, batching, partition-parallel decode — is
-  * real (see graft.multimodal.MediaPipeline for the mapPartitions path).
+  * typed metadata alongside. The IMAGE decode is real — spec-valid PNGs
+  * parsed byte-for-byte (signature + IHDR + CRC) in m01/m03's
+  * mapPartitions path; video/audio decode is a clearly-marked
+  * deterministic STUB (this container has no codecs). See
+  * graft.multimodal.MediaPipeline.
   */
 object Media {
 
   import Num.{dsum, sqlDsum}
 
   // ---------------------------------------------------------------------
-  // M1 — multimodal metadata extraction over a binary payload column.
-  // "Decode" = deterministic arithmetic stub on the byte length, standing
-  // in for an image/audio header parse.
+  // M1 — multimodal metadata extraction over a binary payload column,
+  // REAL image path: each doc gets a spec-valid synthetic PNG whose
+  // IHDR encodes doc_id-derived dimensions, and the pipeline parses
+  // the actual bytes back out (signature + IHDR + CRC check) inside
+  // mapPartitions. The oracle recomputes the dimensions from doc_id
+  // directly — so what the gate verifies is that the PNG write→parse
+  // round trip over the binary column is lossless. Video/audio decode
+  // stays stubbed (m02); see graft.multimodal.MediaPipeline.
   // ---------------------------------------------------------------------
+  private def syntheticPngs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaPipeline.MediaRow] = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPipeline.MediaRow(id, MediaPipeline.pngBytes(
+        (320 + id % 1280).toInt, (240 + id * 7 % 720).toInt)))
+  }
   private def m01(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .withColumn("payload", col("text").cast("binary"))
-      .withColumn("byte_len", octet_length(col("payload")))
-      .withColumn("width", lit(320) + col("byte_len") % 1280)
-      .withColumn("height", lit(240) + (col("byte_len") * 7) % 720)
-      .withColumn("frames", lit(1) + col("byte_len") % 30)
-      .withColumn("codec",
-        when(col("byte_len") % 3 === 0, "h264")
-          .when(col("byte_len") % 3 === 1, "vp9")
-          .otherwise("av1"))
-      .select("doc_id", "byte_len", "width", "height", "frames", "codec")
+    graft.multimodal.MediaPipeline.extractMeta(syntheticPngs(s, d)).toDF()
+      .select(col("media_id").as("doc_id"), col("byte_len"), col("width"),
+        col("height"), col("frames"), col("codec"))
       .orderBy("doc_id")
   }
   private val m01Sql =
-    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-      |  320 + octet_length(encode(text)) % 1280 AS width,
-      |  240 + (octet_length(encode(text)) * 7) % 720 AS height,
-      |  1 + octet_length(encode(text)) % 30 AS frames,
-      |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'h264'
-      |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'vp9'
-      |       ELSE 'av1' END AS codec
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${graft.multimodal.MediaPipeline.SyntheticPngLen} AS byte_len,
+       |  320 + doc_id % 1280 AS width,
+       |  240 + (doc_id * 7) % 720 AS height,
+       |  1 AS frames, 'png' AS codec
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // ST1 — event-time tumbling-window aggregation (batch form; the
@@ -182,19 +186,18 @@ object Media {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
-  // M3 — resize planning: letterbox each stub-decoded image into the
-  // model's square input (224×224), preserving aspect ratio. All
-  // integer arithmetic (scaled multiply + floor division), so the plan
-  // is exact in both engines — the real resize kernel would execute
-  // this plan inside MediaPipeline's partition-parallel decode.
+  // M3 — resize planning: letterbox each PNG-decoded image (real
+  // header parse — m01's round trip) into the model's square input
+  // (224×224), preserving aspect ratio. All integer arithmetic (scaled
+  // multiply + floor division), so the plan is exact in both engines —
+  // the real resize kernel would execute this plan inside
+  // MediaPipeline's partition-parallel decode.
   // ---------------------------------------------------------------------
   private val TargetSide = 224
 
   private def m03(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .withColumn("byte_len", octet_length(col("text").cast("binary")))
-      .withColumn("width", lit(320) + col("byte_len") % 1280)
-      .withColumn("height", lit(240) + (col("byte_len") * 7) % 720)
+    graft.multimodal.MediaPipeline.extractMeta(syntheticPngs(s, d)).toDF()
+      .select(col("media_id").as("doc_id"), col("width"), col("height"))
       .withColumn("long_side", greatest(col("width"), col("height")))
       .withColumn("out_w", expr(s"(width * $TargetSide) div long_side"))
       .withColumn("out_h", expr(s"(height * $TargetSide) div long_side"))
@@ -206,11 +209,9 @@ object Media {
       .orderBy("doc_id")
   }
   private val m03Sql =
-    s"""WITH m AS (
-       |  SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
-       |d AS (
-       |  SELECT doc_id, 320 + bl % 1280 AS width,
-       |    240 + (bl * 7) % 720 AS height FROM m),
+    s"""WITH d AS (
+       |  SELECT doc_id, 320 + doc_id % 1280 AS width,
+       |    240 + (doc_id * 7) % 720 AS height FROM documents),
        |r AS (SELECT *, GREATEST(width, height) AS long_side FROM d)
        |SELECT doc_id, width, height,
        |  (width * $TargetSide) // long_side AS out_w,

@@ -17,6 +17,37 @@ class MediaPipelineSpec extends SparkSpec {
       again.map(_.toString).sorted))
   }
 
+  test("png write/parse round trip: real header bytes, exact dims") {
+    import MediaPipeline._
+    val p = pngBytes(1234, 987)
+    assert(p.length == SyntheticPngLen)
+    // spec-valid prefix: signature + IHDR length/type
+    assert((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G')
+    val meta = decodePng(MediaRow(7L, p))
+    assert(meta.contains(
+      MediaMeta(7L, SyntheticPngLen, 1234, 987, 1, "png")))
+    // a parse-level reader (ImageIO would reject the fake IDAT, but
+    // header fields must agree with a big-endian manual read)
+    val bb = java.nio.ByteBuffer.wrap(p, 16, 8)
+    assert(bb.getInt == 1234 && bb.getInt == 987)
+  }
+
+  test("png decode rejects corrupt payloads and dispatch falls back") {
+    import MediaPipeline._
+    val good = pngBytes(64, 32)
+    val badCrc = good.clone(); badCrc(30) = (badCrc(30) ^ 0x01).toByte
+    assert(decodePng(MediaRow(1L, badCrc)).isEmpty)
+    val truncated = good.take(20)
+    assert(decodePng(MediaRow(2L, truncated)).isEmpty)
+    val notPng = "hello world, definitely text".getBytes
+    assert(decodePng(MediaRow(3L, notPng)).isEmpty)
+    // dispatch: png → real parse; non-png → stub
+    assert(decode(MediaRow(1L, good)).codec == "png")
+    assert(Set("h264", "vp9", "av1").contains(
+      decode(MediaRow(3L, notPng)).codec))
+  }
+
   test("frame sampler emits every-kth frame per media row") {
     val media = MediaPipeline.fromText(
       Tables.documents(spark, sf).limit(5), "doc_id", "text")
