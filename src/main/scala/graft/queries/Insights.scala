@@ -1101,6 +1101,7 @@ object Insights {
         greatest(max(col("tus")).over(w) - col("tus"), lit(0L)))
     val hist = lat.groupBy(col("event_type"), col("late_us"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     Relational.histCum(hist, "event_type", "late_us")
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"),

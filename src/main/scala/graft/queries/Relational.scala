@@ -909,12 +909,19 @@ object Relational {
   // ---------------------------------------------------------------------
   /** Cumulative-count columns over a (group, value, count) histogram:
     * `cum_hi` = inclusive running count in value order, `nn` = group
-    * total as double. Shared by q15/q29. */
+    * total as double. The total comes from a groupBy + broadcast join
+    * rather than an unbounded-frame window — the window form buffers
+    * the whole partition a second time just to emit one number, and
+    * the per-group sort tasks are already the serial section of this
+    * plan (few groups ⇒ few sort tasks). Callers that read `hist`
+    * more than once should localCheckpoint it first. Shared by
+    * q15/q29/st08. */
   private[queries] def histCum(hist: DataFrame, grp: String, v: String): DataFrame = {
     val wCum = Window.partitionBy(grp).orderBy(v)
-    val wAll = Window.partitionBy(grp)
+    val totals = hist.groupBy(col(grp))
+      .agg(sum(col("c")).cast("double").as("nn"))
     hist.withColumn("cum_hi", sum(col("c")).over(wCum))
-      .withColumn("nn", sum(col("c")).over(wAll).cast("double"))
+      .join(broadcast(totals), Seq(grp))
   }
   /** Interpolated percentile agg expression over histCum output. */
   private[queries] def histPct(p: Double, v: String): Column = {
@@ -938,9 +945,13 @@ object Relational {
        |        END))
        |    * MIN((nn - 1) * $p - FLOOR((nn - 1) * $p))""".stripMargin
   private def q15(s: SparkSession, d: String): DataFrame = {
+    // lazy localCheckpoint: histCum reads the histogram twice (totals
+    // + cumulative window); checkpointing makes that one lineitem scan
+    // and one distinct-value-sized cache, not two scans.
     val hist = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     histCum(hist, "l_returnflag", "x")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "x").as("p50"), histPct(0.9, "x").as("p90"),
@@ -970,15 +981,20 @@ object Relational {
   // per-group value buffers — exact AND distributed): median from the
   // (flag, price) histogram, then the deviation histogram re-keys the
   // SAME histogram on |x − med| (distinct-value-sized, never a row
-  // scan), and the outlier count is a weighted sum over it. Three
-  // column-pruned lineitem scans via lineage recompute; at 100 TB
-  // you'd persist histX (distinct-price-sized, domain-bounded) and pay
-  // one — recompute keeps the bench honest (no cross-run cache).
+  // scan), and the outlier count is a weighted sum over it. One
+  // lineitem scan total: the histograms are domain-bounded, so they
+  // localCheckpoint (per-query, never across runs) instead of
+  // re-deriving from the raw scan.
   // ---------------------------------------------------------------------
   private def q29(s: SparkSession, d: String): DataFrame = {
+    // Both histograms are read 2-3 times (totals, cumulative window,
+    // re-key / final stats) — lazy localCheckpoints turn that into ONE
+    // lineitem scan plus distinct-value-sized cached relations instead
+    // of three full rescans through the lineage.
     val histX = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val med = histCum(histX, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("med"))
@@ -987,6 +1003,7 @@ object Relational {
         col("c"))
       .groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("c")).as("c"))
+      .localCheckpoint(false)
     val mad = histCum(histA, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("mad"))

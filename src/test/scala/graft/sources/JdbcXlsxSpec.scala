@@ -26,6 +26,34 @@ class JdbcXlsxSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("S5: MySQL dialect mapping writeOrderedJdbc would use is pinned") {
+    // The reference's actual sink is MySQL (main_etl_pipeline.py:752-794,
+    // pandas.to_sql over mysql+pymysql). No MySQL server or driver jar
+    // exists in this zero-egress sandbox, so the LIVE round trip can't
+    // run — but the dialect translation df.write.jdbc would apply is
+    // pure library code, so pin it: Spark resolves MySQLDialect from
+    // the URL and maps every warehouse column type to the MySQL DDL
+    // the reference's schema (db_schema.sql) declares.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val d = JdbcDialects.get("jdbc:mysql://warehouse-host/fitness")
+    assert(d.getClass.getSimpleName == "MySQLDialect")
+    def ddl(t: DataType): String =
+      d.getJDBCType(t).map(_.databaseTypeDefinition).getOrElse("?")
+    // db_schema.sql column classes → MySQL DDL through the dialect
+    assert(ddl(DecimalType(10, 2)) == "DECIMAL(10,2)") // money/macros
+    assert(ddl(DateType) == "DATE")                    // log_date
+    assert(ddl(TimestampType) == "TIMESTAMP")          // created_at
+    assert(ddl(LongType) == "BIGINT")                  // surrogate keys
+    assert(ddl(IntegerType) == "INTEGER")              // small ids
+    assert(ddl(DoubleType) == "DOUBLE PRECISION")      // measurements
+    assert(ddl(BooleanType) == "BIT(1)")               // flags
+    assert(ddl(StringType) == "LONGTEXT")              // free text
+    // identifier quoting is MySQL backticks (reserved words like
+    // `order` survive), unlike Derby's double quotes
+    assert(d.quoteIdentifier("order") == "`order`")
+  }
+
   private def tinyXlsx(): String = {
     val f = java.nio.file.Files.createTempFile("graft", ".xlsx")
     val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
