@@ -22,9 +22,15 @@ object Num {
   def davg(c: Column): Column =
     sum(c.cast("decimal(28,6)")).cast("double") / count(c)
 
-  /** SQL fragment equivalents for the DuckDB oracle. */
+  /** SQL fragment equivalents for the DuckDB oracle. The decimal sum
+    * leaves through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast
+    * double-rounds once the scaled int128 exceeds 2^53 (~9e9 at scale
+    * 6), while the VARCHAR parse is correctly rounded like Spark's
+    * BigDecimal path — identical below the threshold, convergent
+    * above it (ADVICE r4; same class as the a25/q17/a08/a09 fixes). */
   def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
   def sqlDavg(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE) / COUNT($e)"
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)" +
+      s" / COUNT($e)"
 }

@@ -187,8 +187,8 @@ object Advanced {
       |  CAST(SUM(CASE WHEN o_totalprice > cust_avg THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_above_avg
       |FROM (SELECT o_custkey, o_totalprice,
-      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
-      |               OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |               OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
       |          / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
       |      FROM orders)
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -239,11 +239,11 @@ object Advanced {
   }
   private val a10Sql =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
       |         OVER (PARTITION BY o_custkey
       |               ORDER BY o_orderdate, o_orderkey
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |       AS DOUBLE) AS running_spend
+      |       AS VARCHAR) AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, order_day, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------

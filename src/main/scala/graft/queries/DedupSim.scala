@@ -811,6 +811,77 @@ object DedupSim {
        |ORDER BY doc_id, eval_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X44 — n-gram-LEVEL decontamination (the Brown-et-al. overlap
+  // metric, complementing x14's pairwise shared-shingle screen): per
+  // TRAINING doc, the fraction of its distinct 8-gram fingerprints
+  // that occur anywhere in the eval set, and the drop decision at a
+  // fraction threshold. This is the form real pre-training hygiene
+  // uses — an eval doc quoted inside a larger train doc trips the
+  // fraction even when x14's ≥K-shared-pairs view would attribute it
+  // differently.
+  //
+  // Scale shape: x37's contract — n-grams are hashed row-locally
+  // (xxhash64), only (doc_id, h) pairs shuffle; the eval fingerprint
+  // set is the % 50 minority (a real benchmark is a fixed small
+  // relation) probed via left-semi on the hash key; nothing pairwise.
+  // Same one-sided 64-bit collision caveat as x37 (documented there).
+  // ---------------------------------------------------------------------
+  private val DecontamK = 8
+  private val DecontamFrac = 0.2
+
+  private def x44(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamK
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .select("h").distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val sizes = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("overlap_frac"))
+      .withColumn("contaminated", col("overlap_frac") > DecontamFrac)
+      .orderBy("doc_id")
+  }
+  private val x44Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${DecontamK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents),
+       |    unnest(generate_series(1, len(w) - ${DecontamK - 1}))
+       |      AS t(i)
+       |  WHERE len(w) >= $DecontamK),
+       |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+       |sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM tr GROUP BY 1),
+       |hits AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM tr WHERE g IN (
+       |    SELECT g FROM sh WHERE doc_id % 50 = 0)
+       |  GROUP BY 1)
+       |SELECT s.doc_id, s.n_grams,
+       |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+       |    / CAST(s.n_grams AS DOUBLE) AS overlap_frac,
+       |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+       |    / CAST(s.n_grams AS DOUBLE) > $DecontamFrac AS contaminated
+       |FROM sizes s LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X19 — int8 embedding quantization audit: per-vector symmetric scale
   // (max|x| / 127), floor-quantize, and measure the worst reconstruction
   // error — the storage-scale path (4× smaller vectors) with its
@@ -1061,6 +1132,7 @@ object DedupSim {
     QueryDef("x32_substring_dedup", Some(x32Sql), x32),
     QueryDef("x33_semdedup", Some(x33Sql), x33),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
+    QueryDef("x44_ngram_decontam", Some(x44Sql), x44),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),

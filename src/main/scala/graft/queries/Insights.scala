@@ -1771,6 +1771,79 @@ object Insights {
     QueryDef("a29_percentile_bands", Some(a29Sql), a29),
     QueryDef("q44_dup_transactions", Some(q44Sql), q44),
     QueryDef("a30_interevent_gap", Some(a30Sql), a30),
+    QueryDef("a31_winsorized", Some(a31Sql), a31),
     QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
+
+  // ---------------------------------------------------------------------
+  // A31 — winsorized robust statistics per event type: p05/p95 clip
+  // bounds from the q15 histogram kernel (exact, no value buffers),
+  // clip counts, and the winsorized mean — the metric-pipeline answer
+  // to "the mean is garbage because 0.1% of rows are sensor spikes".
+  // The mean avoids casting COMPUTED doubles to decimal (q35 rule):
+  // mid-range values accumulate in exact decimal off the histogram,
+  // and the clipped tails enter as count×bound in a pinned-order IEEE
+  // expression — (mid + lo·p05 + hi·p95) / n, identical both engines.
+  // ---------------------------------------------------------------------
+  private def a31(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.events(s, d)
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val bounds = Relational.histCum(hist, "event_type", "v")
+      .groupBy(col("event_type"))
+      .agg(Relational.histPct(0.05, "v").as("p05"),
+        Relational.histPct(0.95, "v").as("p95"))
+    hist.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(col("c")).as("n"),
+        sum(when(col("v") < col("p05"), col("c")).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("v") > col("p95"), col("c")).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(when(col("v") >= col("p05") && col("v") <= col("p95"),
+          col("v").cast("decimal(28,6)") * col("c")).otherwise(
+            lit(0).cast("decimal(28,6)"))).cast("double").as("mid_sum"))
+      .select(col("event_type"), col("p05"), col("p95"), col("n"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        ((col("mid_sum") +
+          col("n_clipped_low").cast("double") * col("p05") +
+          col("n_clipped_high").cast("double") * col("p95")) /
+          col("n").cast("double")).as("wins_mean"))
+      .orderBy("event_type")
+  }
+  // lazy: referenced from `all` above its definition — a strict val
+  // would still be null when the registration list initializes
+  private lazy val a31Sql =
+    s"""WITH hist AS (
+       |  SELECT event_type, value AS v, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, v, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS nn
+       |  FROM hist),
+       |b AS (
+       |  SELECT event_type,
+       |    ${Relational.sqlHistPct("0.05", "v")} AS p05,
+       |    ${Relational.sqlHistPct("0.95", "v")} AS p95
+       |  FROM cum GROUP BY 1),
+       |agg AS (
+       |  SELECT h.event_type, MAX(b.p05) AS p05, MAX(b.p95) AS p95,
+       |    CAST(SUM(h.c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN h.v < b.p05 THEN h.c ELSE 0 END)
+       |      AS BIGINT) AS n_clipped_low,
+       |    CAST(SUM(CASE WHEN h.v > b.p95 THEN h.c ELSE 0 END)
+       |      AS BIGINT) AS n_clipped_high,
+       |    CAST(CAST(SUM(CASE WHEN h.v >= b.p05 AND h.v <= b.p95
+       |        THEN CAST(h.v AS DECIMAL(28,6)) * h.c
+       |        ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR)
+       |      AS DOUBLE) AS mid_sum
+       |  FROM hist h JOIN b USING (event_type) GROUP BY 1)
+       |SELECT event_type, p05, p95, n, n_clipped_low, n_clipped_high,
+       |  (mid_sum + CAST(n_clipped_low AS DOUBLE) * p05
+       |    + CAST(n_clipped_high AS DOUBLE) * p95)
+       |    / CAST(n AS DOUBLE) AS wins_mean
+       |FROM agg ORDER BY event_type""".stripMargin
 }

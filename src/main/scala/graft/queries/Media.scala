@@ -151,8 +151,8 @@ object Media {
       .orderBy("c_mktsegment")
   private val st06Sql =
     """SELECT c.c_mktsegment, COUNT(*) AS n_purchases,
-      |  CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
-      |    AS total_value
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS VARCHAR)
+      |    AS DOUBLE) AS total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |WHERE e.event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -671,6 +671,65 @@ object TextOps {
        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X45 — sliding-window chunking with overlap (the RAG / long-context
+  // splitter, complementing x17's budget PACKING and x35's
+  // content-defined boundaries): fixed 64-token windows at stride 48
+  // (16-token overlap carries context across cuts), last partial chunk
+  // kept iff ≥ 8 tokens. Emits per-chunk bounds + an md5 content
+  // fingerprint so a downstream index can dedup re-chunked corpora.
+  // Purely row-local (explode over a generate_series of starts — zero
+  // shuffle, linear in tokens at any corpus size).
+  // ---------------------------------------------------------------------
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+  private val ChunkMin = 8
+
+  private def x45(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(floor((col("n_tokens") - ChunkMin) /
+              lit(ChunkStride)).cast("int"), lit(0))),
+          i => struct(
+            (i * ChunkStride).as("start_tok"),
+            least(size(col("w")) - i * ChunkStride, lit(ChunkLen))
+              .as("chunk_tokens"),
+            md5(concat_ws(" ", slice(col("w"), i * ChunkStride + 1,
+              lit(ChunkLen)))).as("chunk_md5"))))
+          .as(Seq("chunk_idx", "c")))
+      .filter(col("c.chunk_tokens") >= ChunkMin)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        col("c.chunk_tokens").cast("long").as("chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  private val x45Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    i * $ChunkStride AS start_tok,
+       |    LEAST(n_tokens - i * $ChunkStride, $ChunkLen)
+       |      AS chunk_tokens,
+       |    md5(array_to_string(
+       |      w[(i * $ChunkStride + 1):(i * $ChunkStride + $ChunkLen)],
+       |      ' ')) AS chunk_md5
+       |  FROM w, unnest(generate_series(0,
+       |    GREATEST(CAST((n_tokens - $ChunkMin) AS BIGINT)
+       |      // $ChunkStride, 0))) AS t(i))
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(chunk_tokens AS BIGINT) AS chunk_tokens, chunk_md5
+       |FROM c WHERE chunk_tokens >= $ChunkMin
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X20 — segment-level dedup (etl.SegmentDedup): the "line dedup"
   // boilerplate-removal stage of web-scrape pipelines. The synthetic
   // corpus has no newlines, so segmentation is 10-word windows (the
@@ -985,6 +1044,7 @@ object TextOps {
     QueryDef("x15_pii_redact", Some(x15Sql), x15),
     QueryDef("x16_repetition", Some(x16Sql), x16),
     QueryDef("x17_pack_chunks", Some(x17Sql), x17),
+    QueryDef("x45_chunk_overlap", Some(x45Sql), x45),
     QueryDef("x12_quality_filter", Some(x12Sql), x12),
     QueryDef("x13_domain_mix", Some(x13Sql), x13),
     QueryDef("t03_unit_strip_cast", Some(t03Sql), t03),
