@@ -654,6 +654,51 @@ object Relational {
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J17 — as-of join with a TOLERANCE bound (pandas merge_asof
+  // tolerance=): j05's last-touch attribution, but a click older than
+  // one hour no longer counts — the staleness cutoff every real
+  // attribution/telemetry join needs. Asof.join nulls the carried
+  // match when its age exceeds the bound (correct by construction:
+  // the LATEST click ≤ t is the nearest, so if IT is stale no older
+  // one qualifies); the oracle ranks candidates under the same
+  // predicate. Tolerance semantics on the native exec are pinned by
+  // AsofJoinExecSpec; this row pins them through the DuckDB gate.
+  // ---------------------------------------------------------------------
+  private val AsofTolUs = 3600L * 1000000L
+
+  private def j17(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.etl.Asof.join(purch, clicks, Seq("user_id"), "ts", "ts",
+        toleranceUs = Some(AsofTolUs))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        unix_micros(col("asof_ts")).as("asof_ts_us"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+  private val j17Sql =
+    s"""WITH clicks AS (
+       |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |purch AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |ranked AS (
+       |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+       |         c.ctus AS asof_ts_us, c.click_id,
+       |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+       |                            ORDER BY c.ctus DESC) AS rn
+       |  FROM purch p LEFT JOIN clicks c
+       |    ON p.user_id = c.user_id AND c.ctus <= p.ts_us
+       |       AND p.ts_us - c.ctus <= $AsofTolUs)
+       |SELECT event_id, user_id, ts_us, value, asof_ts_us, click_id
+       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J7-ext — range (interval-containment) join (etl.RangeJoin): orders
   // counted into per-supplier contract windows of varying length.
   // A raw BETWEEN join with no equality key plans as a nested-loop
@@ -1509,6 +1554,7 @@ object Relational {
     QueryDef("j04_scd2_merge", Some(j04Sql), j04),
     QueryDef("j05_asof_join", Some(j05Sql), j05),
     QueryDef("j14_asof_forward", Some(j14Sql), j14),
+    QueryDef("j17_asof_tolerance", Some(j17Sql), j17),
     QueryDef("j06_range_join", Some(j06Sql), j06),
     // j07 computes j06's exact result by a different physical strategy
     // (prefix sums, no pair generation) — same oracle SQL on purpose
