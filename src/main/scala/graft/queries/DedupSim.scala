@@ -1039,8 +1039,13 @@ object DedupSim {
     val dups = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(emb, x -> x * 1.001)").as("emb"))
+    // The corpus feeds five consumers (codebook, assignment, bucket
+    // index, both pair-join sides through them) — checkpoint once so
+    // the fanout+transform+norm lineage computes once, exactly like
+    // SemDeDup clusters a MATERIALIZED embedding store in practice.
     val corpus = base.unionByName(dups)
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+      .localCheckpoint(false)
     val cents = corpus
       .orderBy((col("vec_id") * 2654435761L) % 1000000007L, col("vec_id"))
       .limit(IvfK)

@@ -337,6 +337,10 @@ object Insights {
           i => xxhash64(concat_ws(" ",
             slice(col("w"), i + 1, lit(k)))))).as("h"))
       .distinct()
+      // four consumers (sizes, df band, both pair-join sides):
+      // checkpoint the distinct shingle-set relation once instead of
+      // re-deriving the explode+distinct lineage per consumer
+      .localCheckpoint(false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val banded = sh.join(
       sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
