@@ -371,6 +371,70 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X46 — k-NN label-noise audit (confident-learning-lite): for each
+  // probe vector, do its 10 nearest neighbors share its label? A probe
+  // whose neighborhood overwhelmingly disagrees is a suspected
+  // mislabel — the curation pass that catches annotation errors before
+  // they train in. Same bounded probe slice + brute-force neighbor
+  // scan as x05 (the allowlisted recall baseline; the LSH/IVF paths
+  // are the drop-in scale variants), then a label-agreement aggregate
+  // over the top-k instead of a neighbor list.
+  // ---------------------------------------------------------------------
+  private def x46(s: SparkSession, d: String): DataFrame = {
+    val withNorm = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val q = withNorm
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val pairs = withNorm.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("q_emb")) /
+          (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"),
+        count(lit(1)).as("k"))
+      .select(col("q_id"), col("q_label"), col("n_agree"),
+        (col("n_agree").cast("double") / col("k").cast("double"))
+          .as("agree_frac"),
+        (col("n_agree").cast("double") / col("k").cast("double") < 0.3)
+          .as("suspect"))
+      .orderBy("q_id")
+  }
+  private lazy val x46Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+       |        label AS q_label
+       |      FROM e WHERE vec_id % 100 = 0),
+       |pairs AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    ${duckDot.format("embedding", "q_emb")} / (norm * q_norm) AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+       |  WHERE rank <= 10)
+       |SELECT q_id, q_label,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agree_frac,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) < 0.3 AS suspect
+       |FROM top GROUP BY 1, 2 ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X5b — LSH-bucketed ANN (the scale path): deterministic
   // pseudo-random ±1 hyperplanes → sign bucket per vector; queries
   // probe only their own bucket. Trades recall for a ~2^planes candidate
@@ -1146,6 +1210,7 @@ object DedupSim {
     QueryDef("x03_simhash_pairs", None, x03b),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
+    QueryDef("x46_label_noise", Some(x46Sql), x46),
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18)
   )

@@ -15,6 +15,9 @@ class PlanAuditSpec extends SparkSpec {
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +
       "(~42 at any realistic n)"),
+    "x46_label_noise" -> ("x05's documented brute-force probe slice " +
+      "(1% of vectors) reused for the label-agreement audit; LSH/IVF " +
+      "are the drop-in scale variants"),
     "x10_dedup_embedding" ->
       "same bounded plane-index relation as x05_knn_lsh",
     "x18_knn_ivf" -> "fixed 16-row coarse codebook",
