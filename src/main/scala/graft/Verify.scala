@@ -45,7 +45,8 @@ object Verify {
       n.startsWith("x05") || n.startsWith("x10") ||
       n.startsWith("x14") || n.startsWith("x18") ||
       n.startsWith("x37") || n.startsWith("x39") ||
-      n.startsWith("x40") || n.startsWith("x41") => 3
+      n.startsWith("x40") || n.startsWith("x41") ||
+      n.startsWith("x44") || n.startsWith("x46") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") => 4
     case _ => 2
