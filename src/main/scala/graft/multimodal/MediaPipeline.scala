@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque binary columns
   * with typed metadata, decoded partition-parallel.
   *
-  * The IMAGE path is real: PNG payloads are parsed from their actual
-  * bytes (signature + IHDR chunk, CRC-verified — pure JVM, no codec
-  * dependency), and [[pngBytes]] writes spec-valid PNGs so the
-  * write→parse round trip is oracle-checkable end to end (m01/m03).
-  * Video/audio decode remains a clearly-marked deterministic STUB
-  * (this container ships no codecs); swapping `decodeStub` for a
-  * JNI/javacv call changes nothing upstream.
+  * The IMAGE and AUDIO paths are real: PNG payloads are parsed from
+  * their actual bytes (signature + IHDR chunk, CRC-verified) and WAV
+  * payloads from their RIFF/fmt/data header fields — both pure JVM,
+  * no codec dependency — with [[pngBytes]]/[[wavBytes]] writing
+  * spec-valid files so the write→parse round trips are
+  * oracle-checkable end to end (m01/m03/m04). Video decode remains a
+  * clearly-marked deterministic STUB (this container ships no
+  * codecs); swapping `decodeStub` for a JNI/javacv call changes
+  * nothing upstream.
   *
   * Scale notes: decode runs inside `mapPartitions` so per-partition
   * setup (codec handles, buffers) amortizes across rows; payloads stay
@@ -81,6 +83,71 @@ object MediaPipeline {
         else Some(MediaMeta(r.media_id, p.length, width, height, 1, "png"))
       }
     }
+  }
+
+  final case class AudioMeta(media_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long)
+
+  /** Minimal spec-valid PCM WAV header (44 bytes, little-endian):
+    * RIFF size, WAVE, fmt chunk (PCM, 16-bit), and a data chunk whose
+    * SIZE field declares `nSamples` — the body itself is omitted,
+    * which is exactly the header-probe case (ffprobe on a range
+    * request / object-store prefix read): real audio metadata comes
+    * from the header fields, never from scanning the PCM body. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Long)
+      : Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = (nSamples * blockAlign).toInt
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE header parse: verifies the RIFF/WAVE/fmt/data
+    * chunk layout and PCM format, returns rate/channels/bits and the
+    * sample count from the declared data-chunk size. None for
+    * anything that isn't a well-formed PCM WAV prefix. */
+  def decodeWav(r: MediaRow): Option[AudioMeta] = {
+    val p = r.payload
+    def tag(off: Int, s: String): Boolean =
+      new String(p, off, 4, "US-ASCII") == s
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ") || !tag(36, "data")) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val fmtLen = bb.getInt(16)
+      val audioFormat = bb.getShort(20)
+      if (fmtLen != 16 || audioFormat != 1) None
+      else {
+        val channels = bb.getShort(22).toInt
+        val sampleRate = bb.getInt(24)
+        val blockAlign = bb.getShort(32).toInt
+        val bits = bb.getShort(34).toInt
+        val dataLen = bb.getInt(40).toLong
+        if (channels <= 0 || blockAlign != channels * bits / 8) None
+        else Some(AudioMeta(r.media_id, sampleRate, channels, bits,
+          dataLen / blockAlign))
+      }
+    }
+  }
+
+  /** Audio payloads → typed metadata, partition-parallel (the WAV
+    * twin of [[extractMeta]]). */
+  def extractAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeWav))
   }
 
   /** STUB decode: stands in for a video/audio header parse. Derives

@@ -337,22 +337,28 @@ object Media {
       |ORDER BY user_id, view_us, purchase_us""".stripMargin
 
   // ---------------------------------------------------------------------
-  // M4 — audio chunking: split each stub-decoded audio payload into
-  // fixed 10-second windows (the segmentation step before feature
-  // extraction / ASR batching). Sample rate and length derive
-  // deterministically from the byte length; chunk boundaries are pure
-  // integer arithmetic, and the 1→N explode is the same generator
-  // shape as m02's frame sampling — per-row work, zero shuffle. The
-  // last chunk is ragged (end clamped to n_samples), which the oracle
-  // pins exactly.
+  // M4 — audio chunking over REAL WAV headers (m01's round-trip
+  // pattern for audio): each doc gets a spec-valid PCM WAV header
+  // with doc_id-derived rate/length, the pipeline parses the actual
+  // RIFF/fmt/data fields back out inside mapPartitions, then splits
+  // into fixed 10-second windows (the segmentation step before
+  // feature extraction / ASR batching). Chunk boundaries are pure
+  // integer arithmetic; the 1→N explode is the same generator shape
+  // as m02 — per-row work, zero shuffle. The last chunk is ragged
+  // (end clamped to n_samples), which the oracle pins exactly; the
+  // oracle recomputes rate/length from doc_id, so the gate proves the
+  // WAV write→parse loop lossless.
   // ---------------------------------------------------------------------
   private def m04(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .withColumn("byte_len", octet_length(col("text").cast("binary")))
-      .withColumn("sample_rate",
-        when(col("byte_len") % 2 === 0, 16000).otherwise(44100))
-      .withColumn("n_samples", (col("byte_len") + 1) * 4000)
-      .withColumn("chunk_samples", col("sample_rate") * 10)
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val wavs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPipeline.MediaRow(id, MediaPipeline.wavBytes(
+        if (id % 2 == 0) 16000 else 44100, 1, (id % 997 + 1) * 4000)))
+    MediaPipeline.extractAudioMeta(wavs).toDF()
+      .select(col("media_id").as("doc_id"), col("sample_rate"),
+        col("n_samples"))
+      .withColumn("chunk_samples", col("sample_rate").cast("long") * 10)
       .withColumn("chunk_idx", explode(expr(
         "sequence(0, (n_samples - 1) div chunk_samples)")))
       .select(col("doc_id"), col("sample_rate"), col("chunk_idx"),
@@ -364,11 +370,12 @@ object Media {
   private val m04Sql =
     """WITH a AS (
       |  SELECT doc_id,
-      |    CASE WHEN octet_length(encode(text)) % 2 = 0
-      |         THEN 16000 ELSE 44100 END AS sample_rate,
-      |    (octet_length(encode(text)) + 1) * 4000 AS n_samples
+      |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END
+      |      AS sample_rate,
+      |    (doc_id % 997 + 1) * 4000 AS n_samples
       |  FROM documents),
-      |c AS (SELECT *, sample_rate * 10 AS chunk_samples FROM a)
+      |c AS (SELECT *, CAST(sample_rate AS BIGINT) * 10
+      |        AS chunk_samples FROM a)
       |SELECT doc_id, sample_rate,
       |  unnest(generate_series(0, (n_samples - 1) // chunk_samples))
       |    AS chunk_idx,

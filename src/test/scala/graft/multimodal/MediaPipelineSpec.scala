@@ -48,6 +48,26 @@ class MediaPipelineSpec extends SparkSpec {
       decode(MediaRow(3L, notPng)).codec))
   }
 
+  test("wav write/parse round trip: real RIFF header fields") {
+    import MediaPipeline._
+    val p = wavBytes(44100, 2, 441000L)
+    assert(p.length == 44)
+    assert(new String(p, 0, 4) == "RIFF" && new String(p, 8, 4) == "WAVE")
+    val meta = decodeWav(MediaRow(9L, p))
+    assert(meta.contains(AudioMeta(9L, 44100, 2, 16, 441000L)))
+  }
+
+  test("wav decode rejects non-wav and non-pcm payloads") {
+    import MediaPipeline._
+    assert(decodeWav(MediaRow(1L, "not audio at all".getBytes)).isEmpty)
+    assert(decodeWav(MediaRow(2L, pngBytes(10, 10))).isEmpty)
+    val bad = wavBytes(16000, 1, 1000L)
+    bad(20) = 3 // audioFormat != PCM
+    assert(decodeWav(MediaRow(3L, bad)).isEmpty)
+    val truncated = wavBytes(16000, 1, 1000L).take(30)
+    assert(decodeWav(MediaRow(4L, truncated)).isEmpty)
+  }
+
   test("frame sampler emits every-kth frame per media row") {
     val media = MediaPipeline.fromText(
       Tables.documents(spark, sf).limit(5), "doc_id", "text")
