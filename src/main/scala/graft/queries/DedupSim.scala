@@ -435,6 +435,75 @@ object DedupSim {
        |FROM top GROUP BY 1, 2 ORDER BY q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X47 — one k-means step (Lloyd E+M) over the embedding corpus: the
+  // iterative-ML building block behind IVF codebook training and
+  // cluster-balanced sampling. E-step = nearest of 8 hash-sampled
+  // seeds (broadcast + min_by HashAggregate, x33's assignment shape);
+  // M-step = per-(cluster, dim) mean via exact decimal sums on the
+  // bounded 8×64 grid (x39's float-mean discipline), so the updated
+  // codebook is bit-identical under any partitioning — the property
+  // that makes distributed k-means runs reproducible. Full training =
+  // this step iterated with the output fed back as seeds.
+  // ---------------------------------------------------------------------
+  private val KmeansK = 8
+
+  private def x47(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+      .localCheckpoint(false) // two consumers: seeds + assignment
+    val seeds = base
+      .orderBy((col("vec_id") * 2654435761L) % 1000000007L, col("vec_id"))
+      .limit(KmeansK)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("dist", lit(1.0) -
+        DotProduct(col("emb"), col("c_emb")) /
+          (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("emb"), col("c_id")),
+        struct(col("dist"), col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.emb").as("emb"),
+        col("b.c_id").as("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("coord"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster", "dim")
+  }
+  private lazy val x47Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM e),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  LIMIT $KmeansK),
+       |assigned AS (
+       |  SELECT vec_id, emb, c_id AS cluster FROM (
+       |    SELECT n.vec_id, n.emb, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("n.emb", "c.c_emb")}
+       |          / (n.norm * c.c_norm), c.c_id) AS rk
+       |    FROM n CROSS JOIN seeds c) WHERE rk = 1)
+       |SELECT cluster, i - 1 AS dim,
+       |  CAST(CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS VARCHAR)
+       |      AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS coord,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM assigned, unnest(generate_series(1, len(emb))) AS t(i)
+       |GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X5b — LSH-bucketed ANN (the scale path): deterministic
   // pseudo-random ±1 hyperplanes → sign bucket per vector; queries
   // probe only their own bucket. Trades recall for a ~2^planes candidate
@@ -1211,6 +1280,7 @@ object DedupSim {
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),
+    QueryDef("x47_kmeans_step", Some(x47Sql), x47),
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18)
   )
