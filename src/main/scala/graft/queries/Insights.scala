@@ -1776,6 +1776,7 @@ object Insights {
     QueryDef("q44_dup_transactions", Some(q44Sql), q44),
     QueryDef("a30_interevent_gap", Some(a30Sql), a30),
     QueryDef("a31_winsorized", Some(a31Sql), a31),
+    QueryDef("q45_ks_test", Some(q45Sql), q45),
     QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
 
@@ -1817,6 +1818,75 @@ object Insights {
           col("n").cast("double")).as("wins_mean"))
       .orderBy("event_type")
   }
+  // ---------------------------------------------------------------------
+  // Q45 — two-sample Kolmogorov–Smirnov drift test per event type:
+  // D = max |ECDF_A − ECDF_B| between interleaved day-parity samples —
+  // the distribution-shift detector with an actual statistic behind
+  // it (q33's count-mix drift can't see a shape change at equal
+  // volume). EXACT integer rank arithmetic end to end: value
+  // histogram with per-sample counts, cumulative counts in value
+  // order, D's numerator as max |cumA·nB − cumB·nA| (one IEEE
+  // division at the very end) — bit-identical at any parallelism.
+  // Scale note: the BIGINT cross-product bounds this exact form at
+  // ~3·10⁹ rows per (group, sample); past that, pre-bin values into a
+  // bounded histogram (the standard KS-on-histogram route) — same
+  // plan, bounded counts.
+  // ---------------------------------------------------------------------
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      col("value").as("v"),
+      (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        % 2 === 0).as("a"))
+    val hist = ev.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false) // cum window + totals read it twice
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val cum = hist
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = hist.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+      .orderBy("event_type")
+  }
+  private lazy val q45Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value AS v,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS epoch_day
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(CASE WHEN epoch_day % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN epoch_day % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM ev GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v, ca, cb,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb
+      |  FROM hist),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM hist GROUP BY 1)
+      |SELECT c.event_type, MAX(t.na) AS n_a, MAX(t.nb) AS n_b,
+      |  CAST(MAX(ABS(CAST(c.cuma AS BIGINT) * t.nb
+      |    - CAST(c.cumb AS BIGINT) * t.na)) AS BIGINT) AS d_num,
+      |  CAST(MAX(ABS(CAST(c.cuma AS BIGINT) * t.nb
+      |    - CAST(c.cumb AS BIGINT) * t.na)) AS DOUBLE)
+      |    / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+      |FROM cum c JOIN tot t USING (event_type)
+      |GROUP BY 1, t.na, t.nb ORDER BY event_type""".stripMargin
+
   // lazy: referenced from `all` above its definition — a strict val
   // would still be null when the registration list initializes
   private lazy val a31Sql =
