@@ -82,7 +82,113 @@ object CorpusEtl {
       |    ELSE 0 END) AS BIGINT) AS tokens_out
       |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W04 — the full modern pre-training CURATION funnel as one plan,
+  // reporting the dataset-card numbers per stage: raw → language
+  // filter → quality gate → exact dedup (among survivors) → benchmark
+  // decontamination (x44's n-gram screen; eval docs themselves leave
+  // the corpus here too). Every stage is a cumulative flag computed in
+  // one pass — the funnel never materializes intermediate corpora —
+  // plus one fingerprint-keyed window for dedup and one hash-keyed
+  // semi-join for contamination. Same one-sided xxhash64 fingerprint
+  // caveat as x37/x44 (documented there).
+  // ---------------------------------------------------------------------
+  private val CurK = 8
+
+  private def w04(s: SparkSession, d: String): DataFrame = {
+    val k = CurK
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .select("h").distinct()
+    val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(evalSh, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val wFp = Window.partitionBy(col("fp"))
+    val flags = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("fp", md5(col("text")))
+      .withColumn("c1", col("lang") === "en")
+      .withColumn("c2", col("c1") &&
+        col("n_tok") >= 5L && col("n_tok") <= 1000L)
+      .withColumn("c3", col("c2") && col("doc_id") ===
+        min(when(col("c2"), col("doc_id"))).over(wFp))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("c4", col("c3") && col("doc_id") % 50 =!= 0 &&
+        !coalesce(col("contam"), lit(false)))
+    flags.agg(
+        count(lit(1)).as("d0"), sum(col("n_tok")).as("t0"),
+        sum(when(col("c1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("c1"), col("n_tok")).otherwise(0L)).as("t1"),
+        sum(when(col("c2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("c2"), col("n_tok")).otherwise(0L)).as("t2"),
+        sum(when(col("c3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("c3"), col("n_tok")).otherwise(0L)).as("t3"),
+        sum(when(col("c4"), 1L).otherwise(0L)).as("d4"),
+        sum(when(col("c4"), col("n_tok")).otherwise(0L)).as("t4"))
+      .select(expr("stack(5, " +
+        "'1_raw', d0, t0, '2_lang', d1, t1, '3_quality', d2, t2, " +
+        "'4_dedup', d3, t3, '5_decontam', d4, t4) " +
+        "AS (stage, n_docs, n_tokens)"))
+      .orderBy("stage")
+  }
+  private val w04Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${CurK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents),
+       |    unnest(generate_series(1, len(w) - ${CurK - 1})) AS t(i)
+       |  WHERE len(w) >= $CurK),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % 50 <> 0 AND g IN (
+       |    SELECT g FROM sh WHERE doc_id % 50 = 0)),
+       |flags AS (
+       |  SELECT d.doc_id, d.n_tok, c1, c2,
+       |    c2 AND d.doc_id = MIN(CASE WHEN c2 THEN d.doc_id END)
+       |      OVER (PARTITION BY fp) AS c3
+       |  FROM (
+       |    SELECT doc_id, md5(text) AS fp,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |      lang = 'en' AS c1,
+       |      lang = 'en' AND len(string_split(text, ' ')) >= 5
+       |        AND len(string_split(text, ' ')) <= 1000 AS c2
+       |    FROM documents) d),
+       |f4 AS (
+       |  SELECT f.*, f.c3 AND f.doc_id % 50 <> 0
+       |      AND f.doc_id NOT IN (SELECT doc_id FROM contam) AS c4
+       |  FROM flags f),
+       |agg AS (
+       |  SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS d0,
+       |    CAST(SUM(n_tok) AS BIGINT) AS t0,
+       |    CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(SUM(CASE WHEN c1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |    CAST(SUM(CASE WHEN c2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |    CAST(SUM(CASE WHEN c3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+       |    CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+       |    CAST(SUM(CASE WHEN c4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+       |  FROM f4)
+       |SELECT '1_raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+       |UNION ALL SELECT '2_lang', d1, t1 FROM agg
+       |UNION ALL SELECT '3_quality', d2, t2 FROM agg
+       |UNION ALL SELECT '4_dedup', d3, t3 FROM agg
+       |UNION ALL SELECT '5_decontam', d4, t4 FROM agg
+       |ORDER BY stage""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("w03_corpus_etl", Some(w03Sql), w03)
+    QueryDef("w03_corpus_etl", Some(w03Sql), w03),
+    QueryDef("w04_curation_funnel", Some(w04Sql), w04)
   )
 }
