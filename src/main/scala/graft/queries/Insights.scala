@@ -1777,6 +1777,7 @@ object Insights {
     QueryDef("a30_interevent_gap", Some(a30Sql), a30),
     QueryDef("a31_winsorized", Some(a31Sql), a31),
     QueryDef("q45_ks_test", Some(q45Sql), q45),
+    QueryDef("q46_rank_sum", Some(q46Sql), q46),
     QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
 
@@ -1886,6 +1887,75 @@ object Insights {
       |    / CAST(t.na * t.nb AS DOUBLE) AS ks_d
       |FROM cum c JOIN tot t USING (event_type)
       |GROUP BY 1, t.na, t.nb ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q46 — Mann–Whitney U (rank-sum) per event type, q45's companion
+  // nonparametric test: LOCATION shift where KS is shape shift. Exact
+  // midranks under ties via the DOUBLED-rank trick — over the value
+  // histogram, each distinct value's A-observations contribute
+  // ca·(2·cum_before + ties + 1) to 2R_A, so 2U_A = Σ − nA(nA+1)
+  // stays in BIGINT until the final divisions (U itself and the
+  // rank-biserial effect size r = 1 − 2U/(nA·nB)). One histogram
+  // shuffle + one distinct-value window; no totals join needed — nA
+  // and nB fold out of the same final aggregate.
+  // ---------------------------------------------------------------------
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      col("value").as("v"),
+      (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        % 2 === 0).as("a"))
+    val hist = ev.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("contrib", col("ca") *
+        (lit(2L) * col("cum_before") + col("ca") + col("cb") + 1L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("contrib")).as("r2a"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        (col("u2_a").cast("double") / 2.0).as("u_a"),
+        (lit(1.0) - col("u2_a").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("effect_r"))
+      .orderBy("event_type")
+  }
+  private lazy val q46Sql =
+    """WITH ev AS (
+      |  SELECT event_type, value AS v,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS epoch_day
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(CASE WHEN epoch_day % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN epoch_day % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM ev GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, ca, cb,
+      |    COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type
+      |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      1 PRECEDING), 0) AS cum_before
+      |  FROM hist),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(ca) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca * (2 * cum_before + ca + cb + 1)) AS BIGINT)
+      |      AS r2a
+      |  FROM cum GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+      |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+      |  1.0 - CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) AS effect_r
+      |FROM agg ORDER BY event_type""".stripMargin
 
   // lazy: referenced from `all` above its definition — a strict val
   // would still be null when the registration list initializes
