@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1778,6 +1778,7 @@ object Insights {
     QueryDef("a31_winsorized", Some(a31Sql), a31),
     QueryDef("q45_ks_test", Some(q45Sql), q45),
     QueryDef("q46_rank_sum", Some(q46Sql), q46),
+    QueryDef("q47_bootstrap_ci", Some(q47Sql), q47),
     QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
 
@@ -1887,6 +1888,89 @@ object Insights {
       |    / CAST(t.na * t.nb AS DOUBLE) AS ks_d
       |FROM cum c JOIN tot t USING (event_type)
       |GROUP BY 1, t.na, t.nb ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q47 — Poisson-bootstrap confidence interval for the per-type mean:
+  // THE distributed bootstrap (per-row independent Poisson(1) weights
+  // instead of a global n-out-of-n resample, so no replicate ever
+  // needs coordination — each row just fans out to B weighted
+  // copies). Weights here are DETERMINISTIC: a Knuth-mixed hash of
+  // (event_id, replicate) mapped through fixed integer thresholds
+  // approximating Poisson(1) pmf to 4 digits — bit-identical in both
+  // engines and across any partitioning, which makes a resampling CI
+  // value-checkable at all (a seeded RNG never is across engines).
+  // Replicate means use exact decimal numerators; the 2.5%/97.5%
+  // bounds come from the q15 histogram-percentile kernel over the
+  // B=32 replicate means. Scale: B× row fan-out, two keyed aggs, a
+  // bounded (type × 32) grid — no global state.
+  // ---------------------------------------------------------------------
+  // lazy: read from lazy q47Sql during `all`'s init, which runs
+  // before strict vals declared this late in the file
+  private lazy val BootB = 32
+
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("r", explode(expr(s"sequence(0, ${BootB - 1})")))
+      .withColumn("u", pmod(
+        (col("event_id") * 2654435761L + col("r") * 97L)
+          % 1000000007L, lit(10000L)))
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .when(col("u") < 9963, 4L).otherwise(5L))
+    val repMeans = weighted.groupBy(col("event_type"), col("r"))
+      .agg((sum(col("value").cast("decimal(18,6)") * col("w"))
+          .cast("double") /
+        sum(col("w")).cast("double")).as("m"))
+    val hist = repMeans.groupBy(col("event_type"), col("m").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val ci = Relational.histCum(hist, "event_type", "v")
+      .groupBy(col("event_type"))
+      .agg(Relational.histPct(0.025, "v").as("ci_lo"),
+        Relational.histPct(0.975, "v").as("ci_hi"))
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.davg(col("value")).as("mean"))
+      .join(broadcast(ci), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+  private lazy val q47Sql = {
+    val b = BootB
+    s"""WITH weighted AS (
+       |  SELECT event_type, value,
+       |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+       |         WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+       |         WHEN u < 9963 THEN 4 ELSE 5 END AS w, r
+       |  FROM (
+       |    SELECT event_type, value, r,
+       |      (event_id * 2654435761 + r * 97) % 1000000007 % 10000
+       |        AS u
+       |    FROM events, unnest(generate_series(0, ${b - 1})) AS t(r))),
+       |rep AS (
+       |  SELECT event_type, r,
+       |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * w) AS VARCHAR)
+       |      AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS v
+       |  FROM weighted GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT event_type, v, COUNT(*) AS c FROM rep GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, v, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS nn
+       |  FROM hist),
+       |ci AS (
+       |  SELECT event_type,
+       |    ${Relational.sqlHistPct("0.025", "v")} AS ci_lo,
+       |    ${Relational.sqlHistPct("0.975", "v")} AS ci_hi
+       |  FROM cum GROUP BY 1)
+       |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Num.sqlDavg("e.value")} AS mean,
+       |  MIN(ci.ci_lo) AS ci_lo, MIN(ci.ci_hi) AS ci_hi
+       |FROM events e JOIN ci USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // Q46 — Mann–Whitney U (rank-sum) per event type, q45's companion
