@@ -18,7 +18,13 @@ class DeterminismSpec extends SparkSpec {
     "q35_correlation",        // exact moments → IEEE assembly
     "a20_time_weighted_avg",  // decimal value×interval accumulation
     "x39_centroid_profile",   // in-row fold + decimal re-entry
-    "q15_percentiles",        // exact interpolated percentiles
+    "q15_percentiles",        // histogram-path interpolated percentiles
+    "q29_mad_outliers",       // two-level histogram medians + MAD
+    "a31_winsorized",         // clip bounds + pinned-order mean assembly
+    "q45_ks_test",            // integer rank cross-products → one division
+    "q46_rank_sum",           // doubled-rank midranks → two divisions
+    "q47_bootstrap_ci",       // hash-weighted replicate means + CI pick
+    "x47_kmeans_step",        // min_by assignment + decimal codebook means
     "q33_distribution_drift") // exact-count rate divisions
 
   test("float-producing queries are bit-identical at 3 vs 11 " +
