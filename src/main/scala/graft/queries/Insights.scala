@@ -1779,6 +1779,7 @@ object Insights {
     QueryDef("q45_ks_test", Some(q45Sql), q45),
     QueryDef("q46_rank_sum", Some(q46Sql), q46),
     QueryDef("q47_bootstrap_ci", Some(q47Sql), q47),
+    QueryDef("a33_seasonality", Some(a33Sql), a33),
     QueryDef("x43_shard_balance", Some(x43Sql), x43)
   )
 
@@ -1888,6 +1889,75 @@ object Insights {
       |    / CAST(t.na * t.nb AS DOUBLE) AS ks_d
       |FROM cum c JOIN tot t USING (event_type)
       |GROUP BY 1, t.na, t.nb ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A33 — weekday×hour seasonality profile per event type: the peak
+  // cell plus a chi-square uniformity statistic over the full 168-cell
+  // grid. The statistic is EXACT until one final division: the
+  // numerator Σ(168·O − n)² accumulates in BIGINT (unobserved cells
+  // contribute n² each — folded in arithmetically, not by
+  // materializing empty cells), then χ² = num / (168·n) is a single
+  // IEEE division. BIGINT holds to ~5·10⁸ rows per type; past that
+  // the same sums run in DECIMAL(38,0) (q45's pre-binning note
+  // pattern). Weekday = Monday-0 (the t12 pandas convention:
+  // Spark (dayofweek+5)%7 ≡ DuckDB isodow−1). Peak pick is a
+  // deterministic window (count desc, dow, hour). One bounded
+  // (type × 168) aggregate; nothing scales past the grid.
+  // ---------------------------------------------------------------------
+  private def a33(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        ((dayofweek(col("ts")) + 5) % 7).as("dow"),
+        hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("dow"), col("hr"))
+    val ranked = cells.withColumn("rn", row_number().over(wPeak))
+    val stats = cells.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("observed_cells"),
+        sum((lit(168L) * col("cnt")) * (lit(168L) * col("cnt")))
+          .as("s168sq"),
+        sum(lit(168L) * col("cnt")).as("s168"))
+    // Σ_observed (168·O − n)² = Σ(168O)² − 2n·Σ(168O) + observed·n²;
+    // + (168 − observed)·n² for the empty cells ⇒ num = Σ(168O)²
+    //   − 2n·Σ(168O) + 168·n²  (all BIGINT)
+    stats
+      .withColumn("num", col("s168sq") - lit(2L) * col("n") * col("s168")
+        + lit(168L) * col("n") * col("n"))
+      .join(ranked.filter(col("rn") === 1)
+        .select(col("event_type"), col("dow").as("peak_dow"),
+          col("hr").as("peak_hour"), col("cnt").as("peak_n")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n"), col("observed_cells"),
+        col("peak_dow"), col("peak_hour"), col("peak_n"),
+        (col("num").cast("double") /
+          (lit(168L) * col("n")).cast("double")).as("chi2_uniform"))
+      .orderBy("event_type")
+  }
+  private lazy val a33Sql =
+    """WITH cells AS (
+      |  SELECT event_type, isodow(ts) - 1 AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |peak AS (
+      |  SELECT event_type, dow AS peak_dow, hr AS peak_hour,
+      |    CAST(cnt AS BIGINT) AS peak_n
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY cnt DESC, dow, hr) AS rn FROM cells) WHERE rn = 1),
+      |stats AS (
+      |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS observed_cells,
+      |    CAST(SUM((168 * cnt) * (168 * cnt)) AS BIGINT) AS s168sq,
+      |    CAST(SUM(168 * cnt) AS BIGINT) AS s168
+      |  FROM cells GROUP BY 1)
+      |SELECT s.event_type, s.n, s.observed_cells,
+      |  p.peak_dow, p.peak_hour, p.peak_n,
+      |  CAST(s.s168sq - 2 * s.n * s.s168 + 168 * s.n * s.n AS DOUBLE)
+      |    / CAST(168 * s.n AS DOUBLE) AS chi2_uniform
+      |FROM stats s JOIN peak p USING (event_type)
+      |ORDER BY s.event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // Q47 — Poisson-bootstrap confidence interval for the per-type mean:
