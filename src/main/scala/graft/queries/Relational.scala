@@ -1043,12 +1043,15 @@ object Relational {
     val med = histCum(histX, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("med"))
+    // histA is NOT checkpointed: its two consumers re-derive it from
+    // the CHECKPOINTED histX (one broadcast join + one agg each),
+    // which measures cheaper than materializing a second
+    // distinct-value-sized cache (checkpoint write ≈ both recomputes)
     val histA = histX.join(broadcast(med), Seq("l_returnflag"))
       .select(col("l_returnflag"), abs(col("v") - col("med")).as("v"),
         col("c"))
       .groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("c")).as("c"))
-      .localCheckpoint(false)
     val mad = histCum(histA, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("mad"))
