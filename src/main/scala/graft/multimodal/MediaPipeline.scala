@@ -150,9 +150,97 @@ object MediaPipeline {
     media.mapPartitions(_.flatMap(decodeWav))
   }
 
-  /** STUB decode: stands in for a video/audio header parse. Derives
-    * metadata deterministically from the byte length so tests and the
-    * oracle queries agree. */
+  final case class VideoMeta(media_id: Long, timescale: Int,
+      duration_units: Long, width: Int, height: Int)
+
+  /** Minimal spec-valid ISO-BMFF (MP4) prefix: `ftyp` + `moov`
+    * containing a version-0 `mvhd` (timescale, duration) and one
+    * `trak`/`tkhd` (16.16 fixed-point width/height). 232 bytes, no
+    * media data — the same header-probe stance as [[wavBytes]]: real
+    * video metadata lives in moov, which players/probers read without
+    * touching mdat. */
+  def mp4Bytes(width: Int, height: Int, timescale: Int,
+      durationUnits: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(232) // big-endian by default
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    // ftyp
+    bb.putInt(16); tag("ftyp"); tag("isom"); bb.putInt(0x200)
+    // moov = 8 + mvhd(108) + trak(8 + tkhd(92))
+    bb.putInt(216); tag("moov")
+    bb.putInt(108); tag("mvhd")
+    bb.putInt(0)                  // version/flags
+    bb.putInt(0).putInt(0)        // ctime/mtime
+    bb.putInt(timescale).putInt(durationUnits)
+    bb.putInt(0x00010000)         // rate 1.0
+    bb.putShort(0x0100.toShort)   // volume 1.0
+    bb.put(new Array[Byte](10))   // reserved
+    bb.put(new Array[Byte](36))   // matrix (zeros fine for a probe)
+    bb.put(new Array[Byte](24))   // predefined
+    bb.putInt(2)                  // next track id
+    bb.putInt(100); tag("trak")
+    bb.putInt(92); tag("tkhd")
+    bb.putInt(0)                  // version/flags
+    bb.putInt(0).putInt(0)        // ctime/mtime
+    bb.putInt(1)                  // track id
+    bb.putInt(0)                  // reserved
+    bb.putInt(durationUnits)
+    bb.put(new Array[Byte](8))    // reserved
+    bb.putShort(0).putShort(0)    // layer / alt group
+    bb.putShort(0).putShort(0)    // volume / reserved
+    bb.put(new Array[Byte](36))   // matrix
+    bb.putInt(width << 16)        // 16.16 fixed
+    bb.putInt(height << 16)
+    bb.array()
+  }
+
+  /** Real ISO-BMFF header parse: walks top-level boxes to `moov`,
+    * then its children for `mvhd` (timescale/duration) and the first
+    * `trak`'s `tkhd` (width/height). None unless all three boxes are
+    * present and well-formed. */
+  def decodeMp4(r: MediaRow): Option[VideoMeta] = {
+    val p = r.payload
+    def typ(off: Int) =
+      if (off + 8 <= p.length) new String(p, off + 4, 4, "US-ASCII")
+      else ""
+    def len(off: Int) = java.nio.ByteBuffer.wrap(p, off, 4).getInt
+    def findBox(from: Int, end: Int, name: String): Option[Int] = {
+      var off = from
+      while (off + 8 <= end) {
+        val l = len(off)
+        if (l < 8 || off + l > end) return None
+        if (typ(off) == name) return Some(off)
+        off += l
+      }
+      None
+    }
+    if (p.length < 16 || typ(0) != "ftyp") None
+    else for {
+      moov <- findBox(0, p.length, "moov")
+      mvhd <- findBox(moov + 8, moov + len(moov), "mvhd")
+      if len(mvhd) >= 32 && p(mvhd + 8) == 0 // version 0
+      trak <- findBox(moov + 8, moov + len(moov), "trak")
+      tkhd <- findBox(trak + 8, trak + len(trak), "tkhd")
+      if len(tkhd) >= 92 && p(tkhd + 8) == 0
+    } yield {
+      val bb = java.nio.ByteBuffer.wrap(p)
+      VideoMeta(r.media_id,
+        bb.getInt(mvhd + 20),
+        bb.getInt(mvhd + 24).toLong & 0xffffffffL,
+        bb.getInt(tkhd + 84) >>> 16,
+        bb.getInt(tkhd + 88) >>> 16)
+    }
+  }
+
+  /** Video payloads → typed metadata, partition-parallel (the MP4
+    * member of the extract family). */
+  def extractVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeMp4))
+  }
+
+  /** STUB decode: stands in for a generic unknown-container parse.
+    * Derives metadata deterministically from the byte length so tests
+    * and the oracle queries agree. */
   def decodeStub(r: MediaRow): MediaMeta = {
     val n = r.payload.length
     MediaMeta(r.media_id, n, 320 + n % 1280, 240 + (n * 7) % 720,

@@ -50,6 +50,39 @@ object Media {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // M6 — video metadata extraction over REAL ISO-BMFF (MP4) headers:
+  // each doc gets a spec-valid ftyp+moov prefix whose mvhd/tkhd boxes
+  // encode doc_id-derived timescale/duration/dimensions, and the
+  // pipeline walks the actual box structure back out inside
+  // mapPartitions (m01/m04's round-trip pattern — with this, all
+  // three modalities parse real container bytes; only codec-level
+  // pixel/sample decode stays out of scope). The oracle recomputes
+  // the fields from doc_id, so the gate proves the box write→parse
+  // loop lossless, including the 16.16 fixed-point dimension encode.
+  // ---------------------------------------------------------------------
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val vids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPipeline.MediaRow(id, MediaPipeline.mp4Bytes(
+        (320 + id % 1280).toInt, (240 + id * 7 % 720).toInt,
+        600, (((id % 3600) + 1) * 600).toInt)))
+    MediaPipeline.extractVideoMeta(vids).toDF()
+      .select(col("media_id").as("doc_id"), col("timescale"),
+        col("duration_units"),
+        expr("duration_units div timescale").as("duration_s"),
+        col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+  private val m06Sql =
+    """SELECT doc_id, 600 AS timescale,
+      |  ((doc_id % 3600) + 1) * 600 AS duration_units,
+      |  (doc_id % 3600) + 1 AS duration_s,
+      |  320 + doc_id % 1280 AS width,
+      |  240 + (doc_id * 7) % 720 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ST1 — event-time tumbling-window aggregation (batch form; the
   // streaming form with watermarks lives in graft.streaming and is
   // asserted equal to this in tests).
@@ -463,6 +496,7 @@ object Media {
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),
     QueryDef("m04_audio_chunks", Some(m04Sql), m04),
+    QueryDef("m06_video_meta", Some(m06Sql), m06),
     QueryDef("st01_event_windows", Some(st01Sql), st01),
     QueryDef("st04_sliding_windows", Some(st04Sql), st04),
     QueryDef("st05_stream_dedup", Some(st05Sql), st05),

@@ -68,6 +68,29 @@ class MediaPipelineSpec extends SparkSpec {
     assert(decodeWav(MediaRow(4L, truncated)).isEmpty)
   }
 
+  test("mp4 write/parse round trip: real box walk, 16.16 dims") {
+    import MediaPipeline._
+    val p = mp4Bytes(1920, 1080, 600, 7200)
+    assert(p.length == 232)
+    assert(new String(p, 4, 4) == "ftyp")
+    val meta = decodeMp4(MediaRow(5L, p))
+    assert(meta.contains(VideoMeta(5L, 600, 7200L, 1920, 1080)))
+  }
+
+  test("mp4 decode rejects malformed box structures") {
+    import MediaPipeline._
+    assert(decodeMp4(MediaRow(1L, "RIFFnot an mp4 file at all".getBytes))
+      .isEmpty)
+    assert(decodeMp4(MediaRow(2L, pngBytes(8, 8))).isEmpty)
+    val good = mp4Bytes(640, 480, 600, 600)
+    val noMoov = good.clone(); noMoov(16 + 5) = 'x'.toByte // moov→mxov
+    assert(decodeMp4(MediaRow(3L, noMoov)).isEmpty)
+    val badLen = good.clone()
+    // corrupt mvhd's size so the child walk runs off the moov end
+    java.nio.ByteBuffer.wrap(badLen, 24, 4).putInt(5000)
+    assert(decodeMp4(MediaRow(4L, badLen)).isEmpty)
+  }
+
   test("frame sampler emits every-kth frame per media row") {
     val media = MediaPipeline.fromText(
       Tables.documents(spark, sf).limit(5), "doc_id", "text")
