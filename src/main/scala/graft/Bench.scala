@@ -178,6 +178,12 @@ object Bench {
     // failure the r4 warm sweep had. Exhausting the box loses only the
     // retimes that matter least (the worst rows re-measure first).
     def retime(threshold: Double, budgetSec: Double): Unit = {
+      // The timed pass leaves every query's dropped localCheckpoint
+      // blocks in the block manager until the ContextCleaner notices
+      // their RDDs are garbage; a retime against a crowded store
+      // measures storage contention, not the plan. One GC + settle
+      // lets the cleaner drain before the steady-state numbers.
+      System.gc(); Thread.sleep(2000)
       val t0 = System.nanoTime()
       val slow = done.filter(_._2 >= threshold).sortBy(-_._2).map(_._1)
       val fns = SparkEntry.queries
