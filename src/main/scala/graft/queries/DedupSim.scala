@@ -1015,6 +1015,56 @@ object DedupSim {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X48 — per-document n-gram NOVELTY (the marginal-value curve):
+  // what fraction of each doc's distinct 8-grams appears for the
+  // FIRST time in corpus order — the statistic behind "does adding
+  // this shard/source buy new content or re-buy the old" mixing
+  // decisions, and the content-level complement of x01's whole-doc
+  // dedup (a doc can be 0% exact-dup yet 95% non-novel). First
+  // occurrence = min(doc_id) per fingerprint: one hash-keyed agg +
+  // one hash-keyed join, x44's no-text-shuffles contract and the
+  // same one-sided collision caveat.
+  // ---------------------------------------------------------------------
+  private def x48(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamK
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    sh.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        (col("n_new").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+  private lazy val x48Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${DecontamK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents),
+       |    unnest(generate_series(1, len(w) - ${DecontamK - 1}))
+       |      AS t(i)
+       |  WHERE len(w) >= $DecontamK),
+       |firsts AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY 1)
+       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new,
+       |  CAST(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM sh s JOIN firsts f USING (g)
+       |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X19 — int8 embedding quantization audit: per-vector symmetric scale
   // (max|x| / 127), floor-quantize, and measure the worst reconstruction
   // error — the storage-scale path (4× smaller vectors) with its
@@ -1271,6 +1321,7 @@ object DedupSim {
     QueryDef("x33_semdedup", Some(x33Sql), x33),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x44_ngram_decontam", Some(x44Sql), x44),
+    QueryDef("x48_ngram_novelty", Some(x48Sql), x48),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
