@@ -1065,6 +1065,82 @@ object DedupSim {
        |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X49 — source-level content overlap matrix: for every source pair,
+  // how much of each source's distinct 8-gram content the other
+  // already covers (directional containment + Jaccard) — a26's
+  // set-overlap idea lifted from users to CORPUS SOURCES, answering
+  // "does licensing source B add content or re-buy source A". The
+  // grain contracts to DISTINCT (source, fingerprint) first (one
+  // hash-keyed agg), the pair join runs on the fingerprint key over
+  // the bounded source domain, and set sizes ride a broadcast. Same
+  // collision caveat as x37/x44.
+  // ---------------------------------------------------------------------
+  private def x49(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamK
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("w"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+      // three consumers (sizes + both pair-join sides): one
+      // materialization, not three explode+distinct re-derivations
+      .localCheckpoint(false)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_a").cast("double"))
+          .as("contain_a_in_b"),
+        (col("n_shared").cast("double") / col("n_b").cast("double"))
+          .as("contain_b_in_a"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+  private lazy val x49Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |    array_to_string(w[i:i+${DecontamK - 1}], ' ') AS g
+       |  FROM (SELECT source, string_split(text, ' ') AS w
+       |        FROM documents),
+       |    unnest(generate_series(1, len(w) - ${DecontamK - 1}))
+       |      AS t(i)
+       |  WHERE len(w) >= $DecontamK),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM sh a JOIN sh b
+       |    ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_shared,
+       |  CAST(p.n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE)
+       |    AS contain_a_in_b,
+       |  CAST(p.n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE)
+       |    AS contain_b_in_a,
+       |  CAST(p.n_shared AS DOUBLE)
+       |    / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.source = p.src_a
+       |JOIN sizes sb ON sb.source = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X19 — int8 embedding quantization audit: per-vector symmetric scale
   // (max|x| / 127), floor-quantize, and measure the worst reconstruction
   // error — the storage-scale path (4× smaller vectors) with its
@@ -1322,6 +1398,7 @@ object DedupSim {
     QueryDef("x14_decontamination", Some(x14Sql), x14),
     QueryDef("x44_ngram_decontam", Some(x44Sql), x44),
     QueryDef("x48_ngram_novelty", Some(x48Sql), x48),
+    QueryDef("x49_source_overlap", Some(x49Sql), x49),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
