@@ -1141,6 +1141,68 @@ object DedupSim {
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X50 — leakage-safe train/eval split: the split key is the
+  // DUP-GROUP (min doc_id per content fingerprint), not the document,
+  // so a duplicated document can never land on both sides of the
+  // split — the leakage class x41 AUDITS, prevented by construction.
+  // The output carries its own evidence: `naive_straddle_groups`
+  // counts dup groups the per-document hash split would have torn
+  // across train and eval (>0 on this corpus — the reason this
+  // operator exists). Deterministic Knuth-mix gates, one fingerprint
+  // agg + one broadcast-scalar join; same 90/10 gate arithmetic as
+  // x41's split.
+  // ---------------------------------------------------------------------
+  private def x50(s: SparkSession, d: String): DataFrame = {
+    def gate(c: Column): Column =
+      (c * 2654435761L) % 1000000007L % 10L
+    // group key = x01's dedup key (this corpus duplicates by shared
+    // 40-char prefix, not whole text), so groups are real here and
+    // the straddle evidence is non-vacuous
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, 40)).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val grp = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("gid"),
+        (countDistinct(when(gate(col("doc_id")) < 9, 1)
+          .otherwise(0)) > 1).as("naive_straddles"))
+    val straddles = grp.agg(
+      sum(when(col("naive_straddles"), 1L).otherwise(0L))
+        .as("naive_straddle_groups"))
+    docs.join(grp.select(col("fp"), col("gid")), Seq("fp"))
+      .withColumn("split",
+        when(gate(col("gid")) < 9, "train").otherwise("eval"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("gid")).as("n_groups"))
+      .crossJoin(broadcast(straddles))
+      .orderBy("split")
+  }
+  private lazy val x50Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, md5(substring(text, 1, 40)) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |grp AS (
+      |  SELECT fp, MIN(doc_id) AS gid,
+      |    COUNT(DISTINCT CASE WHEN
+      |      (doc_id * 2654435761) % 1000000007 % 10 < 9
+      |      THEN 1 ELSE 0 END) > 1 AS naive_straddles
+      |  FROM docs GROUP BY 1),
+      |str AS (
+      |  SELECT CAST(SUM(CASE WHEN naive_straddles THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS naive_straddle_groups FROM grp)
+      |SELECT CASE WHEN (g.gid * 2654435761) % 1000000007 % 10 < 9
+      |         THEN 'train' ELSE 'eval' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT g.gid) AS BIGINT) AS n_groups,
+      |  MIN(str.naive_straddle_groups) AS naive_straddle_groups
+      |FROM docs d JOIN grp g USING (fp) CROSS JOIN str
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X19 — int8 embedding quantization audit: per-vector symmetric scale
   // (max|x| / 127), floor-quantize, and measure the worst reconstruction
   // error — the storage-scale path (4× smaller vectors) with its
@@ -1399,6 +1461,7 @@ object DedupSim {
     QueryDef("x44_ngram_decontam", Some(x44Sql), x44),
     QueryDef("x48_ngram_novelty", Some(x48Sql), x48),
     QueryDef("x49_source_overlap", Some(x49Sql), x49),
+    QueryDef("x50_group_split", Some(x50Sql), x50),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),

@@ -22,6 +22,8 @@ class PlanAuditSpec extends SparkSpec {
       "same bounded plane-index relation as x05_knn_lsh",
     "x18_knn_ivf" -> "fixed 16-row coarse codebook",
     "x47_kmeans_step" -> "fixed 8-row seed codebook (x18's pattern)",
+    "x50_group_split" -> ("splits crossJoin a SINGLE-ROW straddle " +
+      "aggregate (2×1 by construction, a17's pattern)"),
     "x33_semdedup" -> ("same fixed 16-row coarse codebook as " +
       "x18_knn_ivf, plus the bounded plane-index relation"),
     "q14_run_summary" -> "scalar subqueries (1-row relations)",
