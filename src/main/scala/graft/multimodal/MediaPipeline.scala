@@ -136,7 +136,11 @@ object MediaPipeline {
         val blockAlign = bb.getShort(32).toInt
         val bits = bb.getShort(34).toInt
         val dataLen = bb.getInt(40).toLong
-        if (channels <= 0 || blockAlign != channels * bits / 8) None
+        // blockAlign <= 0 must be rejected explicitly: bits=0 gives
+        // blockAlign==channels*bits/8==0, which would pass the shape
+        // check and divide by zero below.
+        if (channels <= 0 || blockAlign <= 0 ||
+            blockAlign != channels * bits / 8) None
         else Some(AudioMeta(r.media_id, sampleRate, channels, bits,
           dataLen / blockAlign))
       }

@@ -454,7 +454,8 @@ object DedupSim {
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
       .localCheckpoint(false) // two consumers: seeds + assignment
     val seeds = base
-      .orderBy((col("vec_id") * 2654435761L) % 1000000007L, col("vec_id"))
+      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+        % 1000000007L, col("vec_id"))
       .limit(KmeansK)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
@@ -486,7 +487,8 @@ object DedupSim {
        |  FROM e),
        |seeds AS (
        |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-       |  FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  FROM n ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
        |  LIMIT $KmeansK),
        |assigned AS (
        |  SELECT vec_id, emb, c_id AS cluster FROM (
@@ -1072,8 +1074,10 @@ object DedupSim {
   // "does licensing source B add content or re-buy source A". The
   // grain contracts to DISTINCT (source, fingerprint) first (one
   // hash-keyed agg), the pair join runs on the fingerprint key over
-  // the bounded source domain, and set sizes ride a broadcast. Same
-  // collision caveat as x37/x44.
+  // the bounded source domain, and set sizes ride a broadcast. The
+  // output is the COMPLETE upper-triangle pair matrix: zero-overlap
+  // pairs appear with n_shared=0 (left join off the bounded pair
+  // domain), not as missing rows. Same collision caveat as x37/x44.
   // ---------------------------------------------------------------------
   private def x49(s: SparkSession, d: String): DataFrame = {
     val k = DecontamK
@@ -1094,11 +1098,16 @@ object DedupSim {
         col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(sizes.select(col("source").as("src_a"),
-        col("n").as("n_a"))), Seq("src_a"))
+    // The FULL source-pair domain comes from a self-join of the tiny
+    // sizes relation (bounded by the source domain, not the data), so
+    // zero-overlap pairs appear as explicit n_shared=0 rows instead of
+    // silently missing from the matrix.
+    val dom = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"),
-        col("n").as("n_b"))), Seq("src_b"))
+        col("n").as("n_b"))), col("src_a") < col("src_b"))
+    dom
+      .join(broadcast(pairs), Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("n_shared"),
         (col("n_shared").cast("double") / col("n_a").cast("double"))
@@ -1128,17 +1137,20 @@ object DedupSim {
        |  FROM sh a JOIN sh b
        |    ON a.g = b.g AND a.source < b.source
        |  GROUP BY 1, 2)
-       |SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_shared,
-       |  CAST(p.n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE)
+       |SELECT sa.source AS src_a, sb.source AS src_b,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE) / CAST(sa.n AS DOUBLE)
        |    AS contain_a_in_b,
-       |  CAST(p.n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE)
+       |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE) / CAST(sb.n AS DOUBLE)
        |    AS contain_b_in_a,
-       |  CAST(p.n_shared AS DOUBLE)
-       |    / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) AS jaccard
-       |FROM pairs p
-       |JOIN sizes sa ON sa.source = p.src_a
-       |JOIN sizes sb ON sb.source = p.src_b
-       |ORDER BY p.src_a, p.src_b""".stripMargin
+       |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE)
+       |    / CAST(sa.n + sb.n - COALESCE(p.n_shared, 0) AS DOUBLE)
+       |    AS jaccard
+       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |LEFT JOIN pairs p
+       |  ON p.src_a = sa.source AND p.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // X50 — leakage-safe train/eval split: the split key is the
@@ -1154,7 +1166,7 @@ object DedupSim {
   // ---------------------------------------------------------------------
   private def x50(s: SparkSession, d: String): DataFrame = {
     def gate(c: Column): Column =
-      (c * 2654435761L) % 1000000007L % 10L
+      ((c % 2147483648L) * 2654435761L) % 1000000007L % 10L
     // group key = x01's dedup key (this corpus duplicates by shared
     // 40-char prefix, not whole text), so groups are real here and
     // the straddle evidence is non-vacuous
@@ -1187,13 +1199,14 @@ object DedupSim {
       |grp AS (
       |  SELECT fp, MIN(doc_id) AS gid,
       |    COUNT(DISTINCT CASE WHEN
-      |      (doc_id * 2654435761) % 1000000007 % 10 < 9
+      |      ((doc_id % 2147483648) * 2654435761) % 1000000007 % 10 < 9
       |      THEN 1 ELSE 0 END) > 1 AS naive_straddles
       |  FROM docs GROUP BY 1),
       |str AS (
       |  SELECT CAST(SUM(CASE WHEN naive_straddles THEN 1 ELSE 0 END)
       |    AS BIGINT) AS naive_straddle_groups FROM grp)
-      |SELECT CASE WHEN (g.gid * 2654435761) % 1000000007 % 10 < 9
+      |SELECT CASE WHEN ((g.gid % 2147483648) * 2654435761)
+      |         % 1000000007 % 10 < 9
       |         THEN 'train' ELSE 'eval' END AS split,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens,
@@ -1368,7 +1381,8 @@ object DedupSim {
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
       .localCheckpoint(false)
     val cents = corpus
-      .orderBy((col("vec_id") * 2654435761L) % 1000000007L, col("vec_id"))
+      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+        % 1000000007L, col("vec_id"))
       .limit(IvfK)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
@@ -1420,7 +1434,8 @@ object DedupSim {
        |  FROM corpus),
        |cents AS (
        |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-       |  FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  FROM n ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
        |  LIMIT $IvfK),
        |assigned AS (
        |  SELECT vec_id, emb, norm, c_id AS cluster FROM (

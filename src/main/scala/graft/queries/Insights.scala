@@ -1856,8 +1856,12 @@ object Insights {
         max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
           .as("d_num"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
-        (col("d_num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+        // One empty sample (n_a or n_b = 0) would make D = 0/0: emit
+        // NULL — "test not applicable" — identically in both engines
+        // instead of a NaN whose serialization the gate can't compare.
+        when(col("n_a") * col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
       .orderBy("event_type")
   }
   private lazy val q45Sql =
@@ -1884,9 +1888,10 @@ object Insights {
       |SELECT c.event_type, MAX(t.na) AS n_a, MAX(t.nb) AS n_b,
       |  CAST(MAX(ABS(CAST(c.cuma AS BIGINT) * t.nb
       |    - CAST(c.cumb AS BIGINT) * t.na)) AS BIGINT) AS d_num,
-      |  CAST(MAX(ABS(CAST(c.cuma AS BIGINT) * t.nb
-      |    - CAST(c.cumb AS BIGINT) * t.na)) AS DOUBLE)
-      |    / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+      |  CASE WHEN t.na * t.nb = 0 THEN NULL ELSE
+      |    CAST(MAX(ABS(CAST(c.cuma AS BIGINT) * t.nb
+      |      - CAST(c.cumb AS BIGINT) * t.na)) AS DOUBLE)
+      |      / CAST(t.na * t.nb AS DOUBLE) END AS ks_d
       |FROM cum c JOIN tot t USING (event_type)
       |GROUP BY 1, t.na, t.nb ORDER BY event_type""".stripMargin
 
@@ -1983,8 +1988,11 @@ object Insights {
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("r", explode(expr(s"sequence(0, ${BootB - 1})")))
       .withColumn("u", pmod(
-        (col("event_id") * 2654435761L + col("r") * 97L)
-          % 1000000007L, lit(10000L)))
+        // pre-reduce before the Knuth multiply: Long wraps silently
+        // past id ~3.5e9 while DuckDB raises, so the raw product
+        // would diverge the engines at scale
+        ((col("event_id") % 2147483648L) * 2654435761L
+          + col("r") * 97L) % 1000000007L, lit(10000L)))
       .withColumn("w",
         when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
           .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
@@ -2015,8 +2023,8 @@ object Insights {
        |         WHEN u < 9963 THEN 4 ELSE 5 END AS w, r
        |  FROM (
        |    SELECT event_type, value, r,
-       |      (event_id * 2654435761 + r * 97) % 1000000007 % 10000
-       |        AS u
+       |      ((event_id % 2147483648) * 2654435761 + r * 97)
+       |        % 1000000007 % 10000 AS u
        |    FROM events, unnest(generate_series(0, ${b - 1})) AS t(r))),
        |rep AS (
        |  SELECT event_type, r,
@@ -2075,8 +2083,10 @@ object Insights {
         (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
         (col("u2_a").cast("double") / 2.0).as("u_a"),
-        (lit(1.0) - col("u2_a").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("effect_r"))
+        // Same empty-sample guard as q45's ks_d: NULL, not ±Infinity.
+        when(col("n_a") * col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("u2_a").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("effect_r"))
       .orderBy("event_type")
   }
   private lazy val q46Sql =
@@ -2107,8 +2117,9 @@ object Insights {
       |SELECT event_type, n_a, n_b,
       |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
       |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
-      |  1.0 - CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-      |    / CAST(n_a * n_b AS DOUBLE) AS effect_r
+      |  CASE WHEN n_a * n_b = 0 THEN NULL ELSE
+      |    1.0 - CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+      |      / CAST(n_a * n_b AS DOUBLE) END AS effect_r
       |FROM agg ORDER BY event_type""".stripMargin
 
   // lazy: referenced from `all` above its definition — a strict val

@@ -41,7 +41,10 @@ class PlanAuditSpec extends SparkSpec {
     "x36_weighted_sample" -> ("rows crossJoin a SINGLE-ROW total-weight " +
       "aggregate (n×1 broadcast scalar, a17's pattern)"),
     "q42_basket_affinity" -> ("pairs crossJoin a SINGLE-ROW order-count " +
-      "aggregate (n×1 broadcast scalar, a17's pattern)"))
+      "aggregate (n×1 broadcast scalar, a17's pattern)"),
+    "x49_source_overlap" -> ("full pair-domain self-join of the sizes " +
+      "relation — bounded by the SOURCE domain (a handful of rows), " +
+      "not the data; makes zero-overlap pairs explicit n_shared=0 rows"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>
