@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation policy for iterative and multi-consumer plans.
+  *
+  * Every iterative operator in the engine (connected components,
+  * SemDeDup's shared corpus, the overlap matrices) must cut lineage —
+  * without it, round N's plan nests round N-1's and Catalyst analysis
+  * blows up at real iteration counts. HOW to cut is a deployment
+  * decision, not an operator decision:
+  *
+  *  - `localCheckpoint` (the default) keeps blocks on executors —
+  *    fastest, but a lost executor loses the blocks AND the lineage
+  *    to recompute them. Fine on local[*] and for short-lived plans.
+  *  - reliable `checkpoint()` writes to a fault-tolerant directory
+  *    (HDFS/object store on a cluster) — the right mode for long
+  *    iterative jobs on preemptible executors, exactly as the
+  *    `localCheckpoint` scaladoc itself recommends.
+  *
+  * Setting the session conf `graft.checkpoint.dir` to a directory
+  * switches EVERY cut() in the engine to reliable checkpoints rooted
+  * there; unset (the default) keeps localCheckpoint. The same
+  * operator code runs in both modes — see CheckpointsSpec.
+  */
+object Checkpoints {
+  /** Session conf key: when set (non-empty), cut() uses reliable
+    * `checkpoint()` rooted at this directory instead of
+    * `localCheckpoint()`. */
+  val DirConf = "graft.checkpoint.dir"
+
+  /** True when the session is in reliable-checkpoint mode. */
+  def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(DirConf).exists(_.nonEmpty)
+
+  /** Truncate `df`'s lineage per the session's checkpoint policy.
+    * `eager` as in Dataset.checkpoint/localCheckpoint. */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(DirConf).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = s.sparkContext
+        // setCheckpointDir creates a unique subdir per call — only
+        // (re)point it when the configured root actually changed.
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
+  /** Chainable form: `df.cut(false)` ≡ `Checkpoints.cut(df, false)` —
+    * drop-in replacement for `.localCheckpoint(...)` call sites. */
+  implicit class CutOps(private val df: DataFrame) extends AnyVal {
+    def cut(eager: Boolean = true): DataFrame = Checkpoints.cut(df, eager)
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.DotProduct
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -452,7 +453,7 @@ object DedupSim {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
-      .localCheckpoint(false) // two consumers: seeds + assignment
+      .cut(false) // two consumers: seeds + assignment
     val seeds = base
       .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
         % 1000000007L, col("vec_id"))
@@ -791,10 +792,11 @@ object DedupSim {
   // suffix — {d, d+1M, d+2M} only connect through d.
   //
   // Scale: per-key pair generation is bounded by a stop-key cap (like
-  // x04); label propagation is the standard iterative min-join — each
-  // round is one shuffle join, rounds = graph diameter (driver-checked
-  // convergence, hard cap 50). The DuckDB oracle computes the same
-  // components exactly via a recursive CTE.
+  // x04); the closure is large-star/small-star alternation
+  // (etl.ConnectedComponents) — O(log n) shuffle rounds regardless of
+  // graph diameter, each round bounded by the edge-relation size. The
+  // DuckDB oracle computes the same components exactly via a
+  // recursive CTE.
   // ---------------------------------------------------------------------
   private val ClusterKeyCap = 20
 
@@ -822,41 +824,14 @@ object DedupSim {
     val edges = pairsByKey(substring(col("text"), 1, 40))
       .unionByName(pairsByKey(expr("right(text, 40)")))
       .distinct()
-    val undirected = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    val nodes = undirected.select(col("a").as("id")).distinct()
-    // Each label-propagation round is checkpointed: the convergence
-    // check materializes every round anyway, and WITHOUT lineage
-    // truncation round N's plan nests round N-1's — 50 rounds of nested
-    // joins blow up Catalyst analysis / driver stack at real graph
-    // diameters. localCheckpoint bounds plan depth to one round and
-    // leaves nothing registered in the session cache when we return.
-    // (On a real cluster, prefer reliable checkpoint() — localCheckpoint
-    // blocks die with their executor.)
-    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < 50) {
-      val neigh = undirected
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = updated
-      iter += 1
-    }
-    val out = labels
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // Large-star/small-star alternation (etl.ConnectedComponents):
+    // O(log n) shuffle rounds regardless of graph diameter, vs the
+    // rounds-=-diameter wall of min-label propagation. Lineage is cut
+    // per round (localCheckpoint by default, reliable checkpoint
+    // under graft.checkpoint.dir — Checkpoints.cut).
+    graft.etl.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
-    undirected.unpersist()
-    out
   }
   private val x11Sql =
     s"""WITH RECURSIVE docs AS (
@@ -1091,7 +1066,7 @@ object DedupSim {
       .distinct()
       // three consumers (sizes + both pair-join sides): one
       // materialization, not three explode+distinct re-derivations
-      .localCheckpoint(false)
+      .cut(false)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&
@@ -1379,7 +1354,7 @@ object DedupSim {
     // SemDeDup clusters a MATERIALIZED embedding store in practice.
     val corpus = base.unionByName(dups)
       .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
-      .localCheckpoint(false)
+      .cut(false)
     val cents = corpus
       .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
         % 1000000007L, col("vec_id"))

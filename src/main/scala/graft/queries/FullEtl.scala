@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.etl.{EntityResolution, Normalize, Warehouse}
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +140,7 @@ object FullEtl {
       // eager) so the persisted subtrees can be dropped before returning;
       // otherwise repeated bench warm+timed runs pile cached canonical/
       // userMap copies into the shared session
-      .localCheckpoint()
+      .cut()
     canonical.unpersist()
     userMap.unpersist()
     out

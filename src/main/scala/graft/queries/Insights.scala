@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryDef, Tables}
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -340,7 +341,7 @@ object Insights {
       // four consumers (sizes, df band, both pair-join sides):
       // checkpoint the distinct shingle-set relation once instead of
       // re-deriving the explode+distinct lineage per consumer
-      .localCheckpoint(false)
+      .cut(false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val banded = sh.join(
       sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1105,7 +1106,7 @@ object Insights {
         greatest(max(col("tus")).over(w) - col("tus"), lit(0L)))
     val hist = lat.groupBy(col("event_type"), col("late_us"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .cut(false)
     Relational.histCum(hist, "event_type", "late_us")
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"),
@@ -1797,7 +1798,7 @@ object Insights {
     val hist = Tables.events(s, d)
       .groupBy(col("event_type"), col("value").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .cut(false)
     val bounds = Relational.histCum(hist, "event_type", "v")
       .groupBy(col("event_type"))
       .agg(Relational.histPct(0.05, "v").as("p05"),
@@ -1843,7 +1844,7 @@ object Insights {
     val hist = ev.groupBy(col("event_type"), col("v"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(false) // cum window + totals read it twice
+      .cut(false) // cum window + totals read it twice
     val w = Window.partitionBy("event_type").orderBy("v")
     val cum = hist
       .withColumn("cuma", sum(col("ca")).over(w))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryDef, Tables}
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -996,7 +997,7 @@ object Relational {
     val hist = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .cut(false)
     histCum(hist, "l_returnflag", "x")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "x").as("p50"), histPct(0.9, "x").as("p90"),
