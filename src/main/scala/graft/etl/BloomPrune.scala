@@ -1,7 +1,9 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter semi-join pruning — the runtime-filter pattern for
@@ -22,11 +24,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * false negatives cannot happen — so correctness never depends on the
   * filter. The filter itself is built driver-side by `stat.bloomFilter`
   * (a tree-reduce of partition-local bitsets, bounded by the bitset
-  * size, NOT by the key count) and ships to executors once via the udf
-  * closure — for a 1% fpp on 10M keys that is ~11 MB, broadcast-sized.
-  * The probe predicate is a non-codegen udf, deliberately placed
-  * directly after the scan: it prunes before the expensive stages and
-  * never sits inside a wider codegen pipeline.
+  * size, NOT by the key count) and ships to executors once as a binary
+  * literal — for a 1% fpp on 10M keys that is ~11 MB, broadcast-sized.
+  * The probe predicate is Spark's own codegen'd
+  * [[BloomFilterMightContain]] — the expression its runtime bloom
+  * filters compile to — so the filter fuses into the scan's
+  * whole-stage-codegen span instead of breaking it with a black-box
+  * udf barrier (BloomPruneSpec pins the WSCG placement).
   */
 object BloomPrune {
 
@@ -39,10 +43,15 @@ object BloomPrune {
     if (keys.isEmpty) BloomFilter.create(math.max(1L, expectedKeys), fpp)
     else keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
 
-  /** Predicate column: does `c` possibly appear in the filter? */
+  /** Predicate column: does `c` possibly appear in the filter?
+    * The filter travels as a foldable binary literal (the same wire
+    * format BloomFilterAggregate emits), deserialized once per task
+    * and probed inside generated code. */
   def mightContain(bf: BloomFilter)(c: Column): Column = {
-    val f = udf((v: Long) => bf.mightContain(v))
-    f(c)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Bridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType), Bridge.expression(c)))
   }
 
   /** Prune `probe` down to rows whose `probeKey` might match a key in

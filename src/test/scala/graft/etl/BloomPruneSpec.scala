@@ -29,4 +29,25 @@ class BloomPruneSpec extends SparkSpec {
     // no false negatives: every true match survives the filter
     assert(kept >= prunedJoin)
   }
+
+  test("probe predicate compiles into the scan's whole-stage codegen") {
+    val li = Tables.lineitem(spark, sf)
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 50 === 0).select("o_orderkey")
+    val pruned = BloomPrune.prune(li, "l_orderkey", keys, "o_orderkey",
+      expectedKeys = 1000L, fpp = 0.01)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // The predicate must be Spark's codegen'd BloomFilterMightContain,
+    // not a black-box ScalaUDF barrier between scan and filter.
+    assert(plan.contains("might_contain"),
+      s"expected bloom might_contain in plan:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"probe must not be a udf barrier:\n$plan")
+    // And the filter sits inside a WholeStageCodegen span: the Filter
+    // node is numbered under a WholeStageCodegen id, which the plan
+    // string renders as '*(N) Filter'.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.trim.startsWith("*")),
+      s"bloom filter left the codegen span:\n$plan")
+  }
 }
