@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque binary columns
   * with typed metadata, decoded partition-parallel.
   *
-  * The IMAGE and AUDIO paths are real: PNG payloads are parsed from
-  * their actual bytes (signature + IHDR chunk, CRC-verified) and WAV
-  * payloads from their RIFF/fmt/data header fields — both pure JVM,
-  * no codec dependency — with [[pngBytes]]/[[wavBytes]] writing
-  * spec-valid files so the write→parse round trips are
-  * oracle-checkable end to end (m01/m03/m04). Video decode remains a
-  * clearly-marked deterministic STUB (this container ships no
-  * codecs); swapping `decodeStub` for a JNI/javacv call changes
-  * nothing upstream.
+  * All four container paths are real: PNG payloads are parsed from
+  * their actual bytes (signature + IHDR chunk, CRC-verified), WAV
+  * payloads from their RIFF/fmt/data header fields, MP4 metadata
+  * from a genuine ISO-BMFF box walk, and video FRAMES from an
+  * MJPEG-in-AVI RIFF chunk walk ([[walkAviFrames]]) — all pure JVM,
+  * no codec dependency — with [[pngBytes]]/[[wavBytes]]/[[mp4Bytes]]/
+  * [[aviBytes]] writing spec-valid files so every write→parse round
+  * trip is oracle-checkable end to end (m01/m03/m04/m06/m02). Only
+  * codec-level pixel/sample decode is out of scope (this container
+  * ships no codecs); `decodeStub` remains solely as the
+  * unknown-container fallback of [[decode]].
   *
   * Scale notes: decode runs inside `mapPartitions` so per-partition
   * setup (codec handles, buffers) amortizes across rows; payloads stay
@@ -27,7 +29,7 @@ object MediaPipeline {
   final case class MediaMeta(media_id: Long, byte_len: Int, width: Int,
       height: Int, frames: Int, codec: String)
   final case class FrameSample(media_id: Long, frame_idx: Int,
-      feature: Double)
+      offset: Long, byte_len: Int, feature: Double)
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
     0x0a).map(_.toByte)
@@ -265,18 +267,123 @@ object MediaPipeline {
     }
   }
 
-  /** STUB frame sampler: every k-th "frame" emits a fake feature —
-    * demonstrates the 1→N generator shape of video frame extraction. */
+  // -------------------------------------------------------------------
+  // MJPEG-in-AVI frame walk (the video twin of the WAV RIFF walker):
+  // a real RIFF container whose `movi` list holds one `00dc` chunk per
+  // frame. The walk parses the ACTUAL chunk structure — ids, sizes,
+  // word alignment — and cross-checks the frame count declared in the
+  // `avih` main header against the chunks actually found, exactly how
+  // an indexer seeks frames in an MJPEG AVI. Only the codec-level
+  // pixel decode of each frame payload stays out of scope (no codecs
+  // in this container) — same stance as the PNG/WAV/MP4 paths.
+  // -------------------------------------------------------------------
+
+  /** One frame located inside an AVI payload: byte offset OF THE
+    * FRAME DATA (past its `00dc` header) and its length. */
+  final case class FrameRef(frame_idx: Int, offset: Long, len: Int)
+
+  /** Fixed prefix of every [[aviBytes]] output: 12-byte RIFF header +
+    * 76-byte `hdrl` list (one 56-byte `avih`) + 12-byte `movi` list
+    * header. Frame 0's chunk starts here. */
+  val AviMoviStart: Int = 12 + 76 + 12
+
+  /** Minimal spec-valid AVI: RIFF(`AVI `) → LIST(`hdrl`)(avih) →
+    * LIST(`movi`) with `nFrames` `00dc` video chunks. Frame i's
+    * payload is `frameLen(i)` bytes, word-aligned per RIFF, first
+    * byte `firstByte(i)` — deterministic so the write→walk round
+    * trip is oracle-checkable from the id alone (m02). */
+  def aviBytes(nFrames: Int, frameLen: Int => Int,
+      firstByte: Int => Int): Array[Byte] = {
+    val lens = (0 until nFrames).map(frameLen)
+    val moviData = lens.map(l => 8 + l + (l % 2)).sum
+    val total = AviMoviStart + moviData
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); out.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); out.putInt(4 + 8 + 56); fourcc("hdrl")
+    fourcc("avih"); out.putInt(56)
+    out.putInt(33333)      // dwMicroSecPerFrame (~30 fps)
+      .putInt(0).putInt(0) // dwMaxBytesPerSec, dwPaddingGranularity
+      .putInt(0)           // dwFlags
+      .putInt(nFrames)     // dwTotalFrames — cross-checked by the walk
+      .putInt(0).putInt(1) // dwInitialFrames, dwStreams
+      .putInt(0)           // dwSuggestedBufferSize
+      .putInt(0).putInt(0) // dwWidth, dwHeight (codec-level, unused)
+    (0 until 4).foreach(_ => out.putInt(0)) // dwReserved
+    fourcc("LIST"); out.putInt(4 + moviData); fourcc("movi")
+    lens.zipWithIndex.foreach { case (l, i) =>
+      fourcc("00dc"); out.putInt(l)
+      out.put(firstByte(i).toByte)
+      var j = 1
+      while (j < l) { out.put(((firstByte(i) + j) % 256).toByte); j += 1 }
+      if (l % 2 == 1) out.put(0.toByte) // RIFF word alignment
+    }
+    out.array()
+  }
+
+  /** Real AVI frame walk: verifies RIFF/`AVI ` + `hdrl`/`avih`, then
+    * walks the `movi` list chunk by chunk (honoring each declared
+    * size + word alignment) collecting every `00dc` frame's offset
+    * and length. None for malformed structure, truncated chunks, or a
+    * frame count that contradicts the `avih` header — the same
+    * reject-don't-throw stance as the PNG/WAV/MP4 parsers. */
+  def walkAviFrames(r: MediaRow): Option[Seq[FrameRef]] = {
+    val p = r.payload
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= p.length &&
+        new String(p, off, 4, "US-ASCII") == s
+    if (p.length < AviMoviStart || !tag(0, "RIFF") || !tag(8, "AVI ") ||
+        !tag(12, "LIST") || !tag(20, "hdrl") || !tag(24, "avih")) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val declared = bb.getInt(48) // avih dwTotalFrames
+      val hdrlEnd = 20 + bb.getInt(16)
+      if (hdrlEnd + 12 > p.length || !tag(hdrlEnd, "LIST") ||
+          !tag(hdrlEnd + 8, "movi")) None
+      else {
+        val moviEnd = hdrlEnd + 8 + bb.getInt(hdrlEnd + 4)
+        if (moviEnd > p.length) None
+        else {
+          val frames = Seq.newBuilder[FrameRef]
+          var pos = hdrlEnd + 12
+          var idx = 0
+          var ok = true
+          while (ok && pos + 8 <= moviEnd) {
+            val len = bb.getInt(pos + 4)
+            val end = pos + 8 + len + (len % 2)
+            if (len < 0 || end > moviEnd) ok = false
+            else {
+              if (tag(pos, "00dc")) {
+                frames += FrameRef(idx, pos + 8L, len)
+                idx += 1
+              }
+              pos = end
+            }
+          }
+          val out = frames.result()
+          if (ok && pos == moviEnd && out.size == declared) Some(out)
+          else None
+        }
+      }
+    }
+  }
+
+  /** Frame sampler over REAL container bytes: walks each AVI
+    * payload's `movi` chunk index and emits every k-th frame with its
+    * actual in-file offset, length, and a feature from the frame's
+    * first data byte (where the pixel decode would run). Non-AVI
+    * payloads yield no frames. 1→N generator, partition-parallel. */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int)
       : Dataset[FrameSample] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val meta = decodeStub(r)
-      (0 until meta.frames by everyK).map { f =>
-        FrameSample(r.media_id, f,
-          (r.payload.headOption.getOrElse(0: Byte).toInt + f) / 255.0)
-      }
-    }
+    media.mapPartitions(_.flatMap { r =>
+      walkAviFrames(r).getOrElse(Seq.empty)
+        .filter(_.frame_idx % everyK == 0)
+        .map(f => FrameSample(r.media_id, f.frame_idx, f.offset, f.len,
+          (r.payload(f.offset.toInt) & 0xff) / 255.0))
+    })
   }
 
   /** Lift a (id, string) DataFrame into the media contract — used by

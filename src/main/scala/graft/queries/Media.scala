@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing and event-time windowed aggregation.
   *
   * Multimodal contract: media payloads are opaque `binary` columns with
-  * typed metadata alongside. The IMAGE decode is real — spec-valid PNGs
-  * parsed byte-for-byte (signature + IHDR + CRC) in m01/m03's
-  * mapPartitions path; video/audio decode is a clearly-marked
-  * deterministic STUB (this container has no codecs). See
-  * graft.multimodal.MediaPipeline.
+  * typed metadata alongside. All container parses are real — PNG
+  * (signature + IHDR + CRC, m01/m03), WAV (RIFF/fmt/data, m04), MP4
+  * (ISO-BMFF box walk, m06), and AVI frame walking (RIFF movi chunk
+  * index, m02) — byte-for-byte in mapPartitions paths; only
+  * codec-level pixel/sample decode is out of scope (this container
+  * has no codecs). See graft.multimodal.MediaPipeline.
   */
 object Media {
 
@@ -24,8 +25,9 @@ object Media {
   // the actual bytes back out (signature + IHDR + CRC check) inside
   // mapPartitions. The oracle recomputes the dimensions from doc_id
   // directly — so what the gate verifies is that the PNG write→parse
-  // round trip over the binary column is lossless. Video/audio decode
-  // stays stubbed (m02); see graft.multimodal.MediaPipeline.
+  // round trip over the binary column is lossless. The WAV (m04), MP4
+  // (m06), and AVI-frame (m02) paths follow the same pattern; see
+  // graft.multimodal.MediaPipeline.
   // ---------------------------------------------------------------------
   private def syntheticPngs(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaPipeline.MediaRow] = {
@@ -191,32 +193,51 @@ object Media {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
-  // M2 — frame sampling: the 1→N generator shape of video frame
-  // extraction (every 2nd "frame" of the stub-decoded payload), the SQL
-  // twin of MediaPipeline.sampleFrames.
+  // M2 — frame sampling over REAL container bytes: each doc gets a
+  // spec-valid MJPEG-style AVI (RIFF → hdrl/avih → movi with one 00dc
+  // chunk per frame, doc_id-derived frame count and sizes), and the
+  // pipeline WALKS the actual chunk structure back out inside
+  // mapPartitions — every 2nd frame's true in-file offset, length,
+  // and first data byte (m01/m04/m06's round-trip pattern, now for
+  // the frame index itself). The oracle recomputes offsets from
+  // doc_id by the same cumulative chunk arithmetic, so the gate
+  // proves the AVI write→walk loop lossless including RIFF word
+  // alignment. Only the codec-level pixel decode of each located
+  // frame is out of scope (no codecs in this container).
   // ---------------------------------------------------------------------
   private def m02(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .withColumn("byte_len", octet_length(col("text").cast("binary")))
-      .withColumn("frames", lit(1) + col("byte_len") % 30)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, frames - 1, 2)")).as("frame_idx"))
-      .withColumn("feature",
-        (ascii(substring(col("text"), 1, 1)) + col("frame_idx"))
-          .cast("double") / 255.0)
-      .select("doc_id", "frame_idx", "feature")
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val avis = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPipeline.MediaRow(id, MediaPipeline.aviBytes(
+        (1 + id % 30).toInt,
+        i => (16 + (id + i) % 32).toInt,
+        i => ((id + i) % 251).toInt)))
+    MediaPipeline.sampleFrames(avis, 2).toDF()
+      .select(col("media_id").as("doc_id"), col("frame_idx"),
+        col("offset"), col("byte_len"), col("feature"))
       .orderBy("doc_id", "frame_idx")
   }
-  private val m02Sql =
-    """SELECT doc_id, frame_idx,
-      |  CAST(unicode(substring(text, 1, 1)) + frame_idx AS DOUBLE) / 255.0
-      |    AS feature
-      |FROM (
-      |  SELECT doc_id, text,
-      |    unnest(generate_series(0,
-      |      (1 + octet_length(encode(text)) % 30) - 1, 2)) AS frame_idx
-      |  FROM documents)
-      |ORDER BY doc_id, frame_idx""".stripMargin
+  private val m02Sql = {
+    val base = graft.multimodal.MediaPipeline.AviMoviStart + 8
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       |    16 + (doc_id + j) % 32 AS len
+       |  FROM documents,
+       |    unnest(generate_series(0, doc_id % 30)) AS t(j)),
+       |o AS (
+       |  SELECT doc_id, frame_idx, len,
+       |    CAST($base + COALESCE(SUM(8 + len + len % 2) OVER (
+       |      PARTITION BY doc_id ORDER BY frame_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS "offset"
+       |  FROM f)
+       |SELECT doc_id, frame_idx, "offset",
+       |  CAST(len AS INTEGER) AS byte_len,
+       |  CAST((doc_id + frame_idx) % 251 AS DOUBLE) / 255.0 AS feature
+       |FROM o WHERE frame_idx % 2 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // M3 — resize planning: letterbox each PNG-decoded image (real

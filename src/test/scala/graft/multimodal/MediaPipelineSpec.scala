@@ -91,13 +91,52 @@ class MediaPipelineSpec extends SparkSpec {
     assert(decodeMp4(MediaRow(4L, badLen)).isEmpty)
   }
 
-  test("frame sampler emits every-kth frame per media row") {
-    val media = MediaPipeline.fromText(
-      Tables.documents(spark, sf).limit(5), "doc_id", "text")
-    val frames = MediaPipeline.sampleFrames(media, 2).collect()
-    val metas = MediaPipeline.extractMeta(media).collect()
-    val expected = metas.map(m => (m.frames + 1) / 2).sum
-    assert(frames.length == expected)
+  test("avi write→walk round trip recovers every frame exactly") {
+    import MediaPipeline._
+    val bytes = aviBytes(5, i => 10 + i, i => 100 + i)
+    val frames = walkAviFrames(MediaRow(7L, bytes)).get
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3, 4))
+    assert(frames.map(_.len) == Seq(10, 11, 12, 13, 14))
+    // offsets: movi data + cumulative (8 + len + pad), payload-start
+    var off = AviMoviStart + 8L
+    frames.foreach { f =>
+      assert(f.offset == off, s"frame ${f.frame_idx}")
+      assert((bytes(f.offset.toInt) & 0xff) == 100 + f.frame_idx,
+        "first data byte must sit exactly at the walked offset")
+      off += 8 + f.len + f.len % 2
+    }
+  }
+
+  test("avi walk rejects malformed containers") {
+    import MediaPipeline._
+    assert(walkAviFrames(MediaRow(1L, "RIFFjunk".getBytes)).isEmpty)
+    assert(walkAviFrames(MediaRow(2L, pngBytes(8, 8))).isEmpty)
+    val good = aviBytes(3, _ => 10, _ => 1)
+    val liar = good.clone() // avih declares 4 frames, movi holds 3
+    java.nio.ByteBuffer.wrap(liar, 48, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4)
+    assert(walkAviFrames(MediaRow(3L, liar)).isEmpty)
+    val trunc = good.clone() // frame 1's size runs past movi's end
+    java.nio.ByteBuffer.wrap(trunc, AviMoviStart + 8 + 10 + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5000)
+    assert(walkAviFrames(MediaRow(4L, trunc)).isEmpty)
+  }
+
+  test("frame sampler emits every-kth REAL frame per media row") {
+    import MediaPipeline._
+    import spark.implicits._
+    val media = spark.createDataset((1L to 5L).map(id =>
+      MediaRow(id, aviBytes((1 + id % 4).toInt,
+        i => 10 + i, i => (id + i).toInt))))
+    val frames = sampleFrames(media, 2).collect()
+    val expected = (1L to 5L).map(id => ((1 + id % 4) + 1) / 2).sum
+    assert(frames.length == expected.toInt)
     assert(frames.forall(f => f.frame_idx % 2 == 0))
+    assert(frames.forall(f =>
+      f.feature == ((f.media_id + f.frame_idx) % 256) / 255.0))
+    // a non-AVI payload contributes zero frames, not garbage
+    val mixed = media.union(spark.createDataset(Seq(
+      MediaRow(99L, "not a container".getBytes))))
+    assert(sampleFrames(mixed, 2).collect().length == expected.toInt)
   }
 }
