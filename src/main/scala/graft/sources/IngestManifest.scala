@@ -42,18 +42,26 @@ object IngestManifest {
     files.toDF("path")
   }
 
-  /** Paths under `dir` not yet recorded in the manifest. The anti-join
-    * runs distributed; only the new-batch paths come back. */
-  def newFiles(spark: SparkSession, dir: String,
-      manifestDir: String): Seq[String] = {
+  /** Unseen paths as a DataFrame — the distributed anti-join, nothing
+    * on the driver yet. */
+  private def unseen(spark: SparkSession, dir: String,
+      manifestDir: String): DataFrame = {
     val listed = listing(spark, dir)
     val m = new org.apache.hadoop.fs.Path(manifestDir)
-    val unseen =
-      if (!hfs(spark, m).exists(m)) listed
-      else listed.join(spark.read.parquet(manifestDir), Seq("path"),
-        "left_anti")
-    unseen.collect().map(_.getString(0)).sorted.toSeq
+    if (!hfs(spark, m).exists(m)) listed
+    else listed.join(spark.read.parquet(manifestDir), Seq("path"),
+      "left_anti")
   }
+
+  /** Paths under `dir` not yet recorded in the manifest. The anti-join
+    * runs distributed; only the new-batch paths come back. For lakes
+    * where even ONE run's arrivals can be millions of files, prefer
+    * [[processNew]] — it never materializes more than `batchSize`
+    * paths on the driver. */
+  def newFiles(spark: SparkSession, dir: String,
+      manifestDir: String): Seq[String] =
+    unseen(spark, dir, manifestDir)
+      .collect().map(_.getString(0)).sorted.toSeq
 
   /** Record `files` as processed (append-only; duplicates are deduped
     * by the read-side anti-join). Call AFTER the batch's output is
@@ -74,5 +82,40 @@ object IngestManifest {
     if (fresh.isEmpty) None
     else Some((spark.read.parquet(fresh: _*),
       () => commit(spark, manifestDir, fresh)))
+  }
+
+  /** Streamed incremental processing in BOUNDED batches: repeatedly
+    * take the lexicographically-first `batchSize` unseen paths (the
+    * anti-join + limit run distributed — at most one batch of path
+    * strings ever reaches the driver), run `process` on that batch's
+    * DataFrame, and commit the batch only after `process` returns.
+    * Returns the number of files processed this run.
+    *
+    * Failure contract = readNew's, but per batch: a crash mid-run
+    * loses only the in-flight batch's commit. Committed batches stay
+    * committed; the next run's anti-join re-discovers exactly the
+    * uncommitted remainder — exactly-once end to end given an
+    * idempotent downstream write (IngestManifestSpec simulates the
+    * mid-run crash and proves no file is processed twice). */
+  def processNew(spark: SparkSession, dir: String, manifestDir: String,
+      batchSize: Int)(process: DataFrame => Unit): Int = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    var total = 0
+    var done = false
+    while (!done) {
+      // Re-plan the anti-join each round: the manifest grew by the
+      // previous commit, so the next limit() slice is the next batch.
+      val batch = unseen(spark, dir, manifestDir)
+        .orderBy("path").limit(batchSize)
+        .collect().map(_.getString(0)).toSeq
+      if (batch.isEmpty) done = true
+      else {
+        process(spark.read.parquet(batch: _*))
+        commit(spark, manifestDir, batch)
+        total += batch.size
+        if (batch.size < batchSize) done = true
+      }
+    }
+    total
   }
 }

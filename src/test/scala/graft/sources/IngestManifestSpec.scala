@@ -55,4 +55,54 @@ class IngestManifestSpec extends SparkSpec {
       java.nio.file.Path.of(dir, ".staged"), "")
     assert(IngestManifest.readNew(spark, dir, manifest).isEmpty)
   }
+
+  test("processNew streams discovery in bounded batches") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-b")
+      .toString
+    val dir = s"$base/in"; val manifest = s"$base/manifest"
+    new java.io.File(dir).mkdirs()
+    (0 until 10).foreach(i => writeBatch(dir, f"f$i%02d", Seq(i.toLong)))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val n = IngestManifest.processNew(spark, dir, manifest, 3) { df =>
+      batchSizes += df.count()
+    }
+    assert(n == 10)
+    // 10 files at batchSize 3 -> 3+3+3+1, never more than one batch
+    // of paths in flight
+    assert(batchSizes.toSeq == Seq(3L, 3L, 3L, 1L))
+    // everything committed: a second run discovers nothing
+    assert(IngestManifest.processNew(spark, dir, manifest, 3)(_ => ())
+      == 0)
+  }
+
+  test("mid-run crash loses only the in-flight batch; no reprocessing") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-c")
+      .toString
+    val dir = s"$base/in"; val manifest = s"$base/manifest"
+    new java.io.File(dir).mkdirs()
+    (0 until 7).foreach(i => writeBatch(dir, f"f$i%02d", Seq(i.toLong)))
+
+    // first run: crash while processing the SECOND batch (after the
+    // first batch committed)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val boom = intercept[RuntimeException] {
+      IngestManifest.processNew(spark, dir, manifest, 3) { df =>
+        calls += 1
+        if (calls == 2) throw new RuntimeException("executor lost")
+        seen ++= df.collect().map(_.getLong(0))
+      }
+    }
+    assert(boom.getMessage == "executor lost")
+    assert(seen.toSet == Set(0L, 1L, 2L), "batch 1 committed pre-crash")
+
+    // recovery run: exactly the uncommitted remainder, nothing twice
+    val n2 = IngestManifest.processNew(spark, dir, manifest, 3) { df =>
+      seen ++= df.collect().map(_.getLong(0))
+    }
+    assert(n2 == 4, "batch 2 was never committed -> re-discovered")
+    assert(seen.sorted.toSeq == (0L to 6L).toSeq,
+      "every file processed exactly once across crash + recovery")
+  }
 }
