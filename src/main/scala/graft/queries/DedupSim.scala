@@ -934,7 +934,8 @@ object DedupSim {
   // (xxhash64), only (doc_id, h) pairs shuffle; the eval fingerprint
   // set is the % 50 minority (a real benchmark is a fixed small
   // relation) probed via left-semi on the hash key; nothing pairwise.
-  // Same one-sided 64-bit collision caveat as x37 (documented there).
+  // Same one-sided 64-bit collision caveat as x37 (checked by
+  // HashCollisionAuditSpec).
   // ---------------------------------------------------------------------
   private val DecontamK = 8
   private val DecontamFrac = 0.2
@@ -1000,7 +1001,8 @@ object DedupSim {
   // dedup (a doc can be 0% exact-dup yet 95% non-novel). First
   // occurrence = min(doc_id) per fingerprint: one hash-keyed agg +
   // one hash-keyed join, x44's no-text-shuffles contract and the
-  // same one-sided collision caveat.
+  // same one-sided collision caveat (checked by
+  // HashCollisionAuditSpec).
   // ---------------------------------------------------------------------
   private def x48(s: SparkSession, d: String): DataFrame = {
     val k = DecontamK
@@ -1052,7 +1054,8 @@ object DedupSim {
   // the bounded source domain, and set sizes ride a broadcast. The
   // output is the COMPLETE upper-triangle pair matrix: zero-overlap
   // pairs appear with n_shared=0 (left join off the bounded pair
-  // domain), not as missing rows. Same collision caveat as x37/x44.
+  // domain), not as missing rows. Same collision caveat as x37/x44
+  // (checked by HashCollisionAuditSpec).
   // ---------------------------------------------------------------------
   private def x49(s: SparkSession, d: String): DataFrame = {
     val k = DecontamK

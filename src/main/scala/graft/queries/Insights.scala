@@ -314,15 +314,16 @@ object Insights {
   // The reported containment is the df-banded lower bound — ultra-hot
   // boilerplate shingles are excluded by definition of the audit.
   // Deterministic top-N: containment DESC, then the pair key.
-  // ACCEPTED RISK (documented, not fixable bilaterally): the Spark
-  // side distinct-counts xxhash64(shingle) so no text ever shuffles;
-  // the oracle distinct-counts raw shingles (DuckDB has no xxhash64,
-  // and its hash() would just substitute a DIFFERENT 64-bit collision
-  // set, not align them). A collision inside one doc's shingle set
-  // would shift shared/n_sh by 1 — P ≈ n²/2⁶⁵ per doc, ~5e-8 at test
-  // scales; at 10¹² corpus shingles the expected handful of collisions
-  // moves an audit metric by ±1 pair count, which the df-banded
-  // lower-bound semantics already absorb.
+  // CHECKED INVARIANT (HashCollisionAuditSpec): the Spark side
+  // distinct-counts xxhash64(shingle) so no text ever shuffles; the
+  // oracle distinct-counts raw shingles (DuckDB has no xxhash64, and
+  // its hash() would just substitute a DIFFERENT 64-bit collision
+  // set, not align them). The spec asserts raw-vs-hashed distinct
+  // counts are equal on the corpus at global, per-doc, and per-source
+  // grains, so a collision turns a NAMED test red instead of an
+  // unexplained oracle mismatch. At 10¹² corpus shingles the expected
+  // handful of collisions moves an audit metric by ±1 pair count,
+  // which the df-banded lower-bound semantics already absorb.
   // ---------------------------------------------------------------------
   private val ContainK = 8
   private val ContainDfCap = 50
