@@ -86,6 +86,34 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment snapshot (the BENCH_r05 diagnostics, r5 verdict item:
+    // a partially-killed correctness run should be self-explaining).
+    // Written up front and refreshed after every query completion, so
+    // whatever survives a kill says how far the run got and whether the
+    // machine was gc-bound/overloaded when it died.
+    val tStart = System.nanoTime()
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    val failed = new java.util.concurrent.atomic.AtomicInteger
+    def writeEnv(): Unit = {
+      import java.lang.management.ManagementFactory
+      val gc = ManagementFactory.getGarbageCollectorMXBeans
+        .stream.mapToLong(_.getCollectionTime).sum / 1e3
+      val cpu = ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+      val load = ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      def r3(v: Double) = math.round(v * 1000) / 1000.0
+      val env = s"""{"cpus":$cpus,"n_queries":${SparkEntry.queries.size},""" +
+        s""""n_done":${done.get},"n_failed":${failed.get},""" +
+        s""""gc_sec":${r3(gc)},"cpu_sec":${r3(cpu)},""" +
+        s""""load_avg":${r3(load)},""" +
+        s""""wall_sec":${r3((System.nanoTime() - tStart) / 1e9)}}"""
+      Files.writeString(Paths.get(s"$outDir/_env.json"), env)
+    }
+    writeEnv()
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq
@@ -96,11 +124,14 @@ object Verify {
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
+            done.incrementAndGet()
             System.err.println(
               f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
           } catch { case e: Throwable =>
+            failed.incrementAndGet()
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+          Verify.synchronized(writeEnv())
         }
       }
     Await.result(Future.sequence(futures), Duration.Inf)
