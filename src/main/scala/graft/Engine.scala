@@ -1,0 +1,84 @@
+package graft
+
+/** The engine's library surface in one import.
+  *
+  * The 176 oracle-checked queries in [[SparkEntry]] are the
+  * capability inventory; THIS is the API a user programs against —
+  * every reusable operator family behind one entry point, each member
+  * carrying its scale contract in its own scaladoc. All aliases, no
+  * logic: `Engine.Asof.join(...)` IS `graft.etl.Asof.join(...)`.
+  *
+  * | Family | Call | Scale contract |
+  * |---|---|---|
+  * | As-of join | `Engine.Asof.join` / `.nativeJoin` | linear union+window / co-partitioned two-pointer merge; one exchange per side, tolerance-aware |
+  * | Range join | `Engine.RangeJoin.pointInInterval` / `.intervalOverlap` | bucketed equi-join, exactly-once pairs, fail-fast width cap |
+  * | SCD2 | `Engine.Scd2.merge` / `.seed` / `.asOf` | broadcast-able updates join + key-only anti-join; the large current side never shuffles |
+  * | Entity resolution | `Engine.EntityResolution.resolve` | hash-keyed dedup + two-phase BIGINT surrogate minting; no driver state |
+  * | Connected components | `Engine.ConnectedComponents.run` | large-star/small-star: O(log n) rounds regardless of graph diameter |
+  * | Segment dedup | `Engine.SegmentDedup.clean` | (doc, pos, hash64) triples only — raw text never shuffles |
+  * | Bloom pruning | `Engine.BloomPrune.prune` | few-MB bitset probe fused into the scan's whole-stage codegen |
+  * | Skew handling | `Engine.Skew.saltedAggregate` / `.saltedJoin` | bounded salt fan-out; two-phase agg |
+  * | Quality rules | `Engine.Quality.run` / `.runSuite` | ONE fused aggregate pass per table regardless of rule count |
+  * | Star-schema build | `Engine.Warehouse.*` | dims broadcast; facts shuffle only at their grain |
+  * | Row normalization | `Engine.Normalize.*` | pure column expressions — codegen'd, zero shuffle |
+  * | Lineage cuts | `Engine.Checkpoints.cut` | localCheckpoint by default; reliable under `graft.checkpoint.dir` |
+  * | Batch ingest | `Engine.IngestManifest.processNew` | bounded-batch discovery; ≤ one batch of paths on the driver |
+  * | Files/formats | `Engine.Sources.*`, `Engine.Xlsx` | declared-schema scans, ordered/Z-ordered/compacted writes |
+  * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
+  * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
+  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
+  * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK}` | mergeable, fixed memory, error bounds oracle-checked |
+  *
+  * Session wiring: `functions.GraftExtensions` registers the SQL
+  * functions + analysis guards via `SparkSessionExtensions`;
+  * `plans.CartesianGuard` refuses large×large unkeyed joins at
+  * analysis time.
+  */
+object Engine {
+  // joins
+  val Asof = etl.Asof
+  val RangeJoin = etl.RangeJoin
+  val Scd2 = etl.Scd2
+  // identity + graph
+  val EntityResolution = etl.EntityResolution
+  val ConnectedComponents = etl.ConnectedComponents
+  // dedup + pruning + skew
+  val SegmentDedup = etl.SegmentDedup
+  val BloomPrune = etl.BloomPrune
+  val Skew = etl.Skew
+  // warehouse + quality
+  val Normalize = etl.Normalize
+  val Warehouse = etl.Warehouse
+  val Quality = etl.Quality
+  val SchemaDdl = etl.SchemaDdl
+  val SqlRunner = etl.SqlRunner
+  val Pipeline = etl.Pipeline
+  val Checkpoints = etl.Checkpoints
+  // sources + sinks
+  val Sources = sources.Sources
+  val Xlsx = sources.Xlsx
+  val IngestManifest = sources.IngestManifest
+  // streaming
+  val EventStream = streaming.EventStream
+  val Sessionize = streaming.Sessionize
+  val StreamDedup = streaming.StreamDedup
+  val CdcMerge = streaming.CdcMerge
+  val TopKStream = streaming.TopKStream
+  val StreamJoin = streaming.StreamJoin
+  val Enrich = streaming.Enrich
+  // media
+  val MediaPipeline = multimodal.MediaPipeline
+
+  /** Native codegen kernels + typed sketch aggregators. */
+  object functions {
+    val PolyHash = graft.functions.PolyHash
+    val SimHash64 = graft.functions.SimHash64
+    val DotProduct = graft.functions.DotProduct
+    val DistinctNgrams = graft.functions.DistinctNgrams
+    val BottomKSketch = graft.functions.BottomKSketch
+    /** SpaceSavingTopK is a class (instantiate with capacity + k):
+      * `new Engine.functions.SpaceSavingTopK(1024, 10)`. */
+    type SpaceSavingTopK = graft.functions.SpaceSavingTopK
+  }
+}
