@@ -17,6 +17,7 @@ package graft
   * | Connected components | `Engine.ConnectedComponents.run` | large-star/small-star: O(log n) rounds regardless of graph diameter |
   * | Segment dedup | `Engine.SegmentDedup.clean` | (doc, pos, hash64) triples only — raw text never shuffles |
   * | Bloom pruning | `Engine.BloomPrune.prune` | few-MB bitset probe fused into the scan's whole-stage codegen |
+  * | Bucketed layout | `Engine.Bucketing.writeBucketed` / `.coPartition` | pay the key shuffle once at write time; later joins/aggs on the key plan with ZERO exchanges |
   * | Skew handling | `Engine.Skew.saltedAggregate` / `.saltedJoin` | bounded salt fan-out; two-phase agg |
   * | Quality rules | `Engine.Quality.run` / `.runSuite` | ONE fused aggregate pass per table regardless of rule count |
   * | Star-schema build | `Engine.Warehouse.*` | dims broadcast; facts shuffle only at their grain |
@@ -43,10 +44,11 @@ object Engine {
   // identity + graph
   val EntityResolution = etl.EntityResolution
   val ConnectedComponents = etl.ConnectedComponents
-  // dedup + pruning + skew
+  // dedup + pruning + skew + layout
   val SegmentDedup = etl.SegmentDedup
   val BloomPrune = etl.BloomPrune
   val Skew = etl.Skew
+  val Bucketing = etl.Bucketing
   // warehouse + quality
   val Normalize = etl.Normalize
   val Warehouse = etl.Warehouse

@@ -705,6 +705,53 @@ object Advanced {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J18 — bucketed co-located join through the oracle gate: lineitem
+  // and orders are first WRITTEN as bucketed+sorted tables on the
+  // order key (etl.Bucketing — pay the key shuffle once, at layout
+  // time), then the per-order item rollup joins and aggregates with
+  // ZERO shuffle exchanges: both scans already satisfy the join's
+  // required hash distribution, and the groupBy keys include the
+  // bucket key so the aggregate reuses it too (ShuffleBudgetSpec pins
+  // the plan at 1 exchange — the final top-N sort — and BucketingSpec
+  // asserts the join subtree shuffle-free). At 100 TB this is the
+  // daily-pipeline pattern: recurring fact⋈fact joins ride the
+  // one-time bucketed layout instead of re-shuffling both sides every
+  // run. The oracle is the PLAIN join SQL over the same parquet —
+  // bucketing is pure physical layout and must not change a single
+  // value.
+  // ---------------------------------------------------------------------
+  private val BucketN = 8
+
+  private def j18(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Bucketing
+    // table names + paths are per-sf-dir so concurrent suites and
+    // multi-sf sessions never collide; overwrite keeps reruns fresh
+    val tag = math.abs(d.hashCode).toString
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    val li = Bucketing.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+        "l_extendedprice"),
+      s"j18_li_$tag", s"$base/li", "l_orderkey", BucketN)
+    val ord = Bucketing.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+      s"j18_ord_$tag", s"$base/ord", "o_orderkey", BucketN)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(100)
+  }
+  private val j18Sql =
+    s"""SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J10 — SCD2 point-in-time reads: the dimension as it stood BEFORE
   // and AFTER the j04 merge date, via Scd2.asOf (a pure interval
   // filter — no shuffle, pushes to the scan, so a fact build can
@@ -1150,6 +1197,7 @@ object Advanced {
     QueryDef("q28_relative_rank", Some(q28Sql), q28),
     QueryDef("j11_asof_native", Some(j11Sql), j11),
     QueryDef("j12_salted_join", Some(j12Sql), j12),
+    QueryDef("j18_bucketed_join", Some(j18Sql), j18),
     QueryDef("x29_corpus_card", Some(x29Sql), x29),
     QueryDef("a14_wau", Some(a14Sql), a14),
     QueryDef("a15_cumulative_distinct", Some(a15Sql), a15),

@@ -159,6 +159,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // output sort; the per-round CC shuffles live behind the
     // checkpoint cut and are bounded by O(log n) rounds.
     "x11_dup_clusters" -> 2,
+    // 0 — the whole point: both scans are bucketed on the join key,
+    // the aggregate reuses the layout, and the top-100 plans as
+    // TakeOrderedAndProject. The one-time layout shuffle happens at
+    // write time, not per query.
+    "j18_bucketed_join" -> 0,
     "x12_quality_filter" -> 2,
     "x13_domain_mix" -> 2,
     "x14_decontamination" -> 4,
