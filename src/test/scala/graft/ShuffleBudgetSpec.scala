@@ -120,7 +120,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q44_dup_transactions" -> 2,
     "q45_ks_test" -> 3,
     "q46_rank_sum" -> 3,
-    "q47_bootstrap_ci" -> 8,
+    // 4 (was 8): the one-pass bootstrap — all 32 replicate sums in a
+    // single HashAggregate instead of a 32× row fan-out + re-agg.
+    "q47_bootstrap_ci" -> 4,
     "st01_event_windows" -> 2,
     "st02_sessionize" -> 2,
     "st03_stream_join" -> 1,
