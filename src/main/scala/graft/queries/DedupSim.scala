@@ -50,11 +50,23 @@ object DedupSim {
        |  (acc, c) -> (acc * 31 + c) % 1000000007))"""
       .stripMargin.replace("\n", " ")
 
-  /** MinHash permutation constants (k=16, 4 bands × 4 rows). */
-  private val A = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L,
-    29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
-  private val B = Seq(17L, 23L, 5L, 41L, 7L, 61L, 13L, 3L,
-    53L, 19L, 31L, 2L, 43L, 11L, 59L, 29L)
+  /** MinHash permutation constants (k=16, 4 bands × 4 rows).
+    * Multipliers must be LARGE: with a small `a`, `a·h + b mod P` is
+    * order-preserving over most of the hash range, so every slot's
+    * min collapses to the same argmin(h) and the 16 "independent"
+    * permutations correlate almost perfectly — x51's error audit
+    * caught exactly that (est ≈ 0.94 on near-disjoint sets) when
+    * these were the first 16 odd primes. Fixed large constants
+    * < P = 2³¹−1 keep a·h < 2⁶² (no Long/BIGINT overflow in either
+    * engine). */
+  private val A = Seq(1103515245L, 1931083987L, 1203114875L,
+    1674265165L, 940312177L, 1569812341L, 2071453219L, 1215312861L,
+    1725127429L, 847612513L, 1411933441L, 1990744129L, 652821843L,
+    1352689153L, 2033321477L, 762934511L)
+  private val B = Seq(1013904223L, 192093119L, 1727018333L,
+    414349043L, 881231617L, 1579231013L, 245113957L, 1902711133L,
+    663253381L, 1120481167L, 1811281861L, 537817247L, 1341595123L,
+    978312007L, 2040911437L, 301415261L)
   private val P = 2147483647L
 
   // ---------------------------------------------------------------------
@@ -170,6 +182,148 @@ object DedupSim {
        |  ON a.band = b.band AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X51 — MinHash error contract: for every x02 LSH candidate pair,
+  // the 16-slot signature ESTIMATE next to the EXACT Jaccard of the
+  // two shingle-hash sets, per-pair absolute error, and a fixed ±0.25
+  // bound check (2σ of the k=16 binomial at its J=0.5 maximum).
+  // Closes the "is the sketch any good" loop for the MinHash family
+  // the way q26c/q38b close it for HLL — and because PolyHash is
+  // oracle-portable, BOTH the estimate and the ground truth are
+  // computed identically by the two engines, so the error audit is
+  // itself hash-exact (not a rows-only claim).
+  // Scale: reuses x02's shapes — signatures in one HashAggregate,
+  // candidates from the banded join (never all-pairs); the
+  // exact-Jaccard stage is the standard candidate-verify join on the
+  // shingle-hash key, cost Σ|set| over candidates only. Zero-overlap
+  // candidates keep a row via left join + COALESCE 0 (x49's rule).
+  // ---------------------------------------------------------------------
+  private def x51(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.fanout(minhashCorpus(s, d))
+      .filter(size(split(col("text"), " ")) >= 3)
+    // per-doc DISTINCT shingle hashes (sparkShingles dedups per doc):
+    // three consumers — signatures, sizes, pair intersect
+    val sh = corpus
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+      .withColumn("h", graft.functions.PolyHash(col("shingle")))
+      .select("doc_id", "h")
+      .cut(false)
+    val minCols = (0 until 16).map { j =>
+      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", (0 until 4).map(r =>
+        col(s"m${4 * b + r}").cast("string")): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    val cand = bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .withColumn("sig_matches",
+        (0 until 16).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("est_jaccard",
+        round(col("sig_matches").cast("double") / 16.0, 4))
+      .withColumn("exact_jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+      .withColumn("within_bound", col("abs_err") <= 0.25)
+      .select("doc_a", "doc_b", "sig_matches", "est_jaccard",
+        "exact_jaccard", "abs_err", "within_bound")
+      .orderBy("doc_a", "doc_b")
+  }
+  private def x51Sql: String = {
+    val aArr = A.mkString("[", ",", "]")
+    val bArr = B.mkString("[", ",", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |sh AS (
+       |  SELECT doc_id, unnest(${duckHashes(duckShingles)}) AS h
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15), j ->
+       |      list_min(list_transform(${duckHashes(duckShingles)},
+       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
+       |keyed AS (
+       |  SELECT doc_id, band, concat_ws('_', sig[4*band + 1],
+       |    sig[4*band + 2], sig[4*band + 3], sig[4*band + 4]) AS band_key
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS BIGINT) AS sig_matches,
+       |  ROUND(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4) AS est_jaccard,
+       |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |    / CAST(za.n + zb.n - COALESCE(i.i, 0) AS DOUBLE), 4)
+       |    AS exact_jaccard,
+       |  ROUND(ABS(
+       |    ROUND(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |      p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4)
+       |    - ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / CAST(za.n + zb.n - COALESCE(i.i, 0) AS DOUBLE), 4)), 4)
+       |    AS abs_err,
+       |  ROUND(ABS(
+       |    ROUND(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |      p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4)
+       |    - ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / CAST(za.n + zb.n - COALESCE(i.i, 0) AS DOUBLE), 4)), 4)
+       |    <= 0.25 AS within_bound
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1457,6 +1611,7 @@ object DedupSim {
     QueryDef("x50_group_split", Some(x50Sql), x50),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
+    QueryDef("x51_minhash_error", Some(x51Sql), x51),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),
     QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
     QueryDef("x03_simhash16", Some(x03Sql), x03),

@@ -147,6 +147,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "w04_curation_funnel" -> 6,
     "x01_dedup_exact" -> 2,
     "x02_dedup_minhash_lsh" -> 9,
+    // signature agg + banded candidate join + verify-stage
+    // intersect/size joins over the checkpointed shingle relation
+    "x51_minhash_error" -> 11,
     "x03_simhash16" -> 3,
     "x03_simhash_pairs" -> 6,
     "x04_ngram_jaccard" -> 12,
