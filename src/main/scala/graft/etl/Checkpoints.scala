@@ -42,8 +42,15 @@ object Checkpoints {
         val sc = s.sparkContext
         // setCheckpointDir creates a unique subdir per call — only
         // (re)point it when the configured root actually changed.
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-          sc.setCheckpointDir(dir)
+        // Compare PATH components: the stored dir comes back
+        // fs-qualified ("file:/ckpt/<uuid>"), so a raw startsWith
+        // against an unqualified conf value would never match and
+        // every cut() would mint a fresh UUID directory.
+        val rootPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val pointed = sc.getCheckpointDir.exists(cur =>
+          new org.apache.hadoop.fs.Path(cur).toUri.getPath
+            .startsWith(rootPath + "/"))
+        if (!pointed) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -44,7 +44,8 @@ object ConnectedComponents {
   def runCounted(edges: DataFrame, maxRounds: Int = 50)
       : (DataFrame, Int) = {
     val cols = edges.columns
-    require(cols.length == 2, s"expected 2 edge columns, got $cols")
+    require(cols.length == 2,
+      s"expected 2 edge columns, got ${cols.mkString(", ")}")
     var e = Checkpoints.cut(canon(
       edges.select(col(cols(0)).as("u"), col(cols(1)).as("v"))))
     var rounds = 0

@@ -295,6 +295,7 @@ object MediaPipeline {
   def aviBytes(nFrames: Int, frameLen: Int => Int,
       firstByte: Int => Int): Array[Byte] = {
     val lens = (0 until nFrames).map(frameLen)
+    require(lens.forall(_ >= 0), s"negative frame length in $lens")
     val moviData = lens.map(l => 8 + l + (l % 2)).sum
     val total = AviMoviStart + moviData
     val out = java.nio.ByteBuffer.allocate(total)
@@ -314,8 +315,8 @@ object MediaPipeline {
     fourcc("LIST"); out.putInt(4 + moviData); fourcc("movi")
     lens.zipWithIndex.foreach { case (l, i) =>
       fourcc("00dc"); out.putInt(l)
-      out.put(firstByte(i).toByte)
-      var j = 1
+      // l == 0 is a legal dropped frame: header only, no data byte
+      var j = 0
       while (j < l) { out.put(((firstByte(i) + j) % 256).toByte); j += 1 }
       if (l % 2 == 1) out.put(0.toByte) // RIFF word alignment
     }
@@ -339,12 +340,19 @@ object MediaPipeline {
       val bb = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val declared = bb.getInt(48) // avih dwTotalFrames
-      val hdrlEnd = 20 + bb.getInt(16)
-      if (hdrlEnd + 12 > p.length || !tag(hdrlEnd, "LIST") ||
-          !tag(hdrlEnd + 8, "movi")) None
+      // adversarial sizes must REJECT, not throw: a negative hdrl
+      // size would send hdrlEnd below 0 (tag() would then index with
+      // a negative offset), and chunk lengths near Int.MaxValue would
+      // wrap the end-of-chunk arithmetic — do both bounds checks on
+      // non-wrapping values
+      val hdrlSize = bb.getInt(16)
+      val hdrlEnd = 20 + hdrlSize
+      if (hdrlSize < 0 || hdrlEnd < 0 || hdrlEnd + 12 > p.length ||
+          !tag(hdrlEnd, "LIST") || !tag(hdrlEnd + 8, "movi")) None
       else {
-        val moviEnd = hdrlEnd + 8 + bb.getInt(hdrlEnd + 4)
-        if (moviEnd > p.length) None
+        val moviSize = bb.getInt(hdrlEnd + 4)
+        val moviEnd = hdrlEnd + 8 + moviSize
+        if (moviSize < 0 || moviEnd > p.length) None
         else {
           val frames = Seq.newBuilder[FrameRef]
           var pos = hdrlEnd + 12
@@ -352,14 +360,14 @@ object MediaPipeline {
           var ok = true
           while (ok && pos + 8 <= moviEnd) {
             val len = bb.getInt(pos + 4)
-            val end = pos + 8 + len + (len % 2)
+            val end = pos.toLong + 8L + len + (len % 2)
             if (len < 0 || end > moviEnd) ok = false
             else {
               if (tag(pos, "00dc")) {
                 frames += FrameRef(idx, pos + 8L, len)
                 idx += 1
               }
-              pos = end
+              pos = end.toInt // end <= moviEnd <= p.length here
             }
           }
           val out = frames.result()
@@ -381,8 +389,12 @@ object MediaPipeline {
     media.mapPartitions(_.flatMap { r =>
       walkAviFrames(r).getOrElse(Seq.empty)
         .filter(_.frame_idx % everyK == 0)
+        // a zero-length (dropped) frame has no data byte — its offset
+        // points at the NEXT chunk's header, which must not leak into
+        // the feature
         .map(f => FrameSample(r.media_id, f.frame_idx, f.offset, f.len,
-          (r.payload(f.offset.toInt) & 0xff) / 255.0))
+          if (f.len == 0) 0.0
+          else (r.payload(f.offset.toInt) & 0xff) / 255.0))
     })
   }
 

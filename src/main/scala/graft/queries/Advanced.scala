@@ -725,8 +725,12 @@ object Advanced {
   private def j18(s: SparkSession, d: String): DataFrame = {
     import graft.etl.Bucketing
     // table names + paths are per-sf-dir so concurrent suites and
-    // multi-sf sessions never collide; overwrite keeps reruns fresh
-    val tag = math.abs(d.hashCode).toString
+    // multi-sf sessions never collide; overwrite keeps reruns fresh.
+    // The tag is the sanitized dir itself — collision-free by
+    // construction, and always a valid identifier (hashCode would be
+    // neither: Int.MinValue survives math.abs, and 32-bit collisions
+    // would silently share tables across sf dirs).
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
     val li = Bucketing.writeBucketed(
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity",

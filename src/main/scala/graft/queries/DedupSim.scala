@@ -102,6 +102,62 @@ object DedupSim {
     docs.unionByName(dups)
   }
 
+  /** k=16 MinHash signatures (columns m0..m15) from a (doc_id, h)
+    * shingle-hash relation: 16 min-aggregates in ONE codegen'd
+    * HashAggregate — a single map-side-combined pass, no permutation
+    * join, no array state. Shared by x02 (candidates) and x51 (error
+    * audit), so the two always see the SAME signature family. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map { j =>
+      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** 4-band × 4-row LSH candidate pairs (doc_a < doc_b, distinct)
+    * from [[minhashSigs]] output — the banded join that replaces the
+    * O(n²) all-pairs scan. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", (0 until 4).map(r =>
+        col(s"m${4 * b + r}").cast("string")): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The matching DuckDB CTE chain (`sigs`, `bands`, `keyed`, `cand`)
+    * over a `corpus`(doc_id, text) CTE already in scope — the SQL
+    * twin of [[minhashSigs]] + [[lshCandidates]], shared by the x02
+    * and x51 oracles. */
+  private def duckMinhashCtes: String = {
+    val aArr = A.mkString("[", ",", "]")
+    val bArr = B.mkString("[", ",", "]")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15), j ->
+       |      list_min(list_transform(${duckHashes(duckShingles)},
+       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
+       |keyed AS (
+       |  SELECT doc_id, band, concat_ws('_', sig[4*band + 1],
+       |    sig[4*band + 2], sig[4*band + 3], sig[4*band + 4]) AS band_key
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Relational MinHash: explode shingles, one polynomial hash per
     * (doc, shingle) row, regroup hashes per doc, then ONE small
     * expression builds the 16-slot signature from the materialized
@@ -118,27 +174,8 @@ object DedupSim {
     // fold, one tight loop per row (the 100 TB hot path)
     val hashed = shingleRows.withColumn("h",
       graft.functions.PolyHash(col("shingle")))
-    // signature via 16 min-aggregates in ONE codegen'd HashAggregate:
-    // 500k (doc, hash) rows → 5.5k signature rows in a single map-side-
-    // combined pass. No permutation join, no array state, no
-    // interpreted HOFs anywhere past the shingle generator.
-    val minCols = (0 until 16).map { j =>
-      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
-    }
-    val sigs = hashed.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws("_", (0 until 4).map(r =>
-        col(s"m${4 * b + r}").cast("string")): _*)
-    }: _*)
-    val bands = sigs.select(col("doc_id") +: (0 until 16).map(j =>
-        col(s"m$j")) :+ posexplode(bandKeys).as(Seq("band", "band_key")): _*)
-    val cand = bands.select(col("doc_id").as("doc_a"),
-        col("band"), col("band_key"))
-      .join(bands.select(col("doc_id").as("doc_b"),
-        col("band"), col("band_key")), Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val sigs = minhashSigs(hashed)
+    val cand = lshCandidates(sigs)
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
       (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:
@@ -153,36 +190,22 @@ object DedupSim {
       .select("doc_a", "doc_b", "sig_matches", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
-  private def x02Sql: String = {
-    val aArr = A.mkString("[", ",", "]")
-    val bArr = B.mkString("[", ",", "]")
+  private def x02Sql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' planted near duplicate'
        |  FROM documents WHERE doc_id % 10 = 0),
-       |sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(0, 15), j ->
-       |      list_min(list_transform(${duckHashes(duckShingles)},
-       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
-       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
-       |bands AS (
-       |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
-       |keyed AS (
-       |  SELECT doc_id, sig, band, concat_ws('_', sig[4*band + 1],
-       |    sig[4*band + 2], sig[4*band + 3], sig[4*band + 4]) AS band_key
-       |  FROM bands)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_filter(list_zip(a.sig, b.sig),
+       |$duckMinhashCtes
+       |SELECT c.doc_a, c.doc_b,
+       |  len(list_filter(list_zip(sa.sig, sb.sig),
        |      p -> p[1] = p[2])) AS sig_matches,
-       |  ROUND(CAST(len(list_filter(list_zip(a.sig, b.sig),
+       |  ROUND(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
        |      p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4) AS est_jaccard
-       |FROM keyed a JOIN keyed b
-       |  ON a.band = b.band AND a.band_key = b.band_key
-       |  AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
+       |FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // X51 — MinHash error contract: for every x02 LSH candidate pair,
@@ -210,22 +233,8 @@ object DedupSim {
       .withColumn("h", graft.functions.PolyHash(col("shingle")))
       .select("doc_id", "h")
       .cut(false)
-    val minCols = (0 until 16).map { j =>
-      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
-    }
-    val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws("_", (0 until 4).map(r =>
-        col(s"m${4 * b + r}").cast("string")): _*)
-    }: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band", "band_key")))
-    val cand = bands.select(col("doc_id").as("doc_a"),
-        col("band"), col("band_key"))
-      .join(bands.select(col("doc_id").as("doc_b"),
-        col("band"), col("band_key")), Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val sigs = minhashSigs(sh)
+    val cand = lshCandidates(sigs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
@@ -261,8 +270,6 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
   private def x51Sql: String = {
-    val aArr = A.mkString("[", ",", "]")
-    val bArr = B.mkString("[", ",", "]")
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -271,23 +278,7 @@ object DedupSim {
        |sh AS (
        |  SELECT doc_id, unnest(${duckHashes(duckShingles)}) AS h
        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
-       |sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(0, 15), j ->
-       |      list_min(list_transform(${duckHashes(duckShingles)},
-       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
-       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
-       |bands AS (
-       |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
-       |keyed AS (
-       |  SELECT doc_id, band, concat_ws('_', sig[4*band + 1],
-       |    sig[4*band + 2], sig[4*band + 3], sig[4*band + 4]) AS band_key
-       |  FROM bands),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM keyed a JOIN keyed b
-       |    ON a.band = b.band AND a.band_key = b.band_key
-       |    AND a.doc_id < b.doc_id),
+       |$duckMinhashCtes,
        |sizes AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM sh GROUP BY 1),

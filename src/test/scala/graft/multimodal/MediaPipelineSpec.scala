@@ -120,6 +120,37 @@ class MediaPipelineSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(trunc, AviMoviStart + 8 + 10 + 4, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5000)
     assert(walkAviFrames(MediaRow(4L, trunc)).isEmpty)
+    // adversarial sizes must REJECT, not throw (r6 review findings):
+    val negHdrl = good.clone() // negative hdrl LIST size
+    java.nio.ByteBuffer.wrap(negHdrl, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-100)
+    assert(walkAviFrames(MediaRow(5L, negHdrl)).isEmpty)
+    val wrapLen = good.clone() // chunk len near Int.MaxValue wraps end
+    java.nio.ByteBuffer.wrap(wrapLen, AviMoviStart + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(2147483600)
+    assert(walkAviFrames(MediaRow(6L, wrapLen)).isEmpty)
+    val negMovi = good.clone() // negative movi LIST size
+    val hdrlEnd = 20 + java.nio.ByteBuffer.wrap(good, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+    java.nio.ByteBuffer.wrap(negMovi, hdrlEnd + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8)
+    assert(walkAviFrames(MediaRow(7L, negMovi)).isEmpty)
+  }
+
+  test("zero-length (dropped) frames round-trip without payload reads") {
+    import MediaPipeline._
+    import spark.implicits._
+    // frame 1 is a dropped frame (len 0); trailing frame also len 0
+    val bytes = aviBytes(3, i => if (i == 0) 6 else 0, i => 40 + i)
+    val walked = walkAviFrames(MediaRow(8L, bytes)).get
+    assert(walked.map(_.len) == Seq(6, 0, 0))
+    val samples = sampleFrames(
+      spark.createDataset(Seq(MediaRow(8L, bytes))), 1).collect()
+      .sortBy(_.frame_idx)
+    assert(samples.map(_.byte_len).toSeq == Seq(6, 0, 0))
+    assert(samples(0).feature == 40 / 255.0)
+    // dropped frames carry feature 0.0, never the next chunk's header
+    assert(samples(1).feature == 0.0 && samples(2).feature == 0.0)
   }
 
   test("frame sampler emits every-kth REAL frame per media row") {
