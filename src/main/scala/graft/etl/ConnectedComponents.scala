@@ -48,15 +48,19 @@ object ConnectedComponents {
       s"expected 2 edge columns, got ${cols.mkString(", ")}")
     var e = Checkpoints.cut(canon(
       edges.select(col(cols(0)).as("u"), col(cols(1)).as("v"))))
+    var eCount = e.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
       val next = Checkpoints.cut(smallStar(largeStar(e)))
       // Exact set-equality fixpoint test (both relations are distinct
       // canonical pairs): equal counts + empty one-sided difference.
-      done = next.count() == e.count() &&
+      // The previous round's count is carried, not recomputed.
+      val nextCount = next.count()
+      done = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(done, s"connected components did not converge in " +
