@@ -1041,6 +1041,7 @@ object Relational {
     val histX = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
+      .cut(false) // 3 consumers: med's totals+window, histA
     val med = histCum(histX, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("med"))
@@ -1049,6 +1050,7 @@ object Relational {
         col("c"))
       .groupBy(col("l_returnflag"), col("v"))
       .agg(sum(col("c")).as("c"))
+      .cut(false) // 3 consumers: mad's totals+window, final stats
     val mad = histCum(histA, "l_returnflag", "v")
       .groupBy(col("l_returnflag"))
       .agg(histPct(0.5, "v").as("mad"))
