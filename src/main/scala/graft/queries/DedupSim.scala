@@ -137,14 +137,23 @@ object DedupSim {
     * twin of [[minhashSigs]] + [[lshCandidates]], shared by the x02
     * and x51 oracles. */
   private def duckMinhashCtes: String = {
-    val aArr = A.mkString("[", ",", "]")
-    val bArr = B.mkString("[", ",", "]")
-    s"""sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(0, 15), j ->
-       |      list_min(list_transform(${duckHashes(duckShingles)},
-       |        h -> ($aArr[j + 1] * h + $bArr[j + 1]) % $P))) AS sig
+    // Signatures as 16 relational MIN aggregates over the unnested
+    // (doc_id, h) rows — the same formulation as the Spark side, and
+    // crucially the interpreted per-character hash fold runs ONCE (in
+    // `sh`), not again inside a per-slot lambda: the lambda form made
+    // the x51 oracle intractable at sf1 (>70 CPU-min; this one
+    // finishes in minutes). Same values — min over a list vs min
+    // aggregate over its rows.
+    val mins = (0 until 16).map(j =>
+      s"CAST(MIN((${A(j)} * h + ${B(j)}) % $P) AS BIGINT)")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(${duckHashes(duckShingles)}) AS h
        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+       |sigs AS (
+       |  SELECT doc_id, [
+       |    ${mins.mkString(",\n       |    ")}
+       |  ] AS sig
+       |  FROM sh GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs),
        |keyed AS (
@@ -275,9 +284,6 @@ object DedupSim {
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' planted near duplicate'
        |  FROM documents WHERE doc_id % 10 = 0),
-       |sh AS (
-       |  SELECT doc_id, unnest(${duckHashes(duckShingles)}) AS h
-       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
        |$duckMinhashCtes,
        |sizes AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
