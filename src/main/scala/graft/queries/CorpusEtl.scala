@@ -187,8 +187,94 @@ object CorpusEtl {
        |UNION ALL SELECT '5_decontam', d4, t4 FROM agg
        |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // W05 — the production NEAR-duplicate curation pipeline as one flow
+  // (w03/w04 dedup exactly; this is the fuzzy counterpart — the
+  // RefinedWeb/SlimPajama-style chain):
+  //   1. MinHash signatures + LSH banding (x02's kernel, verbatim —
+  //      DedupSim.sigPairs, so the signature family is shared);
+  //   2. verify: signature agreement ≥ 12/16 (est. Jaccard ≥ 0.75)
+  //      hardens candidates into edges;
+  //   3. cluster: connected components over the edge relation
+  //      (large-star/small-star — O(log n) rounds at any diameter);
+  //   4. survivorship: keep the min-doc_id copy per cluster;
+  //   5. dataset card: one row of funnel counts.
+  //
+  // Scale shape: the edge generator is banded/bucketed (never
+  // all-pairs); CC shuffles only the EDGE relation per round; the
+  // survivor flag is a window over the clustered docs ONLY (bounded by
+  // dup volume, not corpus size — unclustered docs never enter the
+  // window); the final card is one partial-agg pass over the corpus
+  // left-joined with the small flag relation (join unhinted: dup
+  // volume grows with the corpus). The edge relation is
+  // lineage-cut once (Checkpoints.cut — localCheckpoint by default,
+  // reliable under graft.checkpoint.dir) for its two consumers
+  // (CC rounds + the dup_pairs count).
+  // ---------------------------------------------------------------------
+  private def w05(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.fanout(DedupSim.minhashCorpus(s, d))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val edges = graft.etl.Checkpoints.cut(DedupSim.neardupEdges(s, d))
+    val cc = graft.etl.ConnectedComponents.run(edges)
+    val flags = cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
+    val ann = corpus.join(flags, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("is_survivor"), lit(true)))
+    val card = ann.agg(
+      count(lit(1)).as("docs_in"),
+      // exactly one survivor per cluster ⇒ cluster count without a
+      // distinct aggregate (no Expand in the plan)
+      sum(when(col("is_survivor") === true, 1L).otherwise(0L))
+        .as("n_clusters"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("docs_removed"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("docs_out"),
+      sum(when(col("kept"), col("n_tok")).otherwise(0L))
+        .as("tokens_out"))
+    // 1×1 crossJoin of single-row aggregates (q14's scalar pattern)
+    card.crossJoin(edges.agg(count(lit(1)).as("dup_pairs")))
+  }
+  private def w05Sql: String =
+    s"""WITH RECURSIVE ${DedupSim.duckSigPairsCtes},
+       |matches AS (
+       |  SELECT doc_a, doc_b FROM sigm
+       |  WHERE m >= ${DedupSim.NeardupMinSig}),
+       |undirected AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM matches
+       |  UNION ALL SELECT doc_b, doc_a FROM matches),
+       |nodes AS (SELECT DISTINCT a AS id FROM undirected),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, u.b FROM reach JOIN undirected u
+       |    ON u.a = reach.r),
+       |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |flags AS (
+       |  SELECT id, cluster_id,
+       |    id = MIN(id) OVER (PARTITION BY cluster_id) AS is_survivor
+       |  FROM cc),
+       |ann AS (
+       |  SELECT c.doc_id,
+       |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok,
+       |    f.is_survivor,
+       |    COALESCE(f.is_survivor, TRUE) AS kept
+       |  FROM corpus c LEFT JOIN flags f ON f.id = c.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+       |  CAST(SUM(CASE WHEN is_survivor = TRUE THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS docs_removed,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_out,
+       |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS tokens_out,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM matches) AS dup_pairs
+       |FROM ann""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w03_corpus_etl", Some(w03Sql), w03),
-    QueryDef("w04_curation_funnel", Some(w04Sql), w04)
+    QueryDef("w04_curation_funnel", Some(w04Sql), w04),
+    QueryDef("w05_neardup_funnel", Some(w05Sql), w05)
   )
 }

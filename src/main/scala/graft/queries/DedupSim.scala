@@ -93,7 +93,7 @@ object DedupSim {
   // pipeline provably surfaces them. Signature k=16; 4 bands × 4 rows;
   // candidates = pairs sharing any band. est_jaccard = sig agreement / 16.
   // ---------------------------------------------------------------------
-  private def minhashCorpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def minhashCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     // plant near-duplicates for every 10th doc
     val dups = docs.filter(col("doc_id") % 10 === 0)
@@ -173,8 +173,14 @@ object DedupSim {
     * `hashes` column (the column reference keeps the Catalyst tree tiny
     * — inlining the whole chain as nested array lambdas blows analysis
     * up). Shuffles: shingle distinct, per-doc regroup, LSH band join —
-    * never an O(n²) cross join. */
-  private def x02(s: SparkSession, d: String): DataFrame = {
+    * never an O(n²) cross join.
+    *
+    * [[sigPairs]] is the shared kernel: every LSH candidate pair with
+    * its signature-agreement count. x02 reports it; [[neardupEdges]]
+    * thresholds it into a verified edge relation for w05's funnel —
+    * so all MinHash consumers (x02, x51, w05) see the SAME signature
+    * family and candidate generator. */
+  private[queries] def sigPairs(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.fanout(minhashCorpus(s, d))
       .filter(size(split(col("text"), " ")) >= 3)
     val shingleRows = corpus
@@ -194,27 +200,52 @@ object DedupSim {
         (0 until 16).map(j =>
           when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
           .reduce(_ + _))
+      .select("doc_a", "doc_b", "sig_matches")
+  }
+
+  /** Signature-agreement threshold for a VERIFIED near-dup edge:
+    * ≥ 12 of 16 slots ⇒ estimated Jaccard ≥ 0.75. */
+  private[queries] val NeardupMinSig = 12
+
+  /** Verified near-duplicate edge relation (doc_a, doc_b) — the x02
+    * candidates hardened by the [[NeardupMinSig]] agreement gate.
+    * Input to w05's connected-components clustering. */
+  private[queries] def neardupEdges(s: SparkSession, d: String): DataFrame =
+    sigPairs(s, d)
+      .filter(col("sig_matches") >= NeardupMinSig)
+      .select("doc_a", "doc_b")
+
+  private def x02(s: SparkSession, d: String): DataFrame =
+    sigPairs(s, d)
       .withColumn("est_jaccard",
         round(col("sig_matches").cast("double") / 16.0, 4))
       .select("doc_a", "doc_b", "sig_matches", "est_jaccard")
       .orderBy("doc_a", "doc_b")
-  }
-  private def x02Sql: String =
-    s"""WITH corpus AS (
+
+  /** DuckDB twin of [[sigPairs]]: the x02 corpus (documents ∪ planted
+    * near-dups) + [[duckMinhashCtes]] + a `sigm`(doc_a, doc_b, m) CTE
+    * of candidate pairs with signature agreement. Shared by the x02
+    * and w05 oracles. */
+  private[queries] def duckSigPairsCtes: String =
+    s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' planted near duplicate'
        |  FROM documents WHERE doc_id % 10 = 0),
-       |$duckMinhashCtes
-       |SELECT c.doc_a, c.doc_b,
-       |  len(list_filter(list_zip(sa.sig, sb.sig),
-       |      p -> p[1] = p[2])) AS sig_matches,
-       |  ROUND(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
-       |      p -> p[1] = p[2])) AS DOUBLE) / 16.0, 4) AS est_jaccard
-       |FROM cand c
-       |JOIN sigs sa ON sa.doc_id = c.doc_a
-       |JOIN sigs sb ON sb.doc_id = c.doc_b
-       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  private def x02Sql: String =
+    s"""WITH $duckSigPairsCtes
+       |SELECT doc_a, doc_b, m AS sig_matches,
+       |  ROUND(CAST(m AS DOUBLE) / 16.0, 4) AS est_jaccard
+       |FROM sigm ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // X51 — MinHash error contract: for every x02 LSH candidate pair,

@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate (n×1 broadcast scalar, a17's pattern)"),
     "x49_source_overlap" -> ("full pair-domain self-join of the sizes " +
       "relation — bounded by the SOURCE domain (a handful of rows), " +
-      "not the data; makes zero-overlap pairs explicit n_shared=0 rows"))
+      "not the data; makes zero-overlap pairs explicit n_shared=0 rows"),
+    "w05_neardup_funnel" -> ("card crossJoin a SINGLE-ROW dup-pairs " +
+      "count aggregate (1×1 by construction, q14's scalar pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>
