@@ -1175,7 +1175,110 @@ object Advanced {
       |    AS canon_fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X52 — Z-order layout audit: WOULD clustering this table on a
+  // Z-curve cut 2-D scan cost, and by how much, versus the 1-D sort
+  // every warehouse defaults to? The data-layout decision behind
+  // Delta/Iceberg `OPTIMIZE ZORDER` — at 100 TB the scan fraction
+  // under min/max file skipping IS the query cost, and a 1-D sort
+  // prunes only its own column.
+  //
+  // Method (exact integer arithmetic end to end, so the audit is
+  // cell-exact across engines): min/max-scale both key columns to
+  // 16-bit grids (one single-row aggregate, broadcast — a17's scalar
+  // pattern); interleave bits arithmetically into a 32-bit Z value;
+  // bucket rows two ways — Z div 2^22 (Z-order files) vs sx div 64
+  // (partkey-sorted files); per bucket, record the min/max envelope
+  // of BOTH dims (exactly the footer stats parquet keeps); then
+  // replay a center-half box predicate (both dims in [16384, 49151])
+  // against the envelopes. A bucket whose envelope misses the box is
+  // skipped without a read. The card: buckets scanned, rows scanned,
+  // scan fraction per layout — linear prunes ~½ (its own dim only),
+  // Z-order ~¼ + boundary, and the gap widens with dimensionality.
+  //
+  // Scale shape: two scans of a 2-column pruned projection, one
+  // (layout, bucket) partial agg, one 2·#buckets-row audit agg —
+  // no shuffle carries more than (layout, bucket, envelope) rows.
+  // ---------------------------------------------------------------------
+  /** Bit-interleave of two 16-bit grid coords as portable integer
+    * arithmetic ((v div 2^i) mod 2 placed at bit 2i / 2i+1) — no
+    * engine-specific bit operators. `div` is "div" (Spark) / "//"
+    * (DuckDB). */
+  private def zInterleave(sx: String, sy: String, div: String): String =
+    (0 until 16).map { i =>
+      s"(($sx $div ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($sy $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  private def x52(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+    val mm = li.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val scaled = li.crossJoin(broadcast(mm))
+      .select(expr("((x - xmin) * 65535) div (xmax - xmin)").as("sx"),
+        expr("((y - ymin) * 65535) div (ymax - ymin)").as("sy"))
+    val tagged = scaled
+      .select(lit("zorder").as("layout"),
+        expr(s"(${zInterleave("sx", "sy", "div")}) div ${1L << 22}")
+          .as("bucket"), col("sx"), col("sy"))
+      .unionByName(scaled.select(lit("linear").as("layout"),
+        expr("sx div 64").as("bucket"), col("sx"), col("sy")))
+    val envelopes = tagged.groupBy(col("layout"), col("bucket"))
+      .agg(min(col("sx")).as("xlo"), max(col("sx")).as("xhi"),
+        min(col("sy")).as("ylo"), max(col("sy")).as("yhi"),
+        count(lit(1)).as("n"))
+    val scanned = col("xhi") >= 16384L && col("xlo") <= 49151L &&
+      col("yhi") >= 16384L && col("ylo") <= 49151L
+    envelopes.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"),
+        sum(col("n")).as("n_rows"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"))
+      .withColumn("scan_frac",
+        round(col("rows_scanned").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy("layout")
+  }
+  private def x52Sql: String =
+    s"""WITH li AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS x,
+       |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+       |mm AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+       |    MIN(y) AS ymin, MAX(y) AS ymax FROM li),
+       |scaled AS (
+       |  SELECT ((x - xmin) * 65535) // (xmax - xmin) AS sx,
+       |    ((y - ymin) * 65535) // (ymax - ymin) AS sy
+       |  FROM li CROSS JOIN mm),
+       |tagged AS (
+       |  SELECT 'zorder' AS layout,
+       |    (${zInterleave("sx", "sy", "//")}) // ${1L << 22} AS bucket,
+       |    sx, sy FROM scaled
+       |  UNION ALL
+       |  SELECT 'linear', sx // 64, sx, sy FROM scaled),
+       |envelopes AS (
+       |  SELECT layout, bucket, MIN(sx) AS xlo, MAX(sx) AS xhi,
+       |    MIN(sy) AS ylo, MAX(sy) AS yhi,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tagged GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT *, xhi >= 16384 AND xlo <= 49151
+       |    AND yhi >= 16384 AND ylo <= 49151 AS scanned
+       |  FROM envelopes)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_scanned,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN scanned THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_scanned,
+       |  ROUND(CAST(SUM(CASE WHEN scanned THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(n) AS DOUBLE), 4) AS scan_frac
+       |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x52_zorder_layout", Some(x52Sql), x52),
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
     QueryDef("q21_exists_semijoin", Some(q21Sql), q21),

@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSpec {
       "relation — bounded by the SOURCE domain (a handful of rows), " +
       "not the data; makes zero-overlap pairs explicit n_shared=0 rows"),
     "w05_neardup_funnel" -> ("card crossJoin a SINGLE-ROW dup-pairs " +
-      "count aggregate (1×1 by construction, q14's scalar pattern)"))
+      "count aggregate (1×1 by construction, q14's scalar pattern)"),
+    "x52_zorder_layout" -> ("rows crossJoin a SINGLE-ROW min/max " +
+      "aggregate (n×1 broadcast scalar, a17's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>
