@@ -1414,6 +1414,105 @@ object DedupSim {
       |FROM q WHERE scale > 0 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X53 — Johnson–Lindenstrauss random-projection audit: project the
+  // 64-d embeddings to 16-d with a DETERMINISTIC Rademacher (±1)
+  // matrix and report, per sampled pair, the squared-distance ratio
+  // the JL lemma says concentrates near 1. The dimensionality-
+  // reduction step real embedding pipelines run before ANN indexing
+  // (16-d buckets are 4× cheaper to scan) — made value-checkable
+  // across engines by deriving the ±1 signs from splitmix64-mixed
+  // integer arithmetic instead of an RNG — x47/q47's determinism
+  // trick, with a full-avalanche mix (see [[jlSign]] for why).
+  //
+  // Numeric parity: floats widen to double FIRST (the x39 rule), each
+  // projection is one native DotProduct against a ±1 constant vector
+  // (left-to-right fold, bit-identical to DuckDB's list_reduce), and
+  // d²s combine in a fixed written order — so ROUND(…, 4) sees the
+  // same double on both engines.
+  //
+  // Scale shape: projections are row-local codegen (16 fused dot
+  // loops per row); the pair sample is a keyed self-join on
+  // vec_id + 7 (linear in n, never all-pairs); no aggregation, so
+  // nothing accumulates across partitions.
+  // ---------------------------------------------------------------------
+  /** Deterministic Rademacher sign for projection row j, input dim i.
+    *
+    * splitmix64's finalizer, NOT a single Knuth multiply: the matrix
+    * is generated HERE and interpolated into both engines as literals
+    * (so SQL portability doesn't constrain the generator), and a lone
+    * multiplicative mix leaves consecutive cells linearly structured —
+    * measured mean |row·row| of 30/64 (≈0.47 correlation, one pair at
+    * −0.94!) vs 6.35/64 with full avalanche, right at the √d a truly
+    * random ±1 family gives. Correlated rows don't contract distance
+    * independently and the JL ratio spread blows up — the same
+    * failure family x51 caught in the MinHash multipliers. */
+  private def jlSign(j: Int, i: Int): Double = {
+    var z = (j * 64 + i + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  private def x53(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // 16 projections: p_j = <emb, sign_j> / sqrt(16) (JL scaling)
+    val proj = e.select(col("vec_id") +: col("emb") +:
+      (0 until 16).map { j =>
+        (DotProduct(col("emb"),
+          typedLit((0 until 64).map(jlSign(j, _)))) / 4.0).as(s"p$j")
+      }: _*)
+    val a = proj.select(col("vec_id").as("vec_a") +:
+      col("emb").as("ea") +:
+      (0 until 16).map(j => col(s"p$j").as(s"pa$j")): _*)
+    val b = proj.select((col("vec_id") - 7L).as("vec_a") +:
+      col("vec_id").as("vec_b") +: col("emb").as("eb") +:
+      (0 until 16).map(j => col(s"p$j").as(s"pb$j")): _*)
+    val d2o = DotProduct(col("ea"), col("ea")) -
+      lit(2.0) * DotProduct(col("ea"), col("eb")) +
+      DotProduct(col("eb"), col("eb"))
+    val d2p = (0 until 16).map { j =>
+      (col(s"pa$j") - col(s"pb$j")) * (col(s"pa$j") - col(s"pb$j"))
+    }.reduce(_ + _)
+    a.join(b, Seq("vec_a"))
+      .withColumn("d2_orig", d2o)
+      .withColumn("d2_ratio",
+        when(col("d2_orig") === 0.0, lit(null).cast("double"))
+          .otherwise(round(d2p / col("d2_orig"), 4)))
+      .select("vec_a", "vec_b", "d2_ratio")
+      .orderBy("vec_a")
+  }
+  private def x53Sql: String = {
+    def signList(j: Int): String =
+      (0 until 64).map(i => s"${jlSign(j, i)}").mkString("[", ", ", "]")
+    val projCols = (0 until 16).map(j =>
+      s"${duckDot.format("emb", signList(j))} / 4.0 AS p$j")
+    val d2p = (0 until 16).map(j =>
+      s"(a.p$j - b.p$j) * (a.p$j - b.p$j)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, emb,
+       |    ${projCols.mkString(",\n       |    ")}
+       |  FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${duckDot.format("a.emb", "a.emb")}
+       |      - 2.0 * ${duckDot.format("a.emb", "b.emb")}
+       |      + ${duckDot.format("b.emb", "b.emb")} AS d2_orig,
+       |    $d2p AS d2_proj
+       |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 7)
+       |SELECT vec_a, vec_b,
+       |  CASE WHEN d2_orig = 0.0 THEN NULL
+       |    ELSE ROUND(d2_proj / d2_orig, 4) END AS d2_ratio
+       |FROM pairs ORDER BY vec_a""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // X32 — cross-document repeated-SUBSTRING detection (the span-level
   // member of the dedup family, after Lee et al.'s "deduplicating
   // training data" — exact repeated token spans, not whole docs or
@@ -1630,6 +1729,7 @@ object DedupSim {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("x19_quantize_error", Some(x19Sql), x19),
+    QueryDef("x53_jl_projection", Some(x53Sql), x53),
     QueryDef("x32_substring_dedup", Some(x32Sql), x32),
     QueryDef("x33_semdedup", Some(x33Sql), x33),
     QueryDef("x14_decontamination", Some(x14Sql), x14),

@@ -150,6 +150,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "w04_curation_funnel" -> 6,
     "w05_neardup_funnel" -> 7,
     "x52_zorder_layout" -> 5,
+    "x53_jl_projection" -> 3,
     "x01_dedup_exact" -> 2,
     "x02_dedup_minhash_lsh" -> 9,
     // signature agg + banded candidate join + verify-stage
