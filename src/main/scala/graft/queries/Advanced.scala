@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.Num._
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1277,8 +1278,70 @@ object Advanced {
        |    / CAST(SUM(n) AS DOUBLE), 4) AS scan_frac
        |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q48 — quantile-sketch error contract: the GK sketch
+  // (percentile_approx, accuracy 100 ⇒ rank error ≤ n/100) audited
+  // against the EXACT histogram-kernel median, q26c-style. The sketch
+  // is the mergeable, bounded-memory path a 100 TB percentile runs
+  // (one pass, no per-group value buffers); the contract row proves —
+  // and the driver gate re-proves every round — that its answer's
+  // true rank sits within the guarantee of the target rank. The
+  // sketch value itself is engine-specific, so what crosses the
+  // oracle is n_rows, the exact p50 (shared q15 kernel), and the
+  // bound verdict; DuckDB asserts TRUE like q26c/q38b.
+  //
+  // Scale shape: sketch agg (one pass, partial-merged), rank-of-
+  // answer via a second conditional-count pass against the broadcast
+  // 3-row sketch output, exact median on the histogram path — all
+  // group-keyed shuffles on the 3-value flag domain.
+  // ---------------------------------------------------------------------
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("x"), lit(0.5), lit(100)).as("apx"),
+        count(lit(1)).as("n_rows"))
+    val exact = {
+      val hist = li.groupBy(col("l_returnflag"), col("x"))
+        .agg(count(lit(1)).as("c")).cut(false)
+      Relational.histCum(hist, "l_returnflag", "x")
+        .groupBy(col("l_returnflag"))
+        .agg(Relational.histPct(0.5, "x").as("p50_exact"))
+    }
+    val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("x") < col("apx"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("x") <= col("apx"), 1L).otherwise(0L)).as("r_le"))
+    // the sketch returns an ELEMENT; with duplicates its rank is the
+    // interval [r_lt+1, r_le] — within bound iff that interval meets
+    // target ± (n/100 + 1)
+    val target = lit(1.0) + (col("n_rows") - 1L).cast("double") * 0.5
+    val slack = col("n_rows").cast("double") / 100.0 + 1.0
+    approx.join(ranks, Seq("l_returnflag"))
+      .join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"), col("p50_exact"),
+        ((col("r_lt") + 1L).cast("double") <= target + slack &&
+          col("r_le").cast("double") >= target - slack)
+          .as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+  private def q48Sql: String =
+    s"""WITH hist AS (
+       |  SELECT l_returnflag, l_extendedprice AS x, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, x,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum_hi,
+       |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS nn
+       |  FROM hist)
+       |SELECT l_returnflag, CAST(MIN(nn) AS BIGINT) AS n_rows,
+       |  ${Relational.sqlHistPct("0.5", "x")} AS p50_exact,
+       |  TRUE AS within_bound
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),
+    QueryDef("q48_quantile_sketch_bound", Some(q48Sql), q48),
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
     QueryDef("q21_exists_semijoin", Some(q21Sql), q21),
