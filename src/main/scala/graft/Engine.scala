@@ -15,6 +15,7 @@ package graft
   * | SCD2 | `Engine.Scd2.merge` / `.seed` / `.asOf` | broadcast-able updates join + key-only anti-join; the large current side never shuffles |
   * | Entity resolution | `Engine.EntityResolution.resolve` | hash-keyed dedup + two-phase BIGINT surrogate minting; no driver state |
   * | Connected components | `Engine.ConnectedComponents.run` | large-star/small-star: O(log n) rounds regardless of graph diameter |
+  * | Near-dup dedup | `Engine.NearDup.{signatures, sigPairs, edges, clusters, dedupe}` | MinHash sigs in one HashAggregate; 4-band LSH (never all-pairs); O(log n)-round clustering; survivor cost bounded by dup volume |
   * | Segment dedup | `Engine.SegmentDedup.clean` | (doc, pos, hash64) triples only — raw text never shuffles |
   * | Bloom pruning | `Engine.BloomPrune.prune` | few-MB bitset probe fused into the scan's whole-stage codegen |
   * | Bucketed layout | `Engine.Bucketing.writeBucketed` / `.coPartition` | pay the key shuffle once at write time; later joins/aggs on the key plan with ZERO exchanges |
@@ -45,6 +46,7 @@ object Engine {
   val EntityResolution = etl.EntityResolution
   val ConnectedComponents = etl.ConnectedComponents
   // dedup + pruning + skew + layout
+  val NearDup = etl.NearDup
   val SegmentDedup = etl.SegmentDedup
   val BloomPrune = etl.BloomPrune
   val Skew = etl.Skew

@@ -1,0 +1,147 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reusable MinHash + LSH near-duplicate machinery — the library form
+  * of the x02/x51/w05 query kernels (every consumer shares ONE
+  * signature family, so estimates, error audits, and the funnel can
+  * never drift apart).
+  *
+  * Input contract for every entry point: a DataFrame with columns
+  * `doc_id` (numeric, unique) and `text` (string). Select/rename
+  * before calling. Docs with fewer than 3 words have no word-3-gram
+  * shingles and are treated as unique (they never cluster).
+  *
+  * Scale contract: signatures are 16 min-aggregates in one codegen'd
+  * HashAggregate over the exploded (doc_id, h) relation (no
+  * permutation join, no array state); candidates come from the 4-band
+  * LSH join (never all-pairs); clustering is large-star/small-star
+  * connected components (O(log n) rounds at any graph diameter);
+  * [[dedupe]]'s survivor window runs over CLUSTERED docs only, so its
+  * cost is bounded by duplicate volume, not corpus size. Shingle text
+  * never shuffles — only 64-bit hashes do.
+  *
+  * Tuning: k = 16 signature slots in 4 bands × 4 rows puts the
+  * s-curve's knee near J ≈ 0.6; the default [[DefaultMinSig]] = 12/16
+  * verify gate keeps pairs with estimated J ≥ 0.75. For a stricter
+  * corpus pass, raise `minSig`; for recall-first candidate mining,
+  * read [[sigPairs]] directly.
+  */
+object NearDup {
+
+  /** MinHash permutation constants (k=16, 4 bands × 4 rows).
+    * Multipliers must be LARGE: with a small `a`, `a·h + b mod P` is
+    * order-preserving over most of the hash range, so every slot's
+    * min collapses to the same argmin(h) and the 16 "independent"
+    * permutations correlate almost perfectly — x51's error audit
+    * caught exactly that (est ≈ 0.94 on near-disjoint sets) when
+    * these were the first 16 odd primes. Fixed large constants
+    * < P = 2³¹−1 keep a·h < 2⁶² (no Long/BIGINT overflow in either
+    * engine). */
+  val A: Seq[Long] = Seq(1103515245L, 1931083987L, 1203114875L,
+    1674265165L, 940312177L, 1569812341L, 2071453219L, 1215312861L,
+    1725127429L, 847612513L, 1411933441L, 1990744129L, 652821843L,
+    1352689153L, 2033321477L, 762934511L)
+  val B: Seq[Long] = Seq(1013904223L, 192093119L, 1727018333L,
+    414349043L, 881231617L, 1579231013L, 245113957L, 1902711133L,
+    663253381L, 1120481167L, 1811281861L, 537817247L, 1341595123L,
+    978312007L, 2040911437L, 301415261L)
+  val P: Long = 2147483647L
+
+  /** Signature-agreement threshold for a VERIFIED near-dup edge:
+    * ≥ 12 of 16 slots ⇒ estimated Jaccard ≥ 0.75. */
+  val DefaultMinSig = 12
+
+  /** Spark SQL: distinct word-3-gram shingles of `text` (0-based
+    * idx). The ≥ 3-words gate guarding it is load-bearing: sequence's
+    * step defaults to −1 when start > stop, so a 1-word doc would
+    * yield negative indices, not an empty list. */
+  val shingleSql: String =
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+      |       split(text, ' ')[i+2])))""".stripMargin.replace("\n", " ")
+
+  /** (doc_id, h): one row per distinct word-3-gram shingle, hashed by
+    * the native codegen'd polynomial fold (graft.functions.PolyHash —
+    * the oracle-portable 31-base mod-1e9+7 hash). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleSql)).as("shingle"))
+      .withColumn("h", graft.functions.PolyHash(col("shingle")))
+      .select("doc_id", "h")
+
+  /** k=16 MinHash signatures (columns m0..m15) from a (doc_id, h)
+    * shingle-hash relation: 16 min-aggregates in ONE codegen'd
+    * HashAggregate — a single map-side-combined pass, no permutation
+    * join, no array state. */
+  def signaturesFromHashes(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map { j =>
+      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** [[signaturesFromHashes]] ∘ [[shingleHashes]]. */
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromHashes(shingleHashes(docs))
+
+  /** 4-band × 4-row LSH candidate pairs (doc_a < doc_b, distinct)
+    * from [[signaturesFromHashes]] output — the banded join that
+    * replaces the O(n²) all-pairs scan. */
+  def candidates(sigs: DataFrame): DataFrame = {
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", (0 until 4).map(r =>
+        col(s"m${4 * b + r}").cast("string")): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Every LSH candidate pair with its signature-agreement count
+    * (doc_a, doc_b, sig_matches ∈ 0..16; estimated Jaccard =
+    * sig_matches / 16). */
+  def sigPairs(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val cand = candidates(sigs)
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .withColumn("sig_matches",
+        (0 until 16).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select("doc_a", "doc_b", "sig_matches")
+  }
+
+  /** Verified near-dup edge relation: candidates whose signature
+    * agreement clears `minSig` of 16. */
+  def edges(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame =
+    sigPairs(docs).filter(col("sig_matches") >= minSig)
+      .select("doc_a", "doc_b")
+
+  /** (doc_id, cluster_id) for every doc in a near-dup cluster
+    * (cluster_id = the cluster's minimum doc_id). Docs with no
+    * verified near-dup don't appear. */
+  def clusters(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame =
+    ConnectedComponents.run(Checkpoints.cut(edges(docs, minSig)))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** The corpus with near-duplicates removed: every input row except
+    * cluster members other than their cluster's min-doc_id survivor.
+    * Preserves all input columns. */
+  def dedupe(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame = {
+    val removed = clusters(docs, minSig)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(removed, Seq("doc_id"), "left_anti")
+  }
+}

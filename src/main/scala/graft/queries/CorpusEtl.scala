@@ -202,9 +202,9 @@ object CorpusEtl {
   //
   // Scale shape: the edge generator is banded/bucketed (never
   // all-pairs); CC shuffles only the EDGE relation per round; the
-  // survivor flag is a window over the clustered docs ONLY (bounded by
-  // dup volume, not corpus size — unclustered docs never enter the
-  // window); the final card is one partial-agg pass over the corpus
+  // survivor flag is a row-local equality on CC's min-label contract
+  // (doc_id = cluster_id — no window); the final card is one
+  // partial-agg pass over the corpus
   // left-joined with the small flag relation (join unhinted: dup
   // volume grows with the corpus). The edge relation is
   // lineage-cut once (Checkpoints.cut — localCheckpoint by default,
@@ -217,9 +217,10 @@ object CorpusEtl {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val edges = graft.etl.Checkpoints.cut(DedupSim.neardupEdges(s, d))
     val cc = graft.etl.ConnectedComponents.run(edges)
+    // CC's contract makes cluster_id the component's MIN doc_id, so
+    // the survivor test is an equality — no window, no extra shuffle
     val flags = cc.select(col("id").as("doc_id"), col("cluster_id"))
-      .withColumn("is_survivor", col("doc_id") ===
-        min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
     val ann = corpus.join(flags, Seq("doc_id"), "left")
       .withColumn("kept", coalesce(col("is_survivor"), lit(true)))
     val card = ann.agg(
@@ -251,8 +252,7 @@ object CorpusEtl {
        |    ON u.a = reach.r),
        |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
        |flags AS (
-       |  SELECT id, cluster_id,
-       |    id = MIN(id) OVER (PARTITION BY cluster_id) AS is_survivor
+       |  SELECT id, cluster_id, id = cluster_id AS is_survivor
        |  FROM cc),
        |ann AS (
        |  SELECT c.doc_id,

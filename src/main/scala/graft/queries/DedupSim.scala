@@ -28,11 +28,10 @@ object DedupSim {
   // ---------------------------------------------------------------------
   // Shared shingling fragments (word 3-gram shingles + polynomial hash)
   // ---------------------------------------------------------------------
-  /** Spark SQL: distinct word-3-gram shingles of `text` (0-based idx). */
-  private val sparkShingles =
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
-      |       split(text, ' ')[i+2])))""".stripMargin.replace("\n", " ")
+  /** Spark SQL: distinct word-3-gram shingles of `text` (0-based idx).
+    * Defined in the [[graft.etl.NearDup]] library module; aliased here
+    * so the oracle fragments below stay next to their Spark twins. */
+  private val sparkShingles = graft.etl.NearDup.shingleSql
 
   /** DuckDB: same shingles (1-based idx). */
   private val duckShingles =
@@ -50,24 +49,13 @@ object DedupSim {
        |  (acc, c) -> (acc * 31 + c) % 1000000007))"""
       .stripMargin.replace("\n", " ")
 
-  /** MinHash permutation constants (k=16, 4 bands × 4 rows).
-    * Multipliers must be LARGE: with a small `a`, `a·h + b mod P` is
-    * order-preserving over most of the hash range, so every slot's
-    * min collapses to the same argmin(h) and the 16 "independent"
-    * permutations correlate almost perfectly — x51's error audit
-    * caught exactly that (est ≈ 0.94 on near-disjoint sets) when
-    * these were the first 16 odd primes. Fixed large constants
-    * < P = 2³¹−1 keep a·h < 2⁶² (no Long/BIGINT overflow in either
-    * engine). */
-  private val A = Seq(1103515245L, 1931083987L, 1203114875L,
-    1674265165L, 940312177L, 1569812341L, 2071453219L, 1215312861L,
-    1725127429L, 847612513L, 1411933441L, 1990744129L, 652821843L,
-    1352689153L, 2033321477L, 762934511L)
-  private val B = Seq(1013904223L, 192093119L, 1727018333L,
-    414349043L, 881231617L, 1579231013L, 245113957L, 1902711133L,
-    663253381L, 1120481167L, 1811281861L, 537817247L, 1341595123L,
-    978312007L, 2040911437L, 301415261L)
-  private val P = 2147483647L
+  /** MinHash permutation constants — see [[graft.etl.NearDup.A]] for
+    * the large-multiplier rationale (x51's bias postmortem). Aliased
+    * so [[duckMinhashCtes]] interpolates the SAME family the library
+    * computes with. */
+  private val A = graft.etl.NearDup.A
+  private val B = graft.etl.NearDup.B
+  private val P = graft.etl.NearDup.P
 
   // ---------------------------------------------------------------------
   // X1 — exact deduplication: hash-groupBy on a normalized key, keep the
@@ -102,35 +90,16 @@ object DedupSim {
     docs.unionByName(dups)
   }
 
-  /** k=16 MinHash signatures (columns m0..m15) from a (doc_id, h)
-    * shingle-hash relation: 16 min-aggregates in ONE codegen'd
-    * HashAggregate — a single map-side-combined pass, no permutation
-    * join, no array state. Shared by x02 (candidates) and x51 (error
-    * audit), so the two always see the SAME signature family. */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val minCols = (0 until 16).map { j =>
-      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
-    }
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-  }
+  /** k=16 MinHash signatures — [[graft.etl.NearDup.signaturesFromHashes]];
+    * shared by x02 (candidates) and x51 (error audit), so the two
+    * always see the SAME signature family. */
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    graft.etl.NearDup.signaturesFromHashes(sh)
 
-  /** 4-band × 4-row LSH candidate pairs (doc_a < doc_b, distinct)
-    * from [[minhashSigs]] output — the banded join that replaces the
-    * O(n²) all-pairs scan. */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws("_", (0 until 4).map(r =>
-        col(s"m${4 * b + r}").cast("string")): _*)
-    }: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band", "band_key")))
-    bands.select(col("doc_id").as("doc_a"),
-        col("band"), col("band_key"))
-      .join(bands.select(col("doc_id").as("doc_b"),
-        col("band"), col("band_key")), Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  /** 4-band × 4-row LSH candidate pairs —
+    * [[graft.etl.NearDup.candidates]]. */
+  private def lshCandidates(sigs: DataFrame): DataFrame =
+    graft.etl.NearDup.candidates(sigs)
 
   /** The matching DuckDB CTE chain (`sigs`, `bands`, `keyed`, `cand`)
     * over a `corpus`(doc_id, text) CTE already in scope — the SQL
@@ -167,53 +136,25 @@ object DedupSim {
        |    AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Relational MinHash: explode shingles, one polynomial hash per
-    * (doc, shingle) row, regroup hashes per doc, then ONE small
-    * expression builds the 16-slot signature from the materialized
-    * `hashes` column (the column reference keeps the Catalyst tree tiny
-    * — inlining the whole chain as nested array lambdas blows analysis
-    * up). Shuffles: shingle distinct, per-doc regroup, LSH band join —
-    * never an O(n²) cross join.
-    *
-    * [[sigPairs]] is the shared kernel: every LSH candidate pair with
-    * its signature-agreement count. x02 reports it; [[neardupEdges]]
-    * thresholds it into a verified edge relation for w05's funnel —
-    * so all MinHash consumers (x02, x51, w05) see the SAME signature
-    * family and candidate generator. */
-  private[queries] def sigPairs(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.fanout(minhashCorpus(s, d))
-      .filter(size(split(col("text"), " ")) >= 3)
-    val shingleRows = corpus
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
-    // native codegen'd hash — same values as the SQL-lambda polynomial
-    // fold, one tight loop per row (the 100 TB hot path)
-    val hashed = shingleRows.withColumn("h",
-      graft.functions.PolyHash(col("shingle")))
-    val sigs = minhashSigs(hashed)
-    val cand = lshCandidates(sigs)
-    val sigA = sigs.select(col("doc_id").as("doc_a") +:
-      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
-    val sigB = sigs.select(col("doc_id").as("doc_b") +:
-      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
-    cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
-      .withColumn("sig_matches",
-        (0 until 16).map(j =>
-          when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
-          .reduce(_ + _))
-      .select("doc_a", "doc_b", "sig_matches")
-  }
+  /** [[sigPairs]] is the shared kernel (the [[graft.etl.NearDup]]
+    * library applied to the planted-dup corpus): every LSH candidate
+    * pair with its signature-agreement count. x02 reports it;
+    * [[neardupEdges]] thresholds it into a verified edge relation for
+    * w05's funnel — so all MinHash consumers (x02, x51, w05) see the
+    * SAME signature family and candidate generator. See NearDup's
+    * scaladoc for the relational-formulation rationale. */
+  private[queries] def sigPairs(s: SparkSession, d: String): DataFrame =
+    graft.etl.NearDup.sigPairs(Tables.fanout(minhashCorpus(s, d)))
 
   /** Signature-agreement threshold for a VERIFIED near-dup edge:
     * ≥ 12 of 16 slots ⇒ estimated Jaccard ≥ 0.75. */
-  private[queries] val NeardupMinSig = 12
+  private[queries] val NeardupMinSig = graft.etl.NearDup.DefaultMinSig
 
   /** Verified near-duplicate edge relation (doc_a, doc_b) — the x02
     * candidates hardened by the [[NeardupMinSig]] agreement gate.
     * Input to w05's connected-components clustering. */
   private[queries] def neardupEdges(s: SparkSession, d: String): DataFrame =
-    sigPairs(s, d)
-      .filter(col("sig_matches") >= NeardupMinSig)
-      .select("doc_a", "doc_b")
+    graft.etl.NearDup.edges(Tables.fanout(minhashCorpus(s, d)))
 
   private def x02(s: SparkSession, d: String): DataFrame =
     sigPairs(s, d)
@@ -264,14 +205,10 @@ object DedupSim {
   // candidates keep a row via left join + COALESCE 0 (x49's rule).
   // ---------------------------------------------------------------------
   private def x51(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.fanout(minhashCorpus(s, d))
-      .filter(size(split(col("text"), " ")) >= 3)
-    // per-doc DISTINCT shingle hashes (sparkShingles dedups per doc):
+    // per-doc DISTINCT shingle hashes (shingleHashes dedups per doc):
     // three consumers — signatures, sizes, pair intersect
-    val sh = corpus
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
-      .withColumn("h", graft.functions.PolyHash(col("shingle")))
-      .select("doc_id", "h")
+    val sh = graft.etl.NearDup
+      .shingleHashes(Tables.fanout(minhashCorpus(s, d)))
       .cut(false)
     val sigs = minhashSigs(sh)
     val cand = lshCandidates(sigs)

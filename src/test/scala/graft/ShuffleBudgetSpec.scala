@@ -148,7 +148,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "w02_full_etl" -> 0,
     "w03_corpus_etl" -> 3,
     "w04_curation_funnel" -> 6,
-    "w05_neardup_funnel" -> 7,
+    "w05_neardup_funnel" -> 6,
     "x52_zorder_layout" -> 5,
     "x53_jl_projection" -> 3,
     "q48_quantile_sketch_bound" -> 6,
