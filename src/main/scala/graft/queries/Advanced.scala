@@ -1339,9 +1339,60 @@ object Advanced {
        |  TRUE AS within_bound
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q49 — k-anonymity audit: before a user-data table feeds a training
+  // corpus, how re-identifiable are its rows under a quasi-identifier
+  // combination? Classes = GROUP BY (nationkey, mktsegment,
+  // floor(acctbal/100)); a row in a class smaller than k = 5 is
+  // at-risk (the standard k-anonymity criterion). Reported per
+  // segment: rows, classes, smallest class, classes/rows below k, and
+  // the at-risk fraction — the numbers a release review asks for.
+  //
+  // Scale shape: one partial-agg shuffle on the quasi-id grain (class
+  // sizes), one on the 5-value segment grain — the raw table never
+  // moves twice and nothing is driver-side. floor() on DOUBLE is
+  // IEEE-identical across engines; everything else is integer.
+  // ---------------------------------------------------------------------
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val k = 5L
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 100.0).as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class_size"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L))
+          .as("rows_below_k"))
+      .withColumn("risk_frac",
+        round(col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy("c_mktsegment")
+  }
+  private val q49Sql =
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    FLOOR(c_acctbal / 100.0) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  MIN(n) AS min_class_size,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_k,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k,
+      |  ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(n) AS DOUBLE), 4) AS risk_frac
+      |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),
     QueryDef("q48_quantile_sketch_bound", Some(q48Sql), q48),
+    QueryDef("q49_k_anonymity", Some(q49Sql), q49),
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
     QueryDef("q21_exists_semijoin", Some(q21Sql), q21),
