@@ -840,6 +840,96 @@ object DedupSim {
   // sign-LSH buckets as x05b (a positively-scaled copy provably lands in
   // its original's bucket), exact cosine ≥ 0.95 confirms. Never O(n²).
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // X55 — SEMANTIC decontamination: the embedding-space counterpart of
+  // x14/x44's n-gram checks. Paraphrased eval leakage shares no
+  // 3-grams but sits next to its source in embedding space — modern
+  // curation checks both. Eval = vec_id % 97 = 0 (x14's convention);
+  // train = the rest ∪ planted 1.001-scaled copies of every eval vec
+  // (cosine-preserving — the provable leak). One shared sign-LSH
+  // index over train ∪ eval (x05b's capped buckets), candidates from
+  // bucket equality only (never all-pairs), exact cosine ≥ 0.9 flags
+  // contamination. Every eval vec keeps a row via left join +
+  // COALESCE 0 (x49's rule); bucket-cap drops trade recall for the
+  // x03b skew guarantee, same as the rest of the family.
+  // ---------------------------------------------------------------------
+  private def x55(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val evalSet = base.filter(col("vec_id") % 97 === 0)
+    val corpus = base.filter(col("vec_id") % 97 =!= 0)
+      .unionByName(evalSet.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(emb, x -> x * 1.001)").as("emb")))
+      .unionByName(evalSet)
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+    // index sizing over the column-pruned un-normed union (x10's rule)
+    val nplanes = adaptivePlanes(corpus.select("vec_id").count())
+    val vecs = signBucketsCapped(corpus, "emb", nplanes)
+    val q = vecs.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val t = vecs.filter(col("vec_id") % 97 =!= 0)
+    val agg = t.join(q, Seq("bucket"))
+      .withColumn("cos", DotProduct(col("emb"), col("q_emb")) /
+        (col("norm") * col("q_norm")))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("cos") >= 0.9, 1L).otherwise(0L))
+        .as("n_contam"), round(max(col("cos")), 4).as("max_cos"))
+    evalSet.select(col("vec_id").as("q_id"))
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        col("max_cos"),
+        (coalesce(col("n_contam"), lit(0L)) > 0L).as("is_contaminated"))
+      .orderBy("q_id")
+  }
+  private def x55Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id, emb FROM base WHERE vec_id % 97 = 0),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base WHERE vec_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 1.001)
+       |  FROM ev
+       |  UNION ALL
+       |  SELECT vec_id, emb FROM ev),
+       |e AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM corpus),
+       |planes AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("corpus")} - 1))
+       |    AS p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("emb", "p.p", 64, spark = false)} > 0
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN planes p
+       |  GROUP BY 1),
+       |vecs AS (
+       |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id,
+       |    ${duckDot.format("t.emb", "q.emb")} / (t.norm * q.norm) AS cos
+       |  FROM vecs t JOIN vecs q ON t.bucket = q.bucket
+       |  WHERE q.vec_id % 97 = 0 AND t.vec_id % 97 <> 0),
+       |agg AS (
+       |  SELECT q_id,
+       |    CAST(SUM(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_contam,
+       |    ROUND(MAX(cos), 4) AS max_cos
+       |  FROM pairs GROUP BY 1)
+       |SELECT ev.vec_id AS q_id,
+       |  COALESCE(a.n_contam, 0) AS n_contam, a.max_cos,
+       |  COALESCE(a.n_contam, 0) > 0 AS is_contaminated
+       |FROM ev LEFT JOIN agg a ON a.q_id = ev.vec_id
+       |ORDER BY q_id""".stripMargin
+
   private def x10(s: SparkSession, d: String): DataFrame = {
     val base = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"),
@@ -1667,6 +1757,7 @@ object DedupSim {
   val all: Seq[QueryDef] = Seq(
     QueryDef("x19_quantize_error", Some(x19Sql), x19),
     QueryDef("x53_jl_projection", Some(x53Sql), x53),
+    QueryDef("x55_semantic_decontam", Some(x55Sql), x55),
     QueryDef("x32_substring_dedup", Some(x32Sql), x32),
     QueryDef("x33_semdedup", Some(x33Sql), x33),
     QueryDef("x14_decontamination", Some(x14Sql), x14),
