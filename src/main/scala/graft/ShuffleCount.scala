@@ -24,7 +24,12 @@ object ShuffleCount {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.defs.sortBy(_.name).foreach { q =>
+    // optional 2nd arg: comma-separated name filter (audit one query
+    // without replanning all 185)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    SparkEntry.defs.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name)))
+      .foreach { q =>
       val n = shuffles(q.run(spark, sfDir).queryExecution.executedPlan
         .toString)
       println(s"""    "${q.name}" -> $n,""")

@@ -48,7 +48,11 @@ class PlanAuditSpec extends SparkSpec {
     "w05_neardup_funnel" -> ("card crossJoin a SINGLE-ROW dup-pairs " +
       "count aggregate (1×1 by construction, q14's scalar pattern)"),
     "x52_zorder_layout" -> ("rows crossJoin a SINGLE-ROW min/max " +
-      "aggregate (n×1 broadcast scalar, a17's pattern)"))
+      "aggregate (n×1 broadcast scalar, a17's pattern)"),
+    "x55_semantic_decontam" -> ("same bounded plane-index relation as " +
+      "x05_knn_lsh/x10: signBucketsCapped broadcasts ≤62 plane rows " +
+      "(DedupSim.scala signBucketsCapped); candidates come only from " +
+      "bucket-equality hash joins"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

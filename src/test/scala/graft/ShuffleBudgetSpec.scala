@@ -200,6 +200,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x31_vocab_oov" -> 5,
     "x32_substring_dedup" -> 7,
     "x33_semdedup" -> 10,
+    // structural: the shared signBucketsCapped vecs lineage appears
+    // once per consumer (q slice, train slice, and the left-join
+    // spine), like x10/x33; runtime shuffles are far fewer
+    "x55_semantic_decontam" -> 20,
+    // one signature agg feeding both bandings via lazy cuts + one
+    // (band, band_key) shuffle and one verify join per banding
+    "x56_lsh_banding" -> 7,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
