@@ -50,8 +50,13 @@ object BloomPrune {
   def mightContain(bf: BloomFilter)(c: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
+    // cast the probe to long: BloomFilterMightContain type-checks a
+    // LongType child only, while build() happily ingests int keys via
+    // putLong — without the cast an IntegerType probe column fails
+    // analysis. The cast preserves hash semantics (putLong both sides).
     Bridge.column(BloomFilterMightContain(
-      Literal(bos.toByteArray, BinaryType), Bridge.expression(c)))
+      Literal(bos.toByteArray, BinaryType),
+      Bridge.expression(c.cast("long"))))
   }
 
   /** Prune `probe` down to rows whose `probeKey` might match a key in

@@ -42,10 +42,25 @@ object Bucketing {
 
   /** True iff `df`'s physical plan contains no shuffle exchange — the
     * co-location proof (broadcast exchanges don't count; they are the
-    * cheap kind). */
+    * cheap kind). Walks the plan tree (descending into AQE wrappers,
+    * query stages and reused exchanges) rather than string-matching
+    * the rendering, so the proof can't go vacuously true if the plan
+    * text format changes. */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString
-      .contains("Exchange hashpartitioning")
+    shuffleNodes(df.queryExecution.executedPlan) == 0
+
+  private def shuffleNodes(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      shuffleNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      shuffleNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      shuffleNodes(r.child)
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      1 + e.children.map(shuffleNodes).sum
+    case other => other.children.map(shuffleNodes).sum
+  }
 
   /** Re-bucket two UNBUCKETED relations onto the same key
     * distribution for a multi-consumer co-located join session:

@@ -56,6 +56,27 @@ object Checkpoints {
     }
   }
 
+  /** Release the storage behind a Dataset previously returned by
+    * [[cut]], once NOTHING will read it again (e.g. the previous
+    * round of an iterative loop after the next round materialized).
+    * Reliable mode: deletes the checkpoint files — without this a
+    * converged CC run leaves ~rounds+1 directories under the
+    * configured root forever. Local mode: unpersists the cached
+    * blocks backing the localCheckpoint. No-op for non-cut inputs.
+    * (Alternative for GC-driven cleanup: start the context with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; release
+    * is deterministic and needs no context conf.) */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.backingRdd(df).foreach { r =>
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      r.unpersist(blocking = false)
+    }
+
   /** Chainable form: `df.cut(false)` ≡ `Checkpoints.cut(df, false)` —
     * drop-in replacement for `.localCheckpoint(...)` call sites. */
   implicit class CutOps(private val df: DataFrame) extends AnyVal {

@@ -59,6 +59,11 @@ object ConnectedComponents {
       val nextCount = next.count()
       done = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // round N is materialized and the fixpoint test above was the
+      // last reader of round N-1 — release its checkpoint storage
+      // (files in reliable mode, blocks in local mode) so a converged
+      // run doesn't leave ~rounds+1 checkpoint directories behind.
+      Checkpoints.release(e)
       e = next
       eCount = nextCount
       rounds += 1

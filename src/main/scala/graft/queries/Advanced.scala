@@ -740,13 +740,21 @@ object Advanced {
     val ord = Bucketing.writeBucketed(
       Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
       s"j18_ord_$tag", s"$base/ord", "o_orderkey", BucketN)
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val out = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_totalprice"))
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(100)
+    // Dataset construction already ran the analyzer, so the plan holds
+    // resolved file relations — drop the catalog entries NOW instead
+    // of leaking two tables per sf-dir into the default database. The
+    // parquet stays at its fixed per-sf path (≤ 1 copy; the next run's
+    // overwrite reclaims it), so the lazy plan still executes.
+    Bucketing.drop(s, s"j18_li_$tag")
+    Bucketing.drop(s, s"j18_ord_$tag")
+    out
   }
   private val j18Sql =
     s"""SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
@@ -1217,9 +1225,13 @@ object Advanced {
         col("l_suppkey").cast("long").as("y"))
     val mm = li.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
       min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    // greatest(range, 1): on a degenerate constant column Spark's div
+    // yields NULLs while DuckDB's // raises — the guard makes both
+    // engines return sx=0 instead of diverging (same guard in the SQL)
     val scaled = li.crossJoin(broadcast(mm))
-      .select(expr("((x - xmin) * 65535) div (xmax - xmin)").as("sx"),
-        expr("((y - ymin) * 65535) div (ymax - ymin)").as("sy"))
+      .select(
+        expr("((x - xmin) * 65535) div greatest(xmax - xmin, 1)").as("sx"),
+        expr("((y - ymin) * 65535) div greatest(ymax - ymin, 1)").as("sy"))
     val tagged = scaled
       .select(lit("zorder").as("layout"),
         expr(s"(${zInterleave("sx", "sy", "div")}) div ${1L << 22}")
@@ -1250,8 +1262,8 @@ object Advanced {
        |  SELECT MIN(x) AS xmin, MAX(x) AS xmax,
        |    MIN(y) AS ymin, MAX(y) AS ymax FROM li),
        |scaled AS (
-       |  SELECT ((x - xmin) * 65535) // (xmax - xmin) AS sx,
-       |    ((y - ymin) * 65535) // (ymax - ymin) AS sy
+       |  SELECT ((x - xmin) * 65535) // GREATEST(xmax - xmin, 1) AS sx,
+       |    ((y - ymin) * 65535) // GREATEST(ymax - ymin, 1) AS sy
        |  FROM li CROSS JOIN mm),
        |tagged AS (
        |  SELECT 'zorder' AS layout,

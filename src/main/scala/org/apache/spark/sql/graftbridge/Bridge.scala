@@ -23,6 +23,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The materialized RDD backing a Dataset returned by
+    * `checkpoint()`/`localCheckpoint()` (analyzed plan = LogicalRDD),
+    * if any — lets callers release superseded checkpoint storage. */
+  def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Register a planner strategy on a live session (idempotent). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

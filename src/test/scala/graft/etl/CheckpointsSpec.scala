@@ -32,9 +32,40 @@ class CheckpointsSpec extends SparkSpec {
         .filter(p => java.nio.file.Files.isRegularFile(p))
         .count()
       assert(written > 0, "reliable mode must write checkpoint files")
+      // Superseded rounds are RELEASED as the loop advances: of the
+      // rounds+1 cuts the run made, only the final fixpoint's
+      // checkpoint may remain on disk — a converged run must not
+      // leave one directory per round behind.
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs == 1,
+        s"expected exactly the final round's checkpoint, found $rddDirs")
     } finally {
       spark.conf.unset(Checkpoints.DirConf)
       // Leave no dangling checkpoint-dir state for later suites.
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("x11 dup-cluster funnel end-to-end in reliable mode: identical " +
+      "results, checkpoints under the configured root") {
+    val run = graft.SparkEntry.queries("x11_dup_clusters")
+    val local = run(spark, sf).collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-x11").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val rel = run(spark, sf).collect().map(_.toString).toSeq
+      assert(rel == local,
+        "reliable-checkpoint mode must be a pure deployment switch")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, "the funnel's cuts must have gone durable")
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(dir))
     }
