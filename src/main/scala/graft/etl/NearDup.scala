@@ -22,13 +22,41 @@ import org.apache.spark.sql.functions._
   * cost is bounded by duplicate volume, not corpus size. Shingle text
   * never shuffles — only 64-bit hashes do.
   *
-  * Tuning: k = 16 signature slots in 4 bands × 4 rows puts the
-  * s-curve's knee near J ≈ 0.6; the default [[DefaultMinSig]] = 12/16
-  * verify gate keeps pairs with estimated J ≥ 0.75. For a stricter
-  * corpus pass, raise `minSig`; for recall-first candidate mining,
-  * read [[sigPairs]] directly.
+  * Tuning: the [[LshConfig]] default (4 bands × 4 rows of the k = 16
+  * family) puts the s-curve's knee near J ≈ 0.6; the default
+  * [[DefaultMinSig]] = 12/16 verify gate keeps pairs with estimated
+  * J ≥ 0.75. For a stricter corpus pass, raise `minSig`; for
+  * recall-first candidate mining, use a flatter banding (more bands,
+  * fewer rows — e.g. 8×2, knee ≈ 0.35) or read [[sigPairs]] directly.
   */
 object NearDup {
+
+  /** LSH banding configuration: `bands` bands of `rows` signature
+    * slots each (k = bands·rows ≤ 16 — the size of the fixed
+    * permutation family [[A]]/[[B]]), and the signature-agreement
+    * verify gate `minSig` (of k).
+    *
+    * The s-curve: P(candidate | Jaccard J) = 1 − (1 − J^rows)^bands,
+    * with knee (P = 1 − 1/e ≈ 0.63) at J ≈ (1/bands)^(1/rows):
+    *  - 8×2  → knee ≈ 0.35 (recall-first: flat, catches low-J pairs)
+    *  - 4×4  → knee ≈ 0.71 (the default: near-dup territory)
+    *  - 2×8  → knee ≈ 0.92 (precision-first: near-exact copies only)
+    * Because all bandings slice the SAME signature family, a match on
+    * an r-row band implies a match on its r'-row sub-bands — so for
+    * rows' | rows the candidate set of the finer banding contains the
+    * coarser's (NearDupSpec pins 4×4 ⊆ 8×2). */
+  final case class LshConfig(bands: Int, rows: Int, minSig: Int) {
+    val k: Int = bands * rows
+    require(bands >= 1 && rows >= 1 && k <= 16,
+      s"bands*rows must be in 1..16, got $bands x $rows")
+    require(minSig >= 0 && minSig <= k,
+      s"minSig must be in 0..$k, got $minSig")
+    /** Jaccard at the s-curve knee, (1/bands)^(1/rows). */
+    def knee: Double = math.pow(1.0 / bands, 1.0 / rows)
+  }
+
+  /** 4 bands × 4 rows, verify at 12/16 — the x02/x51/w05 family. */
+  val DefaultConfig: LshConfig = LshConfig(4, 4, minSig = 12)
 
   /** MinHash permutation constants (k=16, 4 bands × 4 rows).
     * Multipliers must be LARGE: with a small `a`, `a·h + b mod P` is
@@ -71,28 +99,33 @@ object NearDup {
       .withColumn("h", graft.functions.PolyHash(col("shingle")))
       .select("doc_id", "h")
 
-  /** k=16 MinHash signatures (columns m0..m15) from a (doc_id, h)
-    * shingle-hash relation: 16 min-aggregates in ONE codegen'd
+  /** k MinHash signatures (columns m0..m(k−1)) from a (doc_id, h)
+    * shingle-hash relation: k min-aggregates in ONE codegen'd
     * HashAggregate — a single map-side-combined pass, no permutation
     * join, no array state. */
-  def signaturesFromHashes(sh: DataFrame): DataFrame = {
-    val minCols = (0 until 16).map { j =>
+  def signaturesFromHashes(sh: DataFrame,
+      k: Int = DefaultConfig.k): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
+    val minCols = (0 until k).map { j =>
       min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"m$j")
     }
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
   /** [[signaturesFromHashes]] ∘ [[shingleHashes]]. */
-  def signatures(docs: DataFrame): DataFrame =
-    signaturesFromHashes(shingleHashes(docs))
+  def signatures(docs: DataFrame,
+      k: Int = DefaultConfig.k): DataFrame =
+    signaturesFromHashes(shingleHashes(docs), k)
 
-  /** 4-band × 4-row LSH candidate pairs (doc_a < doc_b, distinct)
-    * from [[signaturesFromHashes]] output — the banded join that
-    * replaces the O(n²) all-pairs scan. */
-  def candidates(sigs: DataFrame): DataFrame = {
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws("_", (0 until 4).map(r =>
-        col(s"m${4 * b + r}").cast("string")): _*)
+  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from
+    * [[signaturesFromHashes]] output — the banded join that replaces
+    * the O(n²) all-pairs scan. `cfg` picks the banding; the input
+    * must carry at least `cfg.k` signature columns. */
+  def candidates(sigs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame = {
+    val bandKeys = array((0 until cfg.bands).map { b =>
+      concat_ws("_", (0 until cfg.rows).map(r =>
+        col(s"m${cfg.rows * b + r}").cast("string")): _*)
     }: _*)
     val bands = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
@@ -104,42 +137,54 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Every LSH candidate pair with its signature-agreement count
-    * (doc_a, doc_b, sig_matches ∈ 0..16; estimated Jaccard =
-    * sig_matches / 16). */
-  def sigPairs(docs: DataFrame): DataFrame = {
-    val sigs = signatures(docs)
-    val cand = candidates(sigs)
+  /** Attach signature-agreement counts to a (doc_a, doc_b) candidate
+    * relation using an ALREADY-COMPUTED signature relation — the
+    * verify stage, factored out so multi-banding consumers (x56)
+    * reuse one signature pass instead of re-shingling per banding. */
+  def agreementOf(sigs: DataFrame, cand: DataFrame,
+      k: Int = DefaultConfig.k): DataFrame = {
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
-      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+      (0 until k).map(j => col(s"m$j").as(s"a$j")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:
-      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+      (0 until k).map(j => col(s"m$j").as(s"b$j")): _*)
     cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
       .withColumn("sig_matches",
-        (0 until 16).map(j =>
+        (0 until k).map(j =>
           when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
           .reduce(_ + _))
       .select("doc_a", "doc_b", "sig_matches")
   }
 
+  /** Every LSH candidate pair with its signature-agreement count
+    * (doc_a, doc_b, sig_matches ∈ 0..k; estimated Jaccard =
+    * sig_matches / k). */
+  def sigPairs(docs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame = {
+    val sigs = signatures(docs, cfg.k)
+    agreementOf(sigs, candidates(sigs, cfg), cfg.k)
+  }
+
   /** Verified near-dup edge relation: candidates whose signature
-    * agreement clears `minSig` of 16. */
-  def edges(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame =
-    sigPairs(docs).filter(col("sig_matches") >= minSig)
+    * agreement clears `cfg.minSig` of `cfg.k`. */
+  def edges(docs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame =
+    sigPairs(docs, cfg).filter(col("sig_matches") >= cfg.minSig)
       .select("doc_a", "doc_b")
 
   /** (doc_id, cluster_id) for every doc in a near-dup cluster
     * (cluster_id = the cluster's minimum doc_id). Docs with no
     * verified near-dup don't appear. */
-  def clusters(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame =
-    ConnectedComponents.run(Checkpoints.cut(edges(docs, minSig)))
+  def clusters(docs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame =
+    ConnectedComponents.run(Checkpoints.cut(edges(docs, cfg)))
       .select(col("id").as("doc_id"), col("cluster_id"))
 
   /** The corpus with near-duplicates removed: every input row except
     * cluster members other than their cluster's min-doc_id survivor.
     * Preserves all input columns. */
-  def dedupe(docs: DataFrame, minSig: Int = DefaultMinSig): DataFrame = {
-    val removed = clusters(docs, minSig)
+  def dedupe(docs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame = {
+    val removed = clusters(docs, cfg)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.join(removed, Seq("doc_id"), "left_anti")

@@ -189,6 +189,98 @@ object DedupSim {
        |FROM sigm ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X56 — LSH banding gate: the SAME k=16 signature family sliced two
+  // ways over the x02 corpus — the default 4 bands × 4 rows (s-curve
+  // knee J ≈ 0.71) and the recall-first 8 × 2 (knee ≈ 0.35). ONE
+  // signature pass (NearDup.signatures, lazily cut) feeds both
+  // bandings; the `escaped_flat` row pins the containment THEOREM —
+  // a 4-row band match forces both 2-row halves to match, so every
+  // 4×4 candidate must reappear under 8×2 (count 0, cell-exact in
+  // both engines). This is the generality gate for NearDup.LshConfig:
+  // the library's non-default configurations go through the oracle,
+  // not just a unit spec.
+  // Scale: signature agg once; per banding one (band, band_key)
+  // shuffle + the k-column verify join — still never all-pairs. The
+  // flat banding is the recall lever a curator turns when the corpus
+  // has heavy paraphrase duplication; this query prices it (candidate
+  // count vs verified count) before a full w05-style funnel run.
+  // ---------------------------------------------------------------------
+  private val FlatCfg = graft.etl.NearDup.LshConfig(8, 2, minSig = 12)
+
+  private def x56(s: SparkSession, d: String): DataFrame = {
+    val nd = graft.etl.NearDup
+    val sigs = nd.signatures(Tables.fanout(minhashCorpus(s, d))).cut(false)
+    val c44 = nd.candidates(sigs, nd.DefaultConfig).cut(false)
+    val c82 = nd.candidates(sigs, FlatCfg).cut(false)
+    def row(banding: String, metric: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(banding).as("banding"), lit(metric).as("metric"),
+          col("n"))
+    def verified(cand: DataFrame, minSig: Int): DataFrame =
+      nd.agreementOf(sigs, cand).filter(col("sig_matches") >= minSig)
+    row("4x4", "candidates", c44)
+      .unionByName(row("4x4", "escaped_flat",
+        c44.join(c82, Seq("doc_a", "doc_b"), "left_anti")))
+      .unionByName(row("4x4", "verified",
+        verified(c44, nd.DefaultConfig.minSig)))
+      .unionByName(row("8x2", "candidates", c82))
+      .unionByName(row("8x2", "verified", verified(c82, FlatCfg.minSig)))
+      .orderBy("banding", "metric")
+  }
+
+  /** DuckDB banded-candidate CTE fragment for `bands`×`rows` over the
+    * shared `sigs` CTE, names suffixed with `tag`. */
+  private def duckBandCtes(bands: Int, rows: Int, tag: String): String = {
+    val keyCols = (1 to rows).map(r => s"sig[$rows*band + $r]")
+      .mkString(", ")
+    s"""bands$tag AS (
+       |  SELECT doc_id, sig, unnest([${(0 until bands).mkString(", ")}])
+       |    AS band FROM sigs),
+       |keyed$tag AS (
+       |  SELECT doc_id, band, concat_ws('_', $keyCols) AS band_key
+       |  FROM bands$tag),
+       |cand$tag AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed$tag a JOIN keyed$tag b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |sigm$tag AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand$tag c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
+
+  private def x56Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |$duckMinhashCtes,
+       |${duckBandCtes(4, 4, "44")},
+       |${duckBandCtes(8, 2, "82")}
+       |SELECT * FROM (
+       |  SELECT '4x4' AS banding, 'candidates' AS metric,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM cand44
+       |  UNION ALL
+       |  SELECT '4x4', 'escaped_flat', CAST(COUNT(*) AS BIGINT)
+       |  FROM cand44 c LEFT JOIN cand82 f
+       |    ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b
+       |  WHERE f.doc_a IS NULL
+       |  UNION ALL
+       |  SELECT '4x4', 'verified', CAST(COUNT(*) AS BIGINT)
+       |  FROM sigm44 WHERE m >= ${graft.etl.NearDup.DefaultMinSig}
+       |  UNION ALL
+       |  SELECT '8x2', 'candidates', CAST(COUNT(*) AS BIGINT) FROM cand82
+       |  UNION ALL
+       |  SELECT '8x2', 'verified', CAST(COUNT(*) AS BIGINT)
+       |  FROM sigm82 WHERE m >= ${FlatCfg.minSig})
+       |ORDER BY banding, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X51 — MinHash error contract: for every x02 LSH candidate pair,
   // the 16-slot signature ESTIMATE next to the EXACT Jaccard of the
   // two shingle-hash sets, per-pair absolute error, and a fixed ±0.25
@@ -1777,6 +1869,7 @@ object DedupSim {
     QueryDef("x46_label_noise", Some(x46Sql), x46),
     QueryDef("x47_kmeans_step", Some(x47Sql), x47),
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
-    QueryDef("x18_knn_ivf", Some(x18Sql), x18)
+    QueryDef("x18_knn_ivf", Some(x18Sql), x18),
+    QueryDef("x56_lsh_banding", Some(x56Sql), x56)
   )
 }

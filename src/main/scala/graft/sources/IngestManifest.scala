@@ -53,15 +53,29 @@ object IngestManifest {
       "left_anti")
   }
 
+  /** Hard cap on paths [[newFiles]]/[[readNew]] will materialize on
+    * the driver. Path strings are ~100 B, so the default bounds the
+    * driver at ~10 MB; a lake whose single-run arrivals exceed it
+    * should be on [[processNew]] anyway. */
+  val DriverPathCap = 100000
+
   /** Paths under `dir` not yet recorded in the manifest. The anti-join
-    * runs distributed; only the new-batch paths come back. For lakes
-    * where even ONE run's arrivals can be millions of files, prefer
-    * [[processNew]] — it never materializes more than `batchSize`
-    * paths on the driver. */
-  def newFiles(spark: SparkSession, dir: String,
-      manifestDir: String): Seq[String] =
-    unseen(spark, dir, manifestDir)
+    * runs distributed; only the new-batch paths come back, and never
+    * more than `maxFiles` of them: the collect goes through a
+    * limit(maxFiles+1) — bounded BEFORE driver materialization — and
+    * overflow fails fast instead of silently processing a truncated
+    * batch. For lakes where one run's arrivals can exceed the cap use
+    * [[processNew]], which never holds more than `batchSize` paths. */
+  def newFiles(spark: SparkSession, dir: String, manifestDir: String,
+      maxFiles: Int = DriverPathCap): Seq[String] = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    val got = unseen(spark, dir, manifestDir).limit(maxFiles + 1)
       .collect().map(_.getString(0)).sorted.toSeq
+    require(got.size <= maxFiles,
+      s"more than $maxFiles unseen files under $dir — use " +
+        s"processNew(batchSize) for unbounded backlogs")
+    got
+  }
 
   /** Record `files` as processed (append-only; duplicates are deduped
     * by the read-side anti-join). Call AFTER the batch's output is
@@ -75,10 +89,12 @@ object IngestManifest {
 
   /** One incremental batch: a DataFrame over exactly the unprocessed
     * files (None when nothing is new) plus the commit thunk to run
-    * once the batch's output is durable. */
-  def readNew(spark: SparkSession, dir: String, manifestDir: String)
+    * once the batch's output is durable. Inherits [[newFiles]]'s
+    * driver cap — backlogs past `maxFiles` belong on [[processNew]]. */
+  def readNew(spark: SparkSession, dir: String, manifestDir: String,
+      maxFiles: Int = DriverPathCap)
       : Option[(DataFrame, () => Unit)] = {
-    val fresh = newFiles(spark, dir, manifestDir)
+    val fresh = newFiles(spark, dir, manifestDir, maxFiles)
     if (fresh.isEmpty) None
     else Some((spark.read.parquet(fresh: _*),
       () => commit(spark, manifestDir, fresh)))

@@ -45,11 +45,57 @@ class NearDupSpec extends SparkSpec {
   }
 
   test("edges tighten monotonically with minSig") {
-    val loose = NearDup.edges(docs, 1).count()
-    val strict = NearDup.edges(docs, 16).count()
+    val loose = NearDup.edges(docs,
+      NearDup.LshConfig(4, 4, minSig = 1)).count()
+    val strict = NearDup.edges(docs,
+      NearDup.LshConfig(4, 4, minSig = 16)).count()
     assert(strict <= loose)
     // exact copies agree on all 16 slots: the planted pairs survive
     // even the strictest gate
     assert(strict >= 4L) // (1,2),(1,3),(2,3),(10,11)
+  }
+
+  // a corpus with GRADED similarity so the bandings can disagree:
+  // base docs plus variants sharing a decreasing fraction of text
+  private lazy val graded = {
+    val base = (0 until 8).map(g =>
+      (g * 100L) -> mk(s"base$g alpha$g beta$g gamma$g delta$g", 6))
+    val vars = (0 until 8).flatMap { g =>
+      (1 to 3).map { v =>
+        (g * 100L + v) ->
+          (mk(s"base$g alpha$g beta$g gamma$g delta$g", 6 - v) + " " +
+            mk(s"noise$g$v filler$g$v extra$g$v pad$g$v", v))
+      }
+    }
+    (base ++ vars).toDF("doc_id", "text")
+  }
+
+  test("finer banding of the same family nests: 4x4 candidates are a " +
+      "subset of 8x2, and knees order recall-first < default < strict") {
+    val c44 = NearDup.candidates(NearDup.signatures(graded),
+      NearDup.LshConfig(4, 4, 12))
+      .as[(Long, Long)].collect().toSet
+    val c82 = NearDup.candidates(NearDup.signatures(graded),
+      NearDup.LshConfig(8, 2, 12))
+      .as[(Long, Long)].collect().toSet
+    // a 4-row band match forces both of its 2-row halves to match —
+    // guaranteed containment, not a statistical tendency
+    assert(c44.subsetOf(c82),
+      s"4x4 produced pairs outside 8x2: ${c44.diff(c82)}")
+    // the flat banding must actually widen the net on graded sims
+    assert(c82.size > c44.size,
+      s"expected extra low-J candidates from 8x2 (both ${c44.size})")
+    val knees = Seq(NearDup.LshConfig(8, 2, 12),
+      NearDup.DefaultConfig, NearDup.LshConfig(2, 8, 12)).map(_.knee)
+    assert(knees == knees.sorted && knees.distinct.size == 3)
+  }
+
+  test("non-default config end-to-end: 2x8 precision banding still " +
+      "recovers exact-copy clusters") {
+    val cl = NearDup.clusters(docs, NearDup.LshConfig(2, 8, minSig = 16))
+      .as[(Long, Long)].collect().toMap
+    assert(cl.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(Set(1L, 2L, 3L).forall(cl(_) == 1L))
+    assert(Set(10L, 11L).forall(cl(_) == 10L))
   }
 }

@@ -56,6 +56,24 @@ class IngestManifestSpec extends SparkSpec {
     assert(IngestManifest.readNew(spark, dir, manifest).isEmpty)
   }
 
+  test("newFiles is driver-bounded: overflow fails fast, cap is exact") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-cap")
+      .toString
+    val dir = s"$base/in"; val manifest = s"$base/manifest"
+    new java.io.File(dir).mkdirs()
+    (0 until 5).foreach(i => writeBatch(dir, f"f$i%02d", Seq(i.toLong)))
+
+    // backlog (5) above the cap (3): fail fast, steer to processNew —
+    // never silently truncate and never collect the full backlog
+    val ex = intercept[IllegalArgumentException] {
+      IngestManifest.newFiles(spark, dir, manifest, maxFiles = 3)
+    }
+    assert(ex.getMessage.contains("processNew"))
+    // backlog exactly at the cap: fine
+    assert(IngestManifest.newFiles(spark, dir, manifest, maxFiles = 5)
+      .size == 5)
+  }
+
   test("processNew streams discovery in bounded batches") {
     val base = java.nio.file.Files.createTempDirectory("ingest-b")
       .toString
