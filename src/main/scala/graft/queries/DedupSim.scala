@@ -837,40 +837,79 @@ object DedupSim {
 
   // ---------------------------------------------------------------------
   // X18 — IVF-flat ANN: the second classic scale path next to sign-LSH
-  // (x05b). A FIXED-SIZE coarse codebook (the 16 lowest vec_ids — never
-  // grows with sf, so its broadcast is safe at any scale) partitions the
-  // corpus into Voronoi cells by cosine distance; each query probes its
-  // nearest cells and ranks only those candidates. Shuffles: the
-  // cell-assignment argmin (keyed by vec_id; its 16× fan-out is bounded
-  // by the codebook size) and the candidate join (keyed by cluster) —
-  // never O(n²). Deterministic: argmin/probe/top-k all tie-break on id;
-  // cosines are bit-identical to DuckDB (native DotProduct, same fold).
+  // (x05b). The coarse codebook is TRAINED, not guessed: 16 hash-spread
+  // seeds (x47's multiplicative-ordering pick — evenly scattered over
+  // the id space, no locality bias) refined by 2 exact Lloyd steps
+  // ([[lloydStep]], x47's kernel) — so cells actually track the data's
+  // density instead of the first 16 rows' accidents. The codebook
+  // stays ≤ 16 rows at ANY sf (never grows with data), so its
+  // broadcast is safe at any scale; each query probes its nearest
+  // cells and ranks only those candidates. Shuffles: one per Lloyd
+  // step's (cluster, dim) mean, the cell-assignment argmin and the
+  // candidate join (keyed by cluster) — never O(n²). Deterministic:
+  // seeds/argmin/probe/top-k all tie-break on id, means are
+  // decimal-exact (partitioning-independent), so the trained codebook
+  // — and therefore every cosine — is bit-identical to DuckDB's.
   // ---------------------------------------------------------------------
   // nprobe=4 of 16 cells: on near-uniform synthetic embeddings the cell
   // structure is weak, so probing a quarter of the codebook buys recall
   // while still scanning ~1/4 of the corpus per query (the IVF contract)
   private val IvfK = 16
   private val IvfProbes = 4
+  private val IvfIters = 2
+
+  /** One exact Lloyd step over `e`(vec_id, emb, norm) given centroids
+    * (c_id, c_emb, c_norm): nearest-centroid assignment (broadcast +
+    * min_by — x47's shape) then per-(cluster, dim) decimal-exact means
+    * reassembled into centroid vectors with fresh norms. Deterministic
+    * under any partitioning; empty cells drop out. */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", lit(1.0) -
+        DotProduct(col("emb"), col("c_emb")) /
+          (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("emb").as("emb"), col("c_id").as("c_id")),
+        struct(col("dist"), col("c_id"))).as("b"))
+      .select(col("b.emb").as("emb"), col("b.c_id").as("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("coord"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, coord)))" +
+        ", s -> s.coord)").as("c_emb"))
+      .select(col("cluster").as("c_id"), col("c_emb"))
+      .withColumn("c_norm", sqrt(DotProduct(col("c_emb"), col("c_emb"))))
+  }
 
   private def x18(s: SparkSession, d: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(s, d))
-      .withColumn("norm",
-        sqrt(DotProduct(col("embedding"), col("embedding"))))
-    val cents = e.orderBy("vec_id").limit(IvfK)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+      .cut(false) // consumers: seeds, 2 Lloyd assigns, index, probes
+    val seeds = e
+      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+        % 1000000007L, col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
+    val cents = (1 to IvfIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+      .cut(false) // two consumers below; ≤ IvfK rows
     def cdist(v: Column, n: Column): Column =
       lit(1.0) - DotProduct(v, col("c_emb")) / (n * col("c_norm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist").asc, col("c_id"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist", cdist(col("embedding"), col("norm")))
+      .withColumn("dist", cdist(col("emb"), col("norm")))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
+      .select(col("vec_id"), col("emb"), col("norm"),
         col("c_id").as("cluster"))
     val probes = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
       .crossJoin(broadcast(cents))
       .withColumn("dist", cdist(col("q_emb"), col("q_norm")))
@@ -884,40 +923,74 @@ object DedupSim {
       .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", DotProduct(col("embedding"), col("q_emb")) /
+      .withColumn("cos", DotProduct(col("emb"), col("q_emb")) /
         (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select("q_id", "vec_id", "cluster", "rank", "cos")
       .orderBy("q_id", "rank")
   }
-  private val x18Sql =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-       |  FROM e ORDER BY vec_id LIMIT $IvfK),
-       |assigned AS (
-       |  SELECT vec_id, embedding, norm, c_id AS cluster FROM (
-       |    SELECT e.vec_id, e.embedding, e.norm, c.c_id,
+  /** DuckDB twin of [[lloydStep]]: assignment CTE (argmin over the
+    * `from` codebook) + decimal-exact per-(cluster, dim) means
+    * reassembled into the `to` codebook, names suffixed by `tag`. */
+  private def duckLloydCtes(from: String, tag: String): String =
+    s"""a$tag AS (
+       |  SELECT vec_id, emb, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        1.0 - ${duckDot.format("e.embedding", "c.c_emb")}
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
        |          / (e.norm * c.c_norm), c.c_id) AS rk
-       |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+       |    FROM e CROSS JOIN $from c) WHERE rk = 1),
+       |m$tag AS (
+       |  SELECT cluster, i,
+       |    CAST(CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS coord
+       |  FROM a$tag, unnest(generate_series(1, len(emb))) AS t(i)
+       |  GROUP BY 1, 2),
+       |v$tag AS (
+       |  SELECT cluster AS c_id, list(coord ORDER BY i) AS c_emb
+       |  FROM m$tag GROUP BY 1),
+       |c$tag AS (
+       |  SELECT c_id, c_emb,
+       |    sqrt(${duckDot.format("c_emb", "c_emb")}) AS c_norm
+       |  FROM v$tag)""".stripMargin
+
+  private lazy val x18Sql =
+    s"""WITH raw AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM raw),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM e ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
+       |  LIMIT $IvfK),
+       |${duckLloydCtes("seeds", "1")},
+       |${duckLloydCtes("c1", "2")},
+       |assigned AS (
+       |  SELECT vec_id, emb, norm, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, e.norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM e CROSS JOIN c2 c) WHERE rk = 1),
        |probes AS (
        |  SELECT q_id, q_emb, q_norm, c_id AS cluster FROM (
-       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+       |    SELECT e.vec_id AS q_id, e.emb AS q_emb,
        |      e.norm AS q_norm, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        1.0 - ${duckDot.format("e.embedding", "c.c_emb")}
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
        |          / (e.norm * c.c_norm), c.c_id) AS rk
-       |    FROM e CROSS JOIN cents c WHERE e.vec_id % 100 = 0)
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 100 = 0)
        |  WHERE rk <= $IvfProbes),
        |cand AS (
        |  SELECT p.q_id, a.vec_id, a.cluster,
-       |    ${duckDot.format("a.embedding", "p.q_emb")}
+       |    ${duckDot.format("a.emb", "p.q_emb")}
        |      / (a.norm * p.q_norm) AS cos
        |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
        |  WHERE a.vec_id <> p.q_id)

@@ -61,11 +61,17 @@ class AnnScalingSpec extends SparkSpec {
     val ivf = pairsOf("x18_knn_ivf")
     assert(brute.nonEmpty && ivf.nonEmpty)
     // both queries are deterministic, so recall is a constant of the
-    // dataset (0.52 at sf0.001 with nprobe=4/16 on near-uniform
-    // vectors); the floor guards against a broken cell assignment
-    // (recall would collapse toward k*nprobe/K/n ≈ noise)
+    // dataset. The UNTRAINED codebook (first-16-by-id centroids, the
+    // r5 design) measured 0.52 at sf0.001 with nprobe=4/16; training
+    // (hash-spread seeds + 2 exact Lloyd steps) lifts it to 0.64 on
+    // the same near-uniform vectors. The floor sits strictly above
+    // the untrained number: a regression that silently drops the
+    // training (or breaks cell assignment) fails here.
+    val untrainedRecall = 0.52
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall=$recall")
+    assert(recall > untrainedRecall,
+      s"recall=$recall — trained codebook must beat the fixed-16 " +
+        s"baseline ($untrainedRecall)")
   }
 
   test("over-full buckets are dropped by the skew cap") {

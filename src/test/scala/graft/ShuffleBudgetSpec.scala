@@ -184,7 +184,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x15_pii_redact" -> 1,
     "x16_repetition" -> 1,
     "x17_pack_chunks" -> 2,
-    "x18_knn_ivf" -> 10,
+    // 6 (was 10): the trained-codebook rewrite cuts the corpus and
+    // codebook lineages once each (lazy localCheckpoints), so shared
+    // subtrees stop being recounted per consumer; the Lloyd steps'
+    // (cluster, dim) aggs sit behind the cut
+    "x18_knn_ivf" -> 6,
     "x19_quantize_error" -> 2,
     "x20_segment_dedup" -> 4,
     "x21_tombstone_cascade" -> 6,
