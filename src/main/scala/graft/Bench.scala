@@ -32,6 +32,15 @@ import org.apache.spark.sql.SparkSession
   * each line carries `gc_sec` / `cpu_sec` / `load_avg` / `wall_sec` so
   * a contended or GC-bound harness run is visible in the artifact
   * itself instead of leaving a builder-vs-driver credibility gap.
+  *
+  * Dual-numbered (r6 postmortem — a broad ~1.25x ambient drift across
+  * unrelated queries needed a manual re-measurement to clear): for
+  * every row whose FIRST timed run cost >= 2.5 s, `insession` keeps
+  * that first number while `queries` carries the steady-state min
+  * from the GC-settled retime phases — drift is their ratio, provable
+  * from the artifact alone. Retime phases skip rows already confirmed
+  * steady (re-run within 15%), so the wall stays bounded as the query
+  * count grows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,6 +62,12 @@ object Bench {
     val tStart = System.nanoTime()
     var warmSec = 0.0
     var done = List.empty[(String, Double)]
+    // First timed-pass number per query, BEFORE any retime min — the
+    // r6 postmortem's ask: the artifact itself proves (or clears)
+    // ambient drift by carrying the in-session number NEXT TO the
+    // steady-state min for every expensive row, instead of leaving
+    // the gap to a builder-vs-driver re-measurement argument.
+    var firstRun = Map.empty[String, Double]
     def r3(v: Double): String = {
       val x = math.rint(v * 1000) / 1000
       if (x == x.toLong) x.toLong.toString else x.toString
@@ -84,10 +99,25 @@ object Bench {
         }
       }
       val qs = parts.result().mkString("{", ",", "}")
+      // In-session first-run times for the expensive rows (>= 2.5 s
+      // before retiming), slowest first, own small char budget:
+      // `queries` carries the steady-state min, this carries what the
+      // same session measured cold — the drift is their ratio.
+      var insBudget = 380
+      val ins = List.newBuilder[String]
+      firstRun.toSeq.filter(_._2 >= 2.5).sortBy(-_._2).foreach {
+        case (k, v) =>
+          val frag = "\"" + k + "\":" + r3(v)
+          if (insBudget - frag.length - 1 >= 0) {
+            ins += frag; insBudget -= frag.length + 1
+          }
+      }
+      val insJson = ins.result().mkString("{", ",", "}")
       val wall = (System.nanoTime() - tStart) / 1e9
       println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir","n_done":${all.size},""" +
         s""""n_omitted":$omitted,"omitted_sec":${r3(omittedSec)},""" +
+        s""""insession":$insJson,""" +
         s""""warm_sec":${r3(warmSec)},"gc_sec":${r3(gcSec)},""" +
         s""""cpu_sec":${r3(cpuSec)},"load_avg":${r3(loadAvg)},""" +
         s""""wall_sec":${r3(wall)}}""")
@@ -162,7 +192,9 @@ object Bench {
           -1.0
       }
     ordered.foreach { case (name, fn) =>
-      done = (name -> timeOne(name, fn)) :: done
+      val t = timeOne(name, fn)
+      firstRun += name -> t
+      done = (name -> t) :: done
       emit()
     }
     // Outlier re-time: a query's first timed run can land 3-5x its
@@ -177,6 +209,7 @@ object Bench {
     // and an unbounded retime pass would balloon the wall — the exact
     // failure the r4 warm sweep had. Exhausting the box loses only the
     // retimes that matter least (the worst rows re-measure first).
+    var confirmedSteady = Set.empty[String]
     def retime(threshold: Double, budgetSec: Double): Unit = {
       // The timed pass leaves every query's dropped localCheckpoint
       // blocks in the block manager until the ContextCleaner notices
@@ -185,12 +218,19 @@ object Bench {
       // lets the cleaner drain before the steady-state numbers.
       System.gc(); Thread.sleep(2000)
       val t0 = System.nanoTime()
-      val slow = done.filter(_._2 >= threshold).sortBy(-_._2).map(_._1)
+      val slow = done
+        .filter(x => x._2 >= threshold && !confirmedSteady(x._1))
+        .sortBy(-_._2).map(_._1)
       val fns = SparkEntry.queries
       slow.foreach { name =>
         if ((System.nanoTime() - t0) / 1e9 < budgetSec) {
+          val prev = done.find(_._1 == name).map(_._2).getOrElse(-1.0)
           val t2 = timeOne(name, fns(name))
           if (t2 >= 0) {
+            // within 15% of the recorded time = already steady; skip
+            // it in later phases instead of burning wall on a third
+            // run that can only confirm the same number
+            if (t2 >= prev * 0.85) confirmedSteady += name
             done = done.map { case (n, t) =>
               if (n == name) n -> math.min(t, t2) else n -> t
             }
