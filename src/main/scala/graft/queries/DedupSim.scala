@@ -1000,6 +1000,136 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X58 — product quantization codes: the memory side of the IVF+PQ
+  // pair (x18 prunes WHICH vectors to score; PQ shrinks WHAT is
+  // stored per vector — 64 doubles → 4 byte-sized codes, the layout
+  // every 100 TB ANN index actually ships). The 64-dim space splits
+  // into 4×16-dim subspaces; each gets an 8-entry codebook — hash-
+  // spread seeds refined by one exact Lloyd step (x18/x47's kernel,
+  // decimal-exact means ⇒ bit-identical codebooks in both engines) —
+  // and every vector stores its nearest code per subspace plus the
+  // summed squared-L2 residual (the x19 error-contract idea, at PQ
+  // granularity). L2² = vv − 2·dot + cc reuses the proven DotProduct
+  // fold, so distances (and argmin ties, broken on c_id) are
+  // bit-identical too. Codes carry the centroid's seed vec_id — an
+  // implementation would remap to 0..7 bytes at write time.
+  //
+  // Scale: per subspace, one broadcast fan-out (8 rows) folded back
+  // by a map-side min_by HashAggregate, one (cluster, dim) mean agg
+  // on the 8×16 grid, one more broadcast argmin for codes — never
+  // pairwise, codebooks O(1) at any sf. The 4 subspace outputs join
+  // back on vec_id (keyed).
+  // ---------------------------------------------------------------------
+  private val PqSub = 4
+  private val PqDims = 16
+  private val PqK = 8
+
+  private def x58(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .cut(false) // 4 subspace consumers
+    val parts = (0 until PqSub).map { i =>
+      val es = e.select(col("vec_id"),
+        expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("v"))
+        .withColumn("vv", DotProduct(col("v"), col("v")))
+        .cut(false) // seeds + Lloyd assign + code assign
+      val seeds = es
+        .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+          % 1000000007L, col("vec_id"))
+        .limit(PqK)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+          col("vv").as("c_vv"))
+      def assign(cb: DataFrame): DataFrame = es.crossJoin(broadcast(cb))
+        .withColumn("dist", col("vv") -
+          lit(2.0) * DotProduct(col("v"), col("c_v")) + col("c_vv"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("v").as("v"), col("c_id").as("c_id"),
+          col("dist").as("dist")),
+          struct(col("dist"), col("c_id"))).as("b"))
+        .select(col("vec_id"), col("b.v").as("v"),
+          col("b.c_id").as("cluster"), col("b.dist").as("dist"))
+      val cb1 = assign(seeds)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("coord"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, coord)" +
+          ")), s -> s.coord)").as("c_v"))
+        .select(col("cluster").as("c_id"), col("c_v"))
+        .withColumn("c_vv", DotProduct(col("c_v"), col("c_v")))
+      assign(cb1)
+        .select(col("vec_id"), col("cluster").as(s"code$i"),
+          col("dist").as(s"err$i"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("vec_id")))
+      .select(col("vec_id") +:
+        (0 until PqSub).map(i => col(s"code$i")) :+
+        round((0 until PqSub).map(i => col(s"err$i")).reduce(_ + _), 6)
+          .as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of one x58 subspace chain, names suffixed `tag`. */
+  private def duckPqCtes(i: Int): String = {
+    val lo = PqDims * i + 1
+    val hi = PqDims * (i + 1)
+    s"""sl$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e),
+       |es$i AS (SELECT vec_id, v,
+       |  ${duckDot.format("v", "v")} AS vv FROM sl$i),
+       |seeds$i AS (
+       |  SELECT vec_id AS c_id, v AS c_v, vv AS c_vv FROM es$i
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007,
+       |    vec_id
+       |  LIMIT $PqK),
+       |a$i AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT s.vec_id, s.v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM es$i s CROSS JOIN seeds$i c) WHERE rk = 1),
+       |m$i AS (
+       |  SELECT cluster, j,
+       |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(18,6))) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS coord
+       |  FROM a$i, unnest(generate_series(1, len(v))) AS t(j)
+       |  GROUP BY 1, 2),
+       |vv$i AS (
+       |  SELECT cluster AS c_id, list(coord ORDER BY j) AS c_v
+       |  FROM m$i GROUP BY 1),
+       |cb$i AS (
+       |  SELECT c_id, c_v, ${duckDot.format("c_v", "c_v")} AS c_vv
+       |  FROM vv$i),
+       |code$i AS (
+       |  SELECT vec_id, c_id AS code$i, dist AS err$i FROM (
+       |    SELECT s.vec_id, c.c_id,
+       |      s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv
+       |        AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM es$i s CROSS JOIN cb$i c) WHERE rk = 1)""".stripMargin
+  }
+
+  private lazy val x58Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |${(0 until PqSub).map(duckPqCtes).mkString(",\n")}
+       |SELECT vec_id,
+       |  ${(0 until PqSub).map(i => s"code$i").mkString(", ")},
+       |  ROUND(${(0 until PqSub).map(i => s"err$i").mkString(" + ")}, 6)
+       |    AS recon_err
+       |FROM code0
+       |${(1 until PqSub).map(i => s"JOIN code$i USING (vec_id)")
+          .mkString("\n")}
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X10 — embedding-cosine near-duplicate detection: corpus ∪ planted
   // scaled copies (cosine-preserving ×1.001), candidates from the same
   // sign-LSH buckets as x05b (a positively-scaled copy provably lands in
@@ -1293,6 +1423,79 @@ object DedupSim {
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= $ContamMinShingles
        |ORDER BY doc_id, eval_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X57 — contamination SPAN localization: x14 says WHICH train docs
+  // share shingles with the eval set; this says WHERE and HOW LONG —
+  // the verbatim-quote detector. Positional word-3-gram shingles (no
+  // dedup — islands need positions), matched against the distinct
+  // eval shingle set, then gaps-and-islands (pos − row_number) turns
+  // matched positions into maximal consecutive runs; a run of L
+  // shingles covers L+2 words. Real hygiene pipelines act on span
+  // evidence (mask/cut the quoted window, keep the doc) rather than
+  // x44's whole-doc drop — this produces exactly that evidence.
+  //
+  // Scale shape: one keyed shuffle on the shingle hash for the
+  // left-semi probe (the eval side is the fixed benchmark relation),
+  // then ONE per-doc window over matched positions only — cost
+  // bounded by match volume, not corpus size. Nothing pairwise, no
+  // eval_id fan-out (a train position matching 5 eval docs is still
+  // one matched position — contrast x14's per-pair rows).
+  // ---------------------------------------------------------------------
+  private val SpanMinWords = 6 // ≥ 4 consecutive matched shingles
+
+  private def x57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    val sh = docs.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as(Seq("pos", "shingle")))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val hits = train.join(evalSh, Seq("shingle"), "left_semi")
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("grp", col("pos") - row_number().over(wD))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("pos")).as("start_pos"))
+      .filter(col("len") + 2 >= SpanMinWords)
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("len") + 2).as("max_span_words"),
+        sum(col("len")).as("matched_shingles"),
+        min(col("start_pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+  private val x57Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+       |  FROM d, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT doc_id, pos FROM sh
+       |  WHERE doc_id % 97 <> 0
+       |    AND shingle IN (SELECT shingle FROM ev)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id, grp, COUNT(*) AS len, MIN(pos) AS start_pos
+       |  FROM isl GROUP BY 1, 2
+       |  HAVING COUNT(*) + 2 >= $SpanMinWords)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(MAX(len + 2) AS BIGINT) AS max_span_words,
+       |  CAST(SUM(len) AS BIGINT) AS matched_shingles,
+       |  CAST(MIN(start_pos) AS BIGINT) AS first_pos
+       |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // X44 — n-gram-LEVEL decontamination (the Brown-et-al. overlap
@@ -1943,6 +2146,8 @@ object DedupSim {
     QueryDef("x47_kmeans_step", Some(x47Sql), x47),
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
-    QueryDef("x56_lsh_banding", Some(x56Sql), x56)
+    QueryDef("x56_lsh_banding", Some(x56Sql), x56),
+    QueryDef("x57_contam_spans", Some(x57Sql), x57),
+    QueryDef("x58_pq_codes", Some(x58Sql), x58)
   )
 }

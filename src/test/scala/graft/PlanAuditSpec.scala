@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     "x55_semantic_decontam" -> ("same bounded plane-index relation as " +
       "x05_knn_lsh/x10: signBucketsCapped broadcasts ≤62 plane rows " +
       "(DedupSim.scala signBucketsCapped); candidates come only from " +
-      "bucket-equality hash joins"))
+      "bucket-equality hash joins"),
+    "x58_pq_codes" -> ("fixed 8-row per-subspace codebooks broadcast " +
+      "for the Lloyd/code argmins (x18/x47's pattern) — never grows " +
+      "with data"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

@@ -211,6 +211,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // one signature agg feeding both bandings via lazy cuts + one
     // (band, band_key) shuffle and one verify join per banding
     "x56_lsh_banding" -> 7,
+    // shingle-key semi join + per-doc island window + final rollup
+    "x57_contam_spans" -> 5,
+    // 4 subspaces × (slice repartition behind a lazy cut + Lloyd mean
+    // agg) + the 3 vec_id re-joins; every argmin is broadcast-side
+    "x58_pq_codes" -> 17,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
