@@ -15,7 +15,8 @@ package graft
   * | SCD2 | `Engine.Scd2.merge` / `.seed` / `.asOf` | broadcast-able updates join + key-only anti-join; the large current side never shuffles |
   * | Entity resolution | `Engine.EntityResolution.resolve` | hash-keyed dedup + two-phase BIGINT surrogate minting; no driver state |
   * | Connected components | `Engine.ConnectedComponents.run` | large-star/small-star: O(log n) rounds regardless of graph diameter |
-  * | Near-dup dedup | `Engine.NearDup.{signatures, sigPairs, edges, clusters, dedupe}` | MinHash sigs in one HashAggregate; 4-band LSH (never all-pairs); O(log n)-round clustering; survivor cost bounded by dup volume |
+  * | Near-dup dedup | `Engine.NearDup.{signatures, sigPairs, edges, clusters, dedupe}` + `LshConfig(bands, rows, minSig)` | MinHash sigs in one HashAggregate; banded LSH (never all-pairs; s-curve knee per config, default 4×4); O(log n)-round clustering; survivor cost bounded by dup volume |
+  * | Checkpoint release | `Engine.Checkpoints.release` | deterministic reclaim of a superseded cut (reliable files deleted, local blocks dropped) |
   * | Segment dedup | `Engine.SegmentDedup.clean` | (doc, pos, hash64) triples only — raw text never shuffles |
   * | Bloom pruning | `Engine.BloomPrune.prune` | few-MB bitset probe fused into the scan's whole-stage codegen |
   * | Bucketed layout | `Engine.Bucketing.writeBucketed` / `.coPartition` | pay the key shuffle once at write time; later joins/aggs on the key plan with ZERO exchanges |

@@ -1486,7 +1486,83 @@ object Advanced {
        |FROM flags""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X59 — PageRank, 3 exact power iterations over the part↔supplier
+  // bipartite graph (distinct lineitem pairs, symmetrized): the
+  // canonical iterative graph workload next to x11's connected
+  // components. The whole computation is INTEGER arithmetic — ranks
+  // live in micro-units (1e12 total mass), each node's contribution
+  // is (rank·85) div (100·deg) and the damping base is a constant
+  // (15%·mass) div (100·N) — so partial-sum order cannot perturb a
+  // single bit and both engines produce identical BIGINT ranks
+  // (x54's exact-integer house rule; floor losses just shave total
+  // mass deterministically). Per iteration: one join against the
+  // degree relation + one groupBy-on-dst shuffle — the Pregel shape;
+  // a full convergence run would iterate-with-cut like
+  // ConnectedComponents, and the iteration count is the only change.
+  // N is one count job (catalog stats at real scale).
+  // ---------------------------------------------------------------------
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+
+  private def x59(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select((col("l_partkey").cast("long") * 2).as("u"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      .cut(false) // consumed by deg + every iteration
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .cut(false)
+    val n = deg.count()
+    val base = PrScale * 15L / (100L * n)
+    var r = deg.select(col("u").as("node"), lit(PrScale / n).as("rank"))
+    for (_ <- 1 to PrIters) {
+      r = edges.join(deg, Seq("u"))
+        .join(r.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"),
+          expr("(rank * 85) div (100 * deg)").as("c"))
+        .groupBy(col("node"))
+        .agg((sum(col("c")) + lit(base)).as("rank"))
+    }
+    r.orderBy(desc("rank"), col("node")).limit(20)
+      .select(when(col("node") % 2 === 0, lit("part"))
+        .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("key"),
+        col("rank").as("rank_micro"))
+  }
+  private lazy val x59Sql = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.v AS node,
+         |    CAST(SUM((r.rank * 85) // (100 * d.deg))
+         |      + (SELECT ($PrScale * 15) // (100 * n) FROM nn)
+         |      AS BIGINT) AS rank
+         |  FROM edges e
+         |  JOIN deg d ON d.u = e.u
+         |  JOIN $prev r ON r.node = e.u
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT u AS node, $PrScale // n AS rank FROM deg, nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+       |    AS node_type,
+       |  node // 2 AS key, rank AS rank_micro
+       |FROM r3 ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x59_pagerank", Some(x59Sql), x59),
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),
     QueryDef("q48_quantile_sketch_bound", Some(q48Sql), q48),
     QueryDef("q49_k_anonymity", Some(q49Sql), q49),

@@ -216,6 +216,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // 4 subspaces × (slice repartition behind a lazy cut + Lloyd mean
     // agg) + the 3 vec_id re-joins; every argmin is broadcast-side
     "x58_pq_codes" -> 17,
+    // 3 groupBy-on-dst iteration shuffles + the top-20 sort + one
+    // visible join-side exchange; the pairs-distinct and deg aggs sit
+    // behind lazy cuts
+    "x59_pagerank" -> 5,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
