@@ -1000,6 +1000,91 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X60 — ANN recall contract: recall@10 of BOTH approximate paths
+  // (sign-LSH x05b, trained-IVF x18) against the x05 brute-force
+  // truth, per probe, through the oracle gate — the quality number
+  // AnnScalingSpec pins locally becomes a driver-checked artifact
+  // every round, the way x51/q26c/q38b/q48 gate the sketch family.
+  // A probe whose bucket was cap-dropped keeps its row via left join
+  // + COALESCE 0 (x49's rule). Composes the three existing query
+  // kernels verbatim, so the contract can never drift from what the
+  // engine actually serves.
+  //
+  // READ THE TWO COLUMNS DIFFERENTLY — that asymmetry is the point:
+  // x05b's adaptive planes size buckets for CANDIDATE LINEARITY
+  // (expected occupancy ~1), so away from planted twins its top-10
+  // recall is ~0 by design — it is the near-dup candidate generator
+  // (x10's role), not a retriever. IVF probes nprobe/K of the corpus
+  // and is the retrieval path (recall_ivf 0.4–0.9 per probe after
+  // codebook training). The row prices that design choice instead of
+  // letting "LSH" and "ANN" blur together.
+  // ---------------------------------------------------------------------
+  private def x60(s: SparkSession, d: String): DataFrame = {
+    // each top-10 relation is ≤ 10·|probes| rows and consumed twice
+    // (count + hit join) — cut so the underlying ANN pipeline runs
+    // once per path, not once per consumer
+    val brute = x05(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    val lsh = x05b(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    val ivf = x18(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    def cnt(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("q_id")).agg(count(lit(1)).as(as))
+    def hits(df: DataFrame, as: String): DataFrame =
+      brute.join(df.withColumn("hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as(as))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(cnt(lsh, "n_lsh"), Seq("q_id"), "left")
+      .join(cnt(ivf, "n_ivf"), Seq("q_id"), "left")
+      .join(hits(lsh, "lsh_hits"), Seq("q_id"), "left")
+      .join(hits(ivf, "ivf_hits"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        col("lsh_hits"), col("ivf_hits"),
+        round(col("lsh_hits").cast("double") /
+          col("n_brute").cast("double"), 4).as("recall_lsh"),
+        round(col("ivf_hits").cast("double") /
+          col("n_brute").cast("double"), 4).as("recall_ivf"))
+      .orderBy("q_id")
+  }
+  private lazy val x60Sql =
+    s"""WITH brute AS ($x05Sql),
+       |lshq AS ($x05bSql),
+       |ivfq AS ($x18Sql),
+       |nb AS (SELECT q_id, COUNT(*) AS n_brute FROM brute GROUP BY 1),
+       |nl AS (SELECT q_id, COUNT(*) AS n_lsh FROM lshq GROUP BY 1),
+       |ni AS (SELECT q_id, COUNT(*) AS n_ivf FROM ivfq GROUP BY 1),
+       |hl AS (
+       |  SELECT b.q_id,
+       |    CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS lsh_hits
+       |  FROM brute b LEFT JOIN lshq l
+       |    ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+       |  GROUP BY 1),
+       |hi AS (
+       |  SELECT b.q_id,
+       |    CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ivf_hits
+       |  FROM brute b LEFT JOIN ivfq i
+       |    ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+       |  GROUP BY 1)
+       |SELECT nb.q_id, CAST(nb.n_brute AS BIGINT) AS n_brute,
+       |  CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+       |  CAST(COALESCE(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+       |  hl.lsh_hits, hi.ivf_hits,
+       |  ROUND(CAST(hl.lsh_hits AS DOUBLE)
+       |    / CAST(nb.n_brute AS DOUBLE), 4) AS recall_lsh,
+       |  ROUND(CAST(hi.ivf_hits AS DOUBLE)
+       |    / CAST(nb.n_brute AS DOUBLE), 4) AS recall_ivf
+       |FROM nb
+       |LEFT JOIN nl USING (q_id)
+       |LEFT JOIN ni USING (q_id)
+       |LEFT JOIN hl USING (q_id)
+       |LEFT JOIN hi USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X58 — product quantization codes: the memory side of the IVF+PQ
   // pair (x18 prunes WHICH vectors to score; PQ shrinks WHAT is
   // stored per vector — 64 doubles → 4 byte-sized codes, the layout
@@ -2148,6 +2233,7 @@ object DedupSim {
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
-    QueryDef("x58_pq_codes", Some(x58Sql), x58)
+    QueryDef("x58_pq_codes", Some(x58Sql), x58),
+    QueryDef("x60_ann_recall", Some(x60Sql), x60)
   )
 }

@@ -55,7 +55,13 @@ class PlanAuditSpec extends SparkSpec {
       "bucket-equality hash joins"),
     "x58_pq_codes" -> ("fixed 8-row per-subspace codebooks broadcast " +
       "for the Lloyd/code argmins (x18/x47's pattern) — never grows " +
-      "with data"))
+      "with data"),
+    "x60_ann_recall" -> ("composes x05 (documented brute-force " +
+      "baseline), x05b (bounded plane index) and x18 (≤16-row " +
+      "codebook) verbatim — inherits exactly their allowlisted " +
+      "bounded nested-loop sides"),
+    "x61_bpe_merge" -> ("symbols crossJoin the SINGLE-ROW argmax " +
+      "merge pair (n×1 broadcast scalar, a17's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

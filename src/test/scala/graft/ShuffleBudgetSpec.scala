@@ -220,6 +220,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // visible join-side exchange; the pairs-distinct and deg aggs sit
     // behind lazy cuts
     "x59_pagerank" -> 5,
+    // three ANN paths behind lazy cuts (each top-10 relation computed
+    // once) + the per-probe count/hit aggregations and rollup joins
+    "x60_ann_recall" -> 10,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
