@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1032,7 +1033,143 @@ object TextOps {
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X61 — one BPE training step at corpus scale: global byte-pair
+  // statistics over the (word, freq) vocabulary, the argmax merge,
+  // that merge APPLIED with real BPE semantics — greedy leftmost
+  // non-overlapping (for "aaa" + merge (a,a): positions {0,1} match
+  // but only 0 applies) — and the pair statistics recounted on the
+  // merged symbols. Full tokenizer training is this step iterated;
+  // the hard part at scale is exactly what's shown here: the greedy
+  // non-overlap rule is a PARITY-WITHIN-ISLANDS computation (group
+  // consecutive match positions, keep even offsets from each island
+  // head), i.e. two window passes — no per-word sequential loop, no
+  // UDF, so it distributes like any windowed query.
+  //
+  // Scale shape: pair counting runs on the DISTINCT-WORD vocabulary
+  // weighted by frequency (cost ∝ vocab size, not corpus size — the
+  // classic BPE trick); per-word windows are bounded by word length;
+  // the chosen merge is a 1-row broadcast (a17's scalar pattern).
+  // ---------------------------------------------------------------------
+  private def x61(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.fanout(Tables.documents(s, d))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .cut(false) // vocab relation: symbols + both pair counts
+    val syms = words.select(col("word"), col("freq"),
+      posexplode(expr("filter(split(word, ''), ch -> ch <> '')"))
+        .as(Seq("pos", "sym")))
+    val wW = Window.partitionBy(col("word")).orderBy(col("pos"))
+    def pairCounts(ss: DataFrame): DataFrame = ss
+      .withColumn("nxt", lead(col("sym"), 1).over(wW))
+      .filter(col("nxt").isNotNull)
+      .select(col("sym").as("sym_a"), col("nxt").as("sym_b"),
+        col("freq"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(sum(col("freq")).as("cnt"))
+    val pre = pairCounts(syms).cut(false) // top-10 + argmax merge
+    val chosen = pre.orderBy(desc("cnt"), col("sym_a"), col("sym_b"))
+      .limit(1)
+      .select(col("sym_a").as("ma"), col("sym_b").as("mb"))
+    val flagged = syms.crossJoin(broadcast(chosen))
+      .withColumn("nxt", lead(col("sym"), 1).over(wW))
+      .withColumn("m", col("sym") === col("ma") &&
+        col("nxt") === col("mb"))
+    val wG = Window.partitionBy(col("word"), col("grp"))
+    val applied = flagged.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(wW))
+      .withColumn("head", min(col("pos")).over(wG))
+      .filter((col("pos") - col("head")) % 2 === 0)
+      .select(col("word"), col("pos"))
+    val consumed = applied.select(col("word"),
+      (col("pos") + 1).as("pos"))
+    val merged = flagged
+      .join(applied.withColumn("ap", lit(true)), Seq("word", "pos"),
+        "left")
+      .join(consumed.withColumn("gone", lit(true)), Seq("word", "pos"),
+        "left")
+      .filter(col("gone").isNull)
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("ap"), concat(col("ma"), col("mb")))
+          .otherwise(col("sym")).as("sym"))
+    val post = pairCounts(merged)
+    // bounded relations (distinct symbol pairs): the global top-10
+    // window is a TakeOrdered over a few thousand rows, not a scan
+    def top(df: DataFrame, stage: String): DataFrame = {
+      val w = Window.orderBy(desc("cnt"), col("sym_a"), col("sym_b"))
+      df.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(lit(stage).as("stage"), col("rnk"),
+          col("sym_a"), col("sym_b"), col("cnt"))
+    }
+    top(pre, "pre").unionByName(top(post, "post"))
+      .orderBy("stage", "rnk")
+  }
+  private lazy val x61Sql =
+    s"""WITH words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |chars AS (
+       |  SELECT word, freq,
+       |    list_filter(string_split(word, ''), ch -> ch <> '') AS c
+       |  FROM words),
+       |syms AS (
+       |  SELECT word, freq, i AS pos, c[i] AS sym
+       |  FROM chars, unnest(generate_series(1, len(c))) AS t(i)),
+       |pre AS (
+       |  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT word, freq, sym AS sym_a,
+       |      LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS sym_b
+       |    FROM syms)
+       |  WHERE sym_b IS NOT NULL GROUP BY 1, 2),
+       |chosen AS (
+       |  SELECT sym_a AS ma, sym_b AS mb FROM pre
+       |  ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+       |flagged AS (
+       |  SELECT s.word, s.freq, s.pos, s.sym, c.ma, c.mb,
+       |    LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+       |  FROM syms s CROSS JOIN chosen c),
+       |mpos AS (
+       |  SELECT word, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+       |      AS grp
+       |  FROM flagged WHERE sym = ma AND nxt = mb),
+       |applied AS (
+       |  SELECT word, pos FROM (
+       |    SELECT word, pos, MIN(pos) OVER (PARTITION BY word, grp)
+       |      AS head
+       |    FROM mpos)
+       |  WHERE (pos - head) % 2 = 0),
+       |merged AS (
+       |  SELECT f.word, f.freq, f.pos,
+       |    CASE WHEN a.pos IS NOT NULL THEN f.ma || f.mb
+       |         ELSE f.sym END AS sym
+       |  FROM flagged f
+       |  LEFT JOIN applied a ON a.word = f.word AND a.pos = f.pos
+       |  LEFT JOIN applied g ON g.word = f.word AND g.pos + 1 = f.pos
+       |  WHERE g.pos IS NULL),
+       |post AS (
+       |  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT word, freq, sym AS sym_a,
+       |      LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS sym_b
+       |    FROM merged)
+       |  WHERE sym_b IS NOT NULL GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT 'pre' AS stage,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, sym_a, sym_b) AS rnk,
+       |    sym_a, sym_b, cnt FROM pre
+       |  UNION ALL
+       |  SELECT 'post',
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, sym_a, sym_b),
+       |    sym_a, sym_b, cnt FROM post)
+       |SELECT stage, CAST(rnk AS BIGINT) AS rnk, sym_a, sym_b, cnt
+       |FROM ranked WHERE rnk <= 10 ORDER BY stage, rnk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x61_bpe_merge", Some(x61Sql), x61),
     QueryDef("x42_lang_mismatch", Some(x42Sql), x42),
     QueryDef("t17_gap_fill", Some(t17Sql), t17),
     QueryDef("x22_heavy_hitters", Some(x22Sql), x22),

@@ -223,6 +223,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // three ANN paths behind lazy cuts (each top-10 relation computed
     // once) + the per-probe count/hit aggregations and rollup joins
     "x60_ann_recall" -> 10,
+    // vocab agg behind a lazy cut; per-word windows + the two pair
+    // aggs + bounded global top-10 windows
+    "x61_bpe_merge" -> 4,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
