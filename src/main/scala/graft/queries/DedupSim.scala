@@ -1000,6 +1000,174 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W06 — the INDUSTRIAL dedup cascade: exact → MinHash near-dup →
+  // embedding semantic dedup in one flow, each stage only seeing the
+  // previous stage's survivors — the order every production curation
+  // pipeline uses (cheapest filter first, so the expensive semantic
+  // stage runs on the smallest corpus). Three planted generations
+  // prove each stage does its own job: every 20th doc gets an EXACT
+  // twin (dies at stage 1), every 10th-not-20th a paraphrase twin
+  // (shares shingles — dies at stage 2), every 5th-not-10th a
+  // 2-word decoy with a 1.001-scaled embedding (no shingles, so only
+  // stage 3 can kill it). All planted ids also get scaled embedding
+  // rows, so a stage-1/2 regression would surface as stage-3 drops
+  // instead of silently vanishing. Output: docs remaining after each
+  // stage (the attrition card).
+  //
+  // Scale: stage 1 is one keyed agg + semi join; stage 2 is the
+  // NearDup library (one signature HashAggregate, banded LSH, CC);
+  // stage 3 is x10's sign-LSH kernel over survivors only. Survivor
+  // relations are cut once and feed both the next stage and the
+  // card. Nothing pairwise anywhere.
+  // ---------------------------------------------------------------------
+  private def w06(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        // the paraphrase marker is PREPENDED: a suffix would leave
+        // the 40-char prefix identical and stage 1 would steal the
+        // kill from stage 2 (x11's gen2 'zzz' trick)
+        when(col("doc_id") % 20 === 0, col("text"))
+          .when(col("doc_id") % 10 === 0,
+            concat(lit("planted paraphrase near dup "), col("text")))
+          .otherwise(concat(lit("sem "), col("doc_id").cast("string")))
+          .as("text"))
+    val docs = base.unionByName(planted).cut(false)
+    // stage 1: exact (x01's 40-char key), min-id survivor
+    val keep1 = docs.withColumn("k", substring(col("text"), 1, 40))
+      .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s1 = docs.join(keep1, Seq("doc_id"), "left_semi").cut(false)
+    // stage 2: MinHash near-dup via the library defaults
+    val s2 = graft.etl.NearDup.dedupe(s1).select("doc_id").cut(false)
+    val n2 = s2.count()
+    // stage 3: x10's sign-LSH kernel over the surviving embeddings
+    // (planted ids carry 1.001-scaled copies — cosine-preserving)
+    val emb0 = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val embAll = emb0.unionByName(
+      emb0.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(emb, x -> x * 1.001)").as("emb")))
+    val e = embAll
+      .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+    // |e| = |s2| (every survivor has exactly one embedding row)
+    val vecs = signBucketsCapped(e, "emb", adaptivePlanes(n2))
+    val a = vecs.select(col("vec_id").as("a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = vecs.select(col("vec_id").as("b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    val edges3 = a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(DotProduct(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= 0.95)
+      .select("a", "b")
+    val removed3 = graft.etl.ConnectedComponents
+      .run(graft.etl.Checkpoints.cut(edges3))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val s3 = s2.join(removed3, Seq("doc_id"), "left_anti")
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs"))
+        .select(lit(stage).as("stage"), col("docs"))
+    row("0_raw", docs)
+      .unionByName(row("1_exact", s1))
+      .unionByName(row("2_minhash", s2))
+      .unionByName(row("3_semantic", s3))
+      .orderBy("stage")
+  }
+  private def w06Sql: String =
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+       |planted AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    CASE WHEN doc_id % 20 = 0 THEN text
+       |         WHEN doc_id % 10 = 0
+       |           THEN 'planted paraphrase near dup ' || text
+       |         ELSE 'sem ' || CAST(doc_id AS VARCHAR) END AS text
+       |  FROM base WHERE doc_id % 5 = 0),
+       |docs AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |keep1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM docs
+       |  GROUP BY substring(text, 1, 40)),
+       |s1 AS (SELECT d.* FROM docs d
+       |       WHERE d.doc_id IN (SELECT doc_id FROM keep1)),
+       |corpus AS (SELECT doc_id, text FROM s1),
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b),
+       |m2 AS (SELECT doc_a, doc_b FROM sigm
+       |       WHERE m >= ${graft.etl.NearDup.DefaultMinSig}),
+       |und2 AS (SELECT doc_a AS a, doc_b AS b FROM m2
+       |         UNION ALL SELECT doc_b, doc_a FROM m2),
+       |nodes2 AS (SELECT DISTINCT a AS id FROM und2),
+       |reach2(id, r) AS (
+       |  SELECT id, id FROM nodes2
+       |  UNION
+       |  SELECT reach2.id, u.b FROM reach2 JOIN und2 u
+       |    ON u.a = reach2.r),
+       |cc2 AS (SELECT id, MIN(r) AS cl FROM reach2 GROUP BY 1),
+       |s2 AS (SELECT doc_id FROM s1
+       |       WHERE doc_id NOT IN (SELECT id FROM cc2 WHERE id <> cl)),
+       |emb0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |emball AS (
+       |  SELECT vec_id, emb FROM emb0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 1.001)
+       |  FROM emb0 WHERE vec_id % 5 = 0),
+       |e AS (
+       |  SELECT vec_id, emb, sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM emball WHERE vec_id IN (SELECT doc_id FROM s2)),
+       |planes AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("e")} - 1)) AS p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("emb", "p.p", 64, spark = false)} > 0
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN planes p
+       |  GROUP BY 1),
+       |vecs AS (
+       |  SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap),
+       |m3 AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM vecs a JOIN vecs b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot.format("a.emb", "b.emb")} / (a.norm * b.norm)
+       |    >= 0.95),
+       |und3 AS (SELECT a, b FROM m3 UNION ALL SELECT b, a FROM m3),
+       |nodes3 AS (SELECT DISTINCT a AS id FROM und3),
+       |reach3(id, r) AS (
+       |  SELECT id, id FROM nodes3
+       |  UNION
+       |  SELECT reach3.id, u.b FROM reach3 JOIN und3 u
+       |    ON u.a = reach3.r),
+       |cc3 AS (SELECT id, MIN(r) AS cl FROM reach3 GROUP BY 1)
+       |SELECT stage, docs FROM (
+       |  SELECT '0_raw' AS stage,
+       |    CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS docs
+       |  UNION ALL
+       |  SELECT '1_exact', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+       |  UNION ALL
+       |  SELECT '2_minhash', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+       |  UNION ALL
+       |  SELECT '3_semantic',
+       |    CAST((SELECT COUNT(*) FROM s2)
+       |      - (SELECT COUNT(*) FROM cc3 WHERE id <> cl) AS BIGINT))
+       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X60 — ANN recall contract: recall@10 of BOTH approximate paths
   // (sign-LSH x05b, trained-IVF x18) against the x05 brute-force
   // truth, per probe, through the oracle gate — the quality number
@@ -2234,6 +2402,7 @@ object DedupSim {
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),
-    QueryDef("x60_ann_recall", Some(x60Sql), x60)
+    QueryDef("x60_ann_recall", Some(x60Sql), x60),
+    QueryDef("w06_dedup_cascade", Some(w06Sql), w06)
   )
 }

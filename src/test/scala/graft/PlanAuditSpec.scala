@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
       "codebook) verbatim — inherits exactly their allowlisted " +
       "bounded nested-loop sides"),
     "x61_bpe_merge" -> ("symbols crossJoin the SINGLE-ROW argmax " +
-      "merge pair (n×1 broadcast scalar, a17's pattern)"))
+      "merge pair (n×1 broadcast scalar, a17's pattern)"),
+    "w06_dedup_cascade" -> ("stage 3 reuses signBucketsCapped's " +
+      "bounded plane-index crossJoin (≤62 broadcast rows, " +
+      "x05_knn_lsh's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

@@ -226,6 +226,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // vocab agg behind a lazy cut; per-word windows + the two pair
     // aggs + bounded global top-10 windows
     "x61_bpe_merge" -> 4,
+    // cascade stages behind lazy cuts: exact-key agg + semi join,
+    // the NearDup funnel, the stage-3 bucket join + CC star dedup,
+    // and the four 1-row card aggs
+    "w06_dedup_cascade" -> 7,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
