@@ -1000,6 +1000,83 @@ object DedupSim {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X62 — hard-negative mining + margin audit: for each anchor in the
+  // probe slice, the NEAREST SAME-LABEL neighbor (the positive) and
+  // the NEAREST OTHER-LABEL neighbor (the hard negative), plus their
+  // cosine margin — the mining step contrastive training (and
+  // retrieval-training curricula) run over the whole corpus, and the
+  // audit that flags CONFUSABLE anchors (margin < 0: the hardest
+  // negative sits closer than the best positive — exactly the
+  // examples worth oversampling or relabeling; complements x46's
+  // neighborhood label-agreement view with a per-anchor distance
+  // margin). Same documented bounded brute-force probe slice as
+  // x46 (1% of vectors); LSH/IVF are the drop-in scale variants.
+  // One pass over anchor×corpus, two keyed min_by/max_by aggs —
+  // no window, no second scan.
+  // ---------------------------------------------------------------------
+  private def x62(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val pairs = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("q_emb")) /
+          (col("norm") * col("q_norm")))
+    // argmax cos, ties to the SMALLER vec_id: max_by on
+    // (cos, -vec_id) — deterministic, mirrors the oracle's
+    // ROW_NUMBER (cos DESC, vec_id)
+    def best(filtered: DataFrame, idAs: String, cosAs: String)
+        : DataFrame = filtered
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(max_by(struct(col("vec_id").as("id"), col("cos").as("c")),
+        struct(col("cos"), -col("vec_id"))).as("b"))
+      .select(col("q_id"), col("q_label"),
+        col("b.id").as(idAs), col("b.c").as(cosAs))
+    val pos = best(pairs.filter(col("label") === col("q_label")),
+      "pos_id", "pos_cos")
+    val neg = best(pairs.filter(col("label") =!= col("q_label")),
+      "neg_id", "neg_cos")
+    neg.join(pos, Seq("q_id", "q_label"), "left")
+      .select(col("q_id"), col("q_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"),
+        (col("pos_cos") - col("neg_cos") < 0.0).as("confusable"))
+      .orderBy("q_id")
+  }
+  private lazy val x62Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+       |        label AS q_label
+       |      FROM e WHERE vec_id % 100 = 0),
+       |pairs AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    ${duckDot.format("embedding", "q_emb")} / (norm * q_norm) AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+       |pos AS (
+       |  SELECT q_id, q_label, vec_id AS pos_id, cos AS pos_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rk
+       |    FROM pairs WHERE label = q_label) WHERE rk = 1),
+       |neg AS (
+       |  SELECT q_id, q_label, vec_id AS neg_id, cos AS neg_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rk
+       |    FROM pairs WHERE label <> q_label) WHERE rk = 1)
+       |SELECT n.q_id, n.q_label, p.pos_id, p.pos_cos, n.neg_id,
+       |  n.neg_cos, p.pos_cos - n.neg_cos AS margin,
+       |  p.pos_cos - n.neg_cos < 0.0 AS confusable
+       |FROM neg n LEFT JOIN pos p
+       |  ON p.q_id = n.q_id AND p.q_label = n.q_label
+       |ORDER BY n.q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W06 — the INDUSTRIAL dedup cascade: exact → MinHash near-dup →
   // embedding semantic dedup in one flow, each stage only seeing the
   // previous stage's survivors — the order every production curation
@@ -2403,6 +2480,7 @@ object DedupSim {
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
-    QueryDef("w06_dedup_cascade", Some(w06Sql), w06)
+    QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
+    QueryDef("x62_hard_negatives", Some(x62Sql), x62)
   )
 }

@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
       "merge pair (n×1 broadcast scalar, a17's pattern)"),
     "w06_dedup_cascade" -> ("stage 3 reuses signBucketsCapped's " +
       "bounded plane-index crossJoin (≤62 broadcast rows, " +
-      "x05_knn_lsh's pattern)"))
+      "x05_knn_lsh's pattern)"),
+    "x62_hard_negatives" -> ("x05/x46's documented brute-force probe " +
+      "slice (1% of vectors) for the margin audit; LSH/IVF are the " +
+      "drop-in scale variants"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

@@ -230,6 +230,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // the NearDup funnel, the stage-3 bucket join + CC star dedup,
     // and the four 1-row card aggs
     "w06_dedup_cascade" -> 7,
+    // anchor×corpus pass feeding two keyed argmax aggs + their join
+    "x62_hard_negatives" -> 7,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
