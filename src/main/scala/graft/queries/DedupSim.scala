@@ -754,7 +754,10 @@ object DedupSim {
       .withColumn("pow",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
     val buckets = e.crossJoin(broadcast(planes))
-      .withColumn("proj", expr(planeDot(embCol, "p", 64, spark = true)))
+      // native codegen kernel (graft.functions.PlaneDot) — the
+      // HOF-lambda twin of this expression is what the oracle runs;
+      // bit-identical fold, one fused loop per (row, plane)
+      .withColumn("proj", graft.functions.PlaneDot(col(embCol), col("p")))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("proj") > 0, col("pow")).otherwise(0L))
         .as("bucket"))

@@ -39,6 +39,33 @@ class FunctionsSpec extends SparkSpec {
     assert(dNear <= 8)
   }
 
+  test("PlaneDot matches the sign-LSH lambda fold bit-for-bit, " +
+      "float and double") {
+    def lambdaSql(emb: String) =
+      s"""aggregate(transform(sequence(1, size($emb)), i ->
+         |  CASE WHEN ((i * 37 + p * 101 + i * p * 13) % 97) % 2 = 0
+         |  THEN CAST(element_at($emb, i) AS DOUBLE)
+         |  ELSE -CAST(element_at($emb, i) AS DOUBLE) END),
+         |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+    // no empty-array row: the lambda REFERENCE can't express it
+    // (sequence(1, 0) descends), and 64-dim arrays are the kernel's
+    // whole domain; PlaneDot itself folds an empty array to 0.0
+    val f = Seq((Array.tabulate(64)(i => (math.sin(i) * 10).toFloat), 0L),
+      (Array.tabulate(64)(i => (i * 0.37f - 5)), 7L)).toDF("emb", "p")
+    f.select(PlaneDot($"emb", $"p").as("native"),
+      expr(lambdaSql("emb")).as("lambda")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val d = Seq((Array.tabulate(64)(i => math.cos(i * 1.7) * 3), 11L),
+      (Array.tabulate(64)(i => i / 7.0 - 4), 41L)).toDF("emb", "p")
+    d.select(PlaneDot($"emb", $"p").as("native"),
+      expr(lambdaSql("emb")).as("lambda")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("DotProduct matches the zip_with lambda fold bit-for-bit") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
