@@ -272,6 +272,54 @@ object Insights {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q50 — FD repair proposal: the ACT step after q34's audit. For
+  // every determinant value violating p_brand → p_type, the repair a
+  // data steward would apply: the DETERMINISTIC modal p_type (count
+  // DESC, value ASC — a19's tie rule, never the engine-arbitrary
+  // mode()), how many rows already conform, and how many a repair
+  // would rewrite. Completes the quality family's audit→act loop
+  // (q02/q03/q04/q06/q34 say what's wrong; this says what the fix
+  // is and what it costs). One keyed count pass + a window over the
+  // CONTRACTED (brand, type) domain — never the fact rows.
+  // ---------------------------------------------------------------------
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.part(s, d)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("n"), col("p_type"))
+    c.withColumn("rn", row_number().over(w))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_types"),
+        max(when(col("rn") === 1, col("p_type"))).as("repair_type"),
+        max(when(col("rn") === 1, col("n"))).as("modal_count"))
+      .filter(col("n_types") > 1)
+      .select(col("p_brand"), col("n_rows"), col("n_types"),
+        col("repair_type"), col("modal_count"),
+        (col("n_rows") - col("modal_count")).as("rows_to_fix"))
+      .orderBy("p_brand")
+  }
+  private val q50Sql =
+    """WITH c AS (
+      |  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM part GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+      |    ORDER BY n DESC, p_type) AS rn
+      |  FROM c),
+      |s AS (
+      |  SELECT p_brand, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    MAX(CASE WHEN rn = 1 THEN p_type END) AS repair_type,
+      |    CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+      |      AS modal_count
+      |  FROM r GROUP BY 1 HAVING COUNT(*) > 1)
+      |SELECT p_brand, n_rows, n_types, repair_type, modal_count,
+      |  n_rows - modal_count AS rows_to_fix
+      |FROM s ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A19 — deterministic per-group mode. The modal o_orderpriority per
   // order status, as the explicit argmax (count DESC, value ASC) —
   // NOT the built-in mode(), whose tie choice is engine-arbitrary.
@@ -1747,6 +1795,7 @@ object Insights {
     QueryDef("j15_fuzzy_join", Some(j15Sql), j15),
     QueryDef("x36_weighted_sample", Some(x36Sql), x36),
     QueryDef("q34_fd_audit", Some(q34Sql), q34),
+    QueryDef("q50_fd_repair", Some(q50Sql), q50),
     QueryDef("a19_mode", Some(a19Sql), a19),
     QueryDef("x37_containment", Some(x37Sql), x37),
     QueryDef("q35_correlation", Some(q35Sql), q35),

@@ -153,6 +153,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x53_jl_projection" -> 3,
     "q48_quantile_sketch_bound" -> 6,
     "q49_k_anonymity" -> 3,
+    // (brand, type) count agg + the contracted-domain window + rollup
+    "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
     "x01_dedup_exact" -> 2,
     "x02_dedup_minhash_lsh" -> 9,
