@@ -1080,6 +1080,97 @@ object DedupSim {
        |ORDER BY n.q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X63 — cluster-balanced (diversity-preserving) sampling: the
+  // embedding-aware member of the sampling family (x24 stratifies on
+  // a LABEL column, x36 weights by a SCORE; this stratifies on the
+  // embedding-space STRUCTURE itself — assign every vector to its
+  // nearest k-means cell, then take the same fraction from every
+  // cell, so a 10% subsample keeps rare semantic regions instead of
+  // letting the dominant cluster swallow the budget — the
+  // SemDeDup-era curation move). Selection inside a cell is the
+  // lowest Knuth-hash ids (deterministic, portable); the output card
+  // carries per-cell sizes, quotas, and an exact BIGINT sum of the
+  // sampled ids' hashes — cross-engine evidence of WHICH rows were
+  // picked, not just how many.
+  //
+  // Scale: one broadcast argmin assignment (8-row codebook, x47's
+  // shape), one per-cell window for the quota rank (cost ∝ cell
+  // size), one keyed card agg. Never pairwise.
+  // ---------------------------------------------------------------------
+  private val DiverseFrac = 0.1
+
+  private def x63(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+      .cut(false) // seeds + assignment
+    val seeds = base
+      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+        % 1000000007L, col("vec_id"))
+      .limit(KmeansK)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("dist", lit(1.0) -
+        DotProduct(col("emb"), col("c_emb")) /
+          (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(col("dist"), col("c_id")))
+        .as("cluster"))
+      .withColumn("h",
+        ((col("vec_id") % 2147483648L) * 2654435761L) % 1000000007L)
+    val wC = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(wC))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("cluster"))))
+      .withColumn("quota", ceil(col("sz") * DiverseFrac).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(max(col("sz")).as("n_members"),
+        max(col("quota")).as("n_sampled"),
+        sum(when(col("rk") <= col("quota"), col("h")).otherwise(0L))
+          .as("sample_hash"))
+      .orderBy("cluster")
+  }
+  private lazy val x63Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM e),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM n ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
+       |  LIMIT $KmeansK),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cluster,
+       |    ((vec_id % 2147483648) * 2654435761) % 1000000007 AS h
+       |  FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("n.emb", "c.c_emb")}
+       |          / (n.norm * c.c_norm), c.c_id) AS rk
+       |    FROM n CROSS JOIN seeds c) WHERE rk = 1),
+       |ranked AS (
+       |  SELECT cluster, h,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY h, vec_id)
+       |      AS rk,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS sz
+       |  FROM assigned)
+       |SELECT cluster, CAST(MAX(sz) AS BIGINT) AS n_members,
+       |  CAST(MAX(CAST(CEIL(sz * CAST($DiverseFrac AS DOUBLE)) AS BIGINT)) AS BIGINT)
+       |    AS n_sampled,
+       |  CAST(SUM(CASE WHEN rk <= CAST(CEIL(sz * CAST($DiverseFrac AS DOUBLE))
+       |      AS BIGINT) THEN h ELSE 0 END) AS BIGINT) AS sample_hash
+       |FROM ranked GROUP BY 1 ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W06 — the INDUSTRIAL dedup cascade: exact → MinHash near-dup →
   // embedding semantic dedup in one flow, each stage only seeing the
   // previous stage's survivors — the order every production curation
@@ -2484,6 +2575,7 @@ object DedupSim {
     QueryDef("x58_pq_codes", Some(x58Sql), x58),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
-    QueryDef("x62_hard_negatives", Some(x62Sql), x62)
+    QueryDef("x62_hard_negatives", Some(x62Sql), x62),
+    QueryDef("x63_diverse_sample", Some(x63Sql), x63)
   )
 }

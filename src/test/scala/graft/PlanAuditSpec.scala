@@ -67,7 +67,9 @@ class PlanAuditSpec extends SparkSpec {
       "x05_knn_lsh's pattern)"),
     "x62_hard_negatives" -> ("x05/x46's documented brute-force probe " +
       "slice (1% of vectors) for the margin audit; LSH/IVF are the " +
-      "drop-in scale variants"))
+      "drop-in scale variants"),
+    "x63_diverse_sample" -> ("fixed 8-row codebook broadcast for the " +
+      "assignment argmin (x47's pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

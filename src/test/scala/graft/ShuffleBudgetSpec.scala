@@ -234,6 +234,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "w06_dedup_cascade" -> 7,
     // anchor×corpus pass feeding two keyed argmax aggs + their join
     "x62_hard_negatives" -> 7,
+    // assignment argmin agg + the per-cell quota window + the card
+    "x63_diverse_sample" -> 3,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
