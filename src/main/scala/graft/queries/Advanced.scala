@@ -1561,7 +1561,60 @@ object Advanced {
        |FROM r3 ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X64 — user-contribution bounding: the sensitivity-control step
+  // every differential-privacy release runs BEFORE adding noise (and
+  // the reason q49's k-anonymity view isn't the whole privacy
+  // story): cap each user at their C earliest events (deterministic
+  // ts, event_id order), so any downstream per-type histogram has
+  // per-user sensitivity ≤ C BY CONSTRUCTION instead of "whatever
+  // the heaviest user did". The card prices the cap per event type:
+  // raw vs clipped counts, rows lost, and the max single-user share
+  // before/after — the bias-vs-sensitivity trade a DP practitioner
+  // tunes C against. One per-user window + two keyed aggs; the
+  // window cost is bounded by per-user event counts, never global.
+  // ---------------------------------------------------------------------
+  private val ContribCap = 40
+
+  private def x64(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val per = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .withColumn("rk", row_number().over(wU))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rk") <= ContribCap, 1L).otherwise(0L))
+          .as("n_kept"))
+    per.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_raw"),
+        sum(col("n_kept")).as("n_clipped"),
+        (sum(col("n")) - sum(col("n_kept"))).as("n_lost"),
+        max(col("n")).as("max_user_raw"),
+        max(col("n_kept")).as("max_user_clipped"))
+      .orderBy("event_type")
+  }
+  private val x64Sql =
+    s"""WITH ranked AS (
+       |  SELECT event_type, user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rk
+       |  FROM events),
+       |per AS (
+       |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN rk <= $ContribCap THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_kept
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_raw,
+       |  CAST(SUM(n_kept) AS BIGINT) AS n_clipped,
+       |  CAST(SUM(n) - SUM(n_kept) AS BIGINT) AS n_lost,
+       |  CAST(MAX(n) AS BIGINT) AS max_user_raw,
+       |  CAST(MAX(n_kept) AS BIGINT) AS max_user_clipped
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x64_contribution_bound", Some(x64Sql), x64),
     QueryDef("x59_pagerank", Some(x59Sql), x59),
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),
     QueryDef("q48_quantile_sketch_bound", Some(q48Sql), q48),

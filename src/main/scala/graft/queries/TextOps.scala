@@ -1168,7 +1168,74 @@ object TextOps {
        |SELECT stage, CAST(rnk AS BIGINT) AS rnk, sym_a, sym_b, cnt
        |FROM ranked WHERE rnk <= 10 ORDER BY stage, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X65 — quality-score calibration: the reliability diagram for
+  // x07's quality score against a deterministic gold proxy
+  // (lang = 'en' AND n_chars ≥ 200). Per score decile: volume, the
+  // DECIMAL-exact mean score (x47's discipline — bit-stable under
+  // any partitioning), the gold rate, and the calibration gap
+  // (mean_score/100 − gold_rate). This is the model-eval primitive
+  // a filtering pipeline runs before trusting a score as a KEEP
+  // threshold: a well-calibrated score has gap ≈ 0 per bin; a bin
+  // with a large gap is where a threshold misfilters. One keyed agg
+  // over the contracted 10-bin domain.
+  // ---------------------------------------------------------------------
+  private def x65(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.fanout(Tables.documents(s, d))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, x -> x IN ('the', 'a')))")
+          .cast("double") / col("n_tokens").cast("double"))
+      .withColumn("score",
+        round(lit(100.0) *
+          (least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.5), 2))
+      .withColumn("gold",
+        (col("lang") === "en" && col("n_chars") >= 200).cast("long"))
+      .withColumn("bin",
+        least(floor(col("score") / 10).cast("long"), lit(9L)))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("score").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_score"),
+        sum(col("gold")).as("n_gold"))
+      .withColumn("gold_rate",
+        col("n_gold").cast("double") / col("n_docs").cast("double"))
+      .withColumn("calib_gap",
+        round(col("mean_score") / 100.0 - col("gold_rate"), 4))
+      .orderBy("bin")
+  }
+  private val x65Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ROUND(100.0 * (
+      |      CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE)
+      |        / 100.0 * 0.5 +
+      |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5),
+      |      2) AS score
+      |  FROM documents),
+      |b AS (
+      |  SELECT *, LEAST(CAST(FLOOR(score / 10) AS BIGINT), 9) AS bin,
+      |    CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END
+      |      AS gold
+      |  FROM scored)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(CAST(SUM(CAST(score AS DECIMAL(18,2))) AS VARCHAR)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+      |  CAST(SUM(gold) AS BIGINT) AS n_gold,
+      |  CAST(SUM(gold) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS gold_rate,
+      |  ROUND(CAST(CAST(SUM(CAST(score AS DECIMAL(18,2))) AS VARCHAR)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+      |    - CAST(SUM(gold) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+      |    AS calib_gap
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x65_score_calibration", Some(x65Sql), x65),
     QueryDef("x61_bpe_merge", Some(x61Sql), x61),
     QueryDef("x42_lang_mismatch", Some(x42Sql), x42),
     QueryDef("t17_gap_fill", Some(t17Sql), t17),

@@ -236,6 +236,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x62_hard_negatives" -> 7,
     // assignment argmin agg + the per-cell quota window + the card
     "x63_diverse_sample" -> 3,
+    // per-user clip window + (type, user) agg + the per-type card
+    "x64_contribution_bound" -> 3,
+    // per-doc scoring is row-local; one agg over the 10-bin domain
+    "x65_score_calibration" -> 3,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,

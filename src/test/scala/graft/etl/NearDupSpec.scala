@@ -90,6 +90,21 @@ class NearDupSpec extends SparkSpec {
     assert(knees == knees.sorted && knees.distinct.size == 3)
   }
 
+  test("k < 16 configs work end-to-end: 3x4 (k=12) recovers " +
+      "exact-copy clusters with a 12-slot signature") {
+    val cfg = NearDup.LshConfig(3, 4, minSig = 12)
+    assert(cfg.k == 12)
+    // signatures carry exactly k columns (m0..m11)
+    val sigs = NearDup.signatures(docs, cfg.k)
+    assert(sigs.columns.toSeq ==
+      "doc_id" +: (0 until 12).map(j => s"m$j"))
+    val cl = NearDup.clusters(docs, cfg)
+      .as[(Long, Long)].collect().toMap
+    assert(cl.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(Set(1L, 2L, 3L).forall(cl(_) == 1L))
+    assert(Set(10L, 11L).forall(cl(_) == 10L))
+  }
+
   test("non-default config end-to-end: 2x8 precision banding still " +
       "recovers exact-copy clusters") {
     val cl = NearDup.clusters(docs, NearDup.LshConfig(2, 8, minSig = 16))
