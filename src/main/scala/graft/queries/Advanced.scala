@@ -1613,7 +1613,126 @@ object Advanced {
        |  CAST(MAX(n_kept) AS BIGINT) AS max_user_clipped
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q51 — approximate functional-dependency DISCOVERY: q34 audits FDs
+  // you already believe in; this measures candidate FDs you don't
+  // know yet — the schema-profiling step (TANE's g3 error, inverted
+  // to a confidence) that tells a warehouse which lhs→rhs rules are
+  // worth enforcing. For each declared candidate pair: confidence =
+  // (rows kept if each determinant group keeps its modal dependent
+  // value) / rows, in exact ppm. All pairs share ONE plan: the tagged
+  // (tbl, lhs, rhs, lv, rv) projections union before aggregating, so
+  // the whole sweep costs 3 keyed partial-agg shuffles total — not
+  // 3 × |candidates| independent stages — and each level contracts
+  // the domain (rows → value pairs → determinant groups → 1/pair).
+  // ---------------------------------------------------------------------
+  private val fdCandidates = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_returnflag", "l_linestatus"))
+
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val tagged = fdCandidates.map { case (tbl, lhs, rhs) =>
+      Tables.t(s, d, tbl)
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"),
+          lit(rhs).as("rhs"), col(lhs).cast("string").as("lv"),
+          col(rhs).cast("string").as("rv"))
+    }
+    tagged.reduce(_.unionAll(_))
+      .groupBy(col("tbl"), col("lhs"), col("rhs"), col("lv"),
+        col("rv"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tbl"), col("lhs"), col("rhs"), col("lv"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .groupBy(col("tbl"), col("lhs"), col("rhs"))
+      .agg(sum(col("tot")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("mx")).as("n_conforming"))
+      .withColumn("conf_ppm",
+        expr("(1000000 * n_conforming) div n_rows"))
+      .withColumn("is_exact",
+        (col("n_conforming") === col("n_rows")).cast("long"))
+      .orderBy("tbl", "lhs", "rhs")
+  }
+  private def q51Sql: String = fdCandidates.map { case (tbl, lhs, rhs) =>
+    s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+       |  CAST(SUM(tot) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(mx) AS BIGINT) AS n_conforming,
+       |  CAST((1000000 * SUM(mx)) // SUM(tot) AS BIGINT) AS conf_ppm,
+       |  CAST(CASE WHEN SUM(mx) = SUM(tot) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_exact
+       |FROM (
+       |  SELECT lv, MAX(c) AS mx, SUM(c) AS tot FROM (
+       |    SELECT CAST($lhs AS VARCHAR) AS lv,
+       |      CAST($rhs AS VARCHAR) AS rv, COUNT(*) AS c
+       |    FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+  }.mkString("\n", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+
+  // ---------------------------------------------------------------------
+  // X70 — sample-budget apportionment (largest-remainder / Hamilton
+  // method): turn per-source token masses into an EXACT integer
+  // allocation of N sample slots — the step between x13's mixing
+  // weights and actually drawing x24/x36/x63's samples. Proportional
+  // rounding must conserve the budget: floor allocations leave a
+  // deficit < |sources|, handed out by descending remainder
+  // (source-name tiebreak), so Σ alloc = N exactly, provable
+  // cross-engine cell by cell. One doc-scale keyed agg; both windows
+  // run over the contracted source domain (bounded by construction).
+  // ---------------------------------------------------------------------
+  private val SlotBudget = 10000L
+
+  private def x70(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("tokens"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    perSrc
+      .withColumn("total", sum(col("tokens")).over(wAll))
+      .withColumn("floor_alloc",
+        expr(s"($SlotBudget * tokens) div total"))
+      .withColumn("rem", expr(s"($SlotBudget * tokens) % total"))
+      .withColumn("deficit",
+        lit(SlotBudget) - sum(col("floor_alloc")).over(wAll))
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("alloc",
+        col("floor_alloc") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select("source", "tokens", "floor_alloc", "rem", "alloc")
+      .orderBy("source")
+  }
+  private val x70Sql =
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, tokens,
+       |    SUM(tokens) OVER () AS total,
+       |    ($SlotBudget * tokens) // SUM(tokens) OVER () AS floor_alloc,
+       |    ($SlotBudget * tokens) % SUM(tokens) OVER () AS rem
+       |  FROM per_src),
+       |r AS (
+       |  SELECT *,
+       |    $SlotBudget - SUM(floor_alloc) OVER () AS deficit,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM w)
+       |SELECT source, tokens,
+       |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
+       |  CAST(rem AS BIGINT) AS rem,
+       |  CAST(floor_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q51_fd_discovery", Some(q51Sql), q51),
+    QueryDef("x70_quota_apportion", Some(x70Sql), x70),
     QueryDef("x64_contribution_bound", Some(x64Sql), x64),
     QueryDef("x59_pagerank", Some(x59Sql), x59),
     QueryDef("x52_zorder_layout", Some(x52Sql), x52),

@@ -1234,7 +1234,312 @@ object TextOps {
       |    AS calib_gap
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X66 — padding-waste batching audit: the training-efficiency twin
+  // of x17 (sequence packing). A trainer that does NOT pack forms
+  // fixed-size batches of B sequences and pads every sequence to the
+  // batch max; the waste depends entirely on HOW sequences are
+  // grouped. This query prices the two standard policies against
+  // each other — arrival order (doc_id) vs length-sorted bucketing —
+  // per shard (source), because batches are formed within shards in
+  // any distributed loader. All arithmetic is exact BIGINT (counts,
+  // maxes, products); only the final waste fraction divides. Cost:
+  // per-source windows (never a global sort), one keyed agg over
+  // (policy, source, batch), and a 2-row card.
+  // ---------------------------------------------------------------------
+  private val BatchSize = 16
+
+  private def x66(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wArr = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val wLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val assigned = base
+      .withColumn("rk_a", row_number().over(wArr).cast("long"))
+      .withColumn("rk_s", row_number().over(wLen).cast("long"))
+      .select(col("source"), col("n_tokens"),
+        explode(array(
+          struct(lit("arrival").as("policy"),
+            expr(s"(rk_a - 1) div $BatchSize").as("batch")),
+          struct(lit("sorted").as("policy"),
+            expr(s"(rk_s - 1) div $BatchSize").as("batch")))).as("pb"))
+      .select(col("pb.policy").as("policy"), col("source"),
+        col("pb.batch").as("batch"), col("n_tokens"))
+    assigned.groupBy(col("policy"), col("source"), col("batch"))
+      .agg(max(col("n_tokens")).as("mx"), count(lit(1)).as("c"),
+        sum(col("n_tokens")).as("t"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("mx") * col("c")).as("padded_slots"),
+        (sum(col("mx") * col("c")) - sum(col("t"))).as("waste_slots"))
+      .withColumn("waste_frac",
+        round(col("waste_slots").cast("double") /
+          col("padded_slots").cast("double"), 6))
+      .orderBy("policy")
+  }
+  private val x66Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS rk_a,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_tokens, doc_id) AS rk_s
+       |  FROM base),
+       |m AS (
+       |  SELECT 'arrival' AS policy, source,
+       |    (rk_a - 1) // $BatchSize AS batch, n_tokens FROM r
+       |  UNION ALL
+       |  SELECT 'sorted', source, (rk_s - 1) // $BatchSize, n_tokens
+       |  FROM r),
+       |b AS (
+       |  SELECT policy, source, batch, MAX(n_tokens) AS mx,
+       |    CAST(COUNT(*) AS BIGINT) AS c, SUM(n_tokens) AS t
+       |  FROM m GROUP BY 1, 2, 3)
+       |SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(mx * c) AS BIGINT) AS padded_slots,
+       |  CAST(SUM(mx * c) - SUM(t) AS BIGINT) AS waste_slots,
+       |  ROUND(CAST(SUM(mx * c) - SUM(t) AS DOUBLE)
+       |    / CAST(SUM(mx * c) AS DOUBLE), 6) AS waste_frac
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X67 — keep-threshold sweep: the decision companion to x65's
+  // calibration card. For every candidate threshold t ∈ {0, 10, …,
+  // 90} on x07's quality score: how many documents survive, and the
+  // precision/recall of "kept" against the same deterministic gold
+  // proxy. Computed WITHOUT fan-out: one keyed agg to per-decile
+  // counts, then cumulative sums from the top bin down — the window
+  // runs over the contracted 10-row domain, never over documents, so
+  // the single-partition frame is bounded by construction.
+  // ---------------------------------------------------------------------
+  private def x67(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.fanout(Tables.documents(s, d))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, x -> x IN ('the', 'a')))")
+          .cast("double") / col("n_tokens").cast("double"))
+      .withColumn("score",
+        round(lit(100.0) *
+          (least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.5), 2))
+      .withColumn("gold",
+        (col("lang") === "en" && col("n_chars") >= 200).cast("long"))
+      .withColumn("bin",
+        least(floor(col("score") / 10).cast("long"), lit(9L)))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("gold")).as("g_bin"))
+    val wTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("n_kept", sum(col("n_bin")).over(wTop))
+      .withColumn("gold_kept", sum(col("g_bin")).over(wTop))
+      .withColumn("total_gold", sum(col("g_bin")).over(wAll))
+      .withColumn("threshold", (col("bin") * 10).cast("long"))
+      .withColumn("precision_f",
+        round(col("gold_kept").cast("double") /
+          col("n_kept").cast("double"), 6))
+      .withColumn("recall_f",
+        when(col("total_gold") === 0, lit(null).cast("double"))
+          .otherwise(round(col("gold_kept").cast("double") /
+            col("total_gold").cast("double"), 6)))
+      .select("threshold", "n_kept", "gold_kept", "precision_f",
+        "recall_f")
+      .orderBy("threshold")
+  }
+  private val x67Sql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    ROUND(100.0 * (
+      |      CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE)
+      |        / 100.0 * 0.5 +
+      |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5),
+      |      2) AS score,
+      |    CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END
+      |      AS gold
+      |  FROM documents),
+      |bins AS (
+      |  SELECT LEAST(CAST(FLOOR(score / 10) AS BIGINT), 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bin,
+      |    CAST(SUM(gold) AS BIGINT) AS g_bin
+      |  FROM scored GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, n_bin, g_bin,
+      |    SUM(n_bin) OVER (ORDER BY bin DESC
+      |      ROWS UNBOUNDED PRECEDING) AS n_kept,
+      |    SUM(g_bin) OVER (ORDER BY bin DESC
+      |      ROWS UNBOUNDED PRECEDING) AS gold_kept,
+      |    SUM(g_bin) OVER () AS total_gold
+      |  FROM bins)
+      |SELECT CAST(bin * 10 AS BIGINT) AS threshold,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(gold_kept AS BIGINT) AS gold_kept,
+      |  ROUND(CAST(gold_kept AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+      |    AS precision_f,
+      |  CASE WHEN total_gold = 0 THEN NULL
+      |    ELSE ROUND(CAST(gold_kept AS DOUBLE)
+      |      / CAST(total_gold AS DOUBLE), 6) END AS recall_f
+      |FROM cum ORDER BY threshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X68 — inter-annotator agreement (Cohen's kappa): the labeling-QA
+  // primitive a pipeline runs when two labelers (a model and a
+  // heuristic, or two model versions) disagree — raw accuracy
+  // overstates agreement when the label marginals are skewed, kappa
+  // corrects for chance. Annotator A = the corpus `lang` column;
+  // annotator B = x06's lexicon-argmax predictor, over the docs B
+  // labels (≥1 lexicon hit). Everything up to the final kappa is
+  // exact BIGINT (confusion counts, marginal products); one doc-scale
+  // pass builds the ≤ |langs|² confusion matrix, all downstream aggs
+  // run on that contracted domain. The final 1×1 scalar combine is
+  // a broadcast crossJoin (a17/x21's pattern).
+  // ---------------------------------------------------------------------
+  private def x68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sw = lexicon.toDF("sw_lang", "sw")
+    val docs = Tables.fanout(Tables.documents(s, d))
+    val toks = docs.select(col("doc_id"), col("lang").as("a_lang"),
+      explode(split(col("text"), " ")).as("token"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("sw_lang"))
+    val perDoc = toks.join(broadcast(sw), col("token") === col("sw"))
+      .groupBy(col("doc_id"), col("a_lang"), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_lang"), col("sw_lang").as("b_lang"))
+    // ≤ |langs|² rows from here down — one doc-scale aggregation only
+    val conf = perDoc.groupBy(col("a_lang"), col("b_lang"))
+      .agg(count(lit(1)).as("c"))
+      .cut()
+    val tot = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("a_lang") === col("b_lang"), col("c"))
+        .otherwise(0L)).as("agree"))
+    val rowt = conf.groupBy(col("a_lang").as("lab"))
+      .agg(sum(col("c")).as("ra"))
+    val colt = conf.groupBy(col("b_lang").as("lab"))
+      .agg(sum(col("c")).as("cb"))
+    val pe = rowt.join(colt, "lab")
+      .agg(sum(col("ra") * col("cb")).as("pe_num"))
+    tot.crossJoin(pe)
+      .withColumn("po_ppm", expr("(1000000 * agree) div n"))
+      .withColumn("pe_ppm", expr("(1000000 * pe_num) div (n * n)"))
+      .withColumn("kappa",
+        round((col("n") * col("agree") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double"), 6))
+      .select("n", "agree", "pe_num", "po_ppm", "pe_ppm", "kappa")
+  }
+  private def x68Sql: String = {
+    val values = lexicon.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+    s"""WITH sw(sw_lang, sw) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, lang AS a_lang,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, a_lang, sw_lang, COUNT(*) AS hits
+       |  FROM toks JOIN sw ON token = sw
+       |  GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT a_lang, sw_lang AS b_lang
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, sw_lang) AS rn FROM hits)
+       |  WHERE rn = 1),
+       |conf AS (
+       |  SELECT a_lang, b_lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM per_doc GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN a_lang = b_lang THEN c ELSE 0 END)
+       |      AS BIGINT) AS agree
+       |  FROM conf),
+       |pe AS (
+       |  SELECT CAST(SUM(ra * cb) AS BIGINT) AS pe_num
+       |  FROM (SELECT a_lang AS lab, SUM(c) AS ra FROM conf GROUP BY 1)
+       |  JOIN (SELECT b_lang AS lab, SUM(c) AS cb FROM conf GROUP BY 1)
+       |  USING (lab))
+       |SELECT n, agree, pe_num,
+       |  CAST((1000000 * agree) // n AS BIGINT) AS po_ppm,
+       |  CAST((1000000 * pe_num) // (n * n) AS BIGINT) AS pe_ppm,
+       |  ROUND(CAST(n * agree - pe_num AS DOUBLE)
+       |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+       |FROM tot, pe""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X69 — tokenizer fertility audit: the tokenizer-evaluation
+  // primitive run before committing a corpus to a vocabulary —
+  // characters per token and subword fertility (subword pieces per
+  // whitespace word) PER LANGUAGE, because fertility skew is how a
+  // tokenizer silently taxes some languages' context windows.
+  // Tokenizer 1 = whitespace words; tokenizer 2 = a deterministic
+  // stride-4 subword proxy (each word splits into ceil(len/4)
+  // pieces — the fixed-vocabulary worst case a trained BPE improves
+  // on, and unlike a regex tokenizer it genuinely varies with the
+  // per-language word-length distribution). Sums are exact BIGINT;
+  // divisions happen once per language row. One keyed agg, zero
+  // windows, zero joins.
+  // ---------------------------------------------------------------------
+  private def x69(s: SparkSession, d: String): DataFrame = {
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(a, w) -> a + (length(w) + 3) div 4)").as("sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sub")).as("sub_tokens"))
+      .withColumn("chars_per_ws",
+        round(col("chars").cast("double") /
+          col("ws_tokens").cast("double"), 4))
+      .withColumn("chars_per_sub",
+        round(col("chars").cast("double") /
+          col("sub_tokens").cast("double"), 4))
+      .withColumn("fertility",
+        round(col("sub_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 4))
+      .orderBy("lang")
+  }
+  private val x69Sql =
+    """WITH per_doc AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '),
+      |          w -> CAST((length(w) + 3) // 4 AS BIGINT))),
+      |      (a, b) -> a + b) AS sub
+      |  FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(sub) AS BIGINT) AS sub_tokens,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE)
+      |    / CAST(SUM(ws) AS DOUBLE), 4) AS chars_per_ws,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE)
+      |    / CAST(SUM(sub) AS DOUBLE), 4) AS chars_per_sub,
+      |  ROUND(CAST(SUM(sub) AS DOUBLE)
+      |    / CAST(SUM(ws) AS DOUBLE), 4) AS fertility
+      |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x68_annotator_agreement", Some(x68Sql), x68),
+    QueryDef("x69_tokenizer_fertility", Some(x69Sql), x69),
+    QueryDef("x66_padding_waste", Some(x66Sql), x66),
+    QueryDef("x67_threshold_sweep", Some(x67Sql), x67),
     QueryDef("x65_score_calibration", Some(x65Sql), x65),
     QueryDef("x61_bpe_merge", Some(x61Sql), x61),
     QueryDef("x42_lang_mismatch", Some(x42Sql), x42),

@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
       "slice (1% of vectors) for the margin audit; LSH/IVF are the " +
       "drop-in scale variants"),
     "x63_diverse_sample" -> ("fixed 8-row codebook broadcast for the " +
-      "assignment argmin (x47's pattern)"))
+      "assignment argmin (x47's pattern)"),
+    "x68_annotator_agreement" -> ("final kappa combine crossJoins two " +
+      "SINGLE-ROW aggregates over the ≤|langs|² confusion matrix " +
+      "(1×1 by construction, q14's scalar pattern)"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

@@ -240,6 +240,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x64_contribution_bound" -> 3,
     // per-doc scoring is row-local; one agg over the 10-bin domain
     "x65_score_calibration" -> 3,
+    // per-source batching windows + (policy, source, batch) agg + card
+    "x66_padding_waste" -> 3,
+    // one agg to decile counts + the contracted 10-row cum window
+    "x67_threshold_sweep" -> 3,
+    // ONE shared union plan: 3 contracting keyed aggs + final sort —
+    // not 3 × |candidate pairs| independent stages
+    "q51_fd_discovery" -> 4,
+    // doc-scale confusion build (join+agg+window), then ≤|langs|²-domain
+    // marginal aggs and the 1×1 scalar combine
+    "x68_annotator_agreement" -> 4,
+    // one keyed per-lang agg + sort; subword fold is row-local
+    "x69_tokenizer_fertility" -> 3,
+    // per-source token agg; both windows run over the contracted
+    // source domain
+    "x70_quota_apportion" -> 2,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
