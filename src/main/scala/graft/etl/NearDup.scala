@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * before calling. Docs with fewer than 3 words have no word-3-gram
   * shingles and are treated as unique (they never cluster).
   *
-  * Scale contract: signatures are 16 min-aggregates in one codegen'd
-  * HashAggregate over the exploded (doc_id, h) relation (no
-  * permutation join, no array state); candidates come from the 4-band
-  * LSH join (never all-pairs); clustering is large-star/small-star
+  * Scale contract: signatures are computed ROW-LOCALLY by the native
+  * [[graft.functions.MinHashSigs]] kernel (one fused
+  * split→shingle→hash→min loop per doc inside whole-stage codegen —
+  * no explode, no shuffle, no aggregation state; the relational
+  * min-aggregate path remains as [[signaturesFromHashes]] for
+  * consumers that share a shingle-hash relation); candidates come
+  * from the 4-band LSH join (never all-pairs); clustering is
+  * large-star/small-star
   * connected components (O(log n) rounds at any graph diameter);
   * [[dedupe]]'s survivor window runs over CLUSTERED docs only, so its
   * cost is bounded by duplicate volume, not corpus size. Shingle text
@@ -112,10 +116,25 @@ object NearDup {
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** [[signaturesFromHashes]] ∘ [[shingleHashes]]. */
+  /** k MinHash signatures straight from the corpus — the row-local
+    * native kernel ([[graft.functions.MinHashSigs]]): one fused
+    * split→shingle→hash→min loop per document inside whole-stage
+    * codegen, ZERO shuffles (the relational path's exploded
+    * (doc_id, h) relation and its groupBy never exist). Values are
+    * bit-identical to [[signaturesFromHashes]] ∘ [[shingleHashes]]
+    * (min over the shingle multiset = min over the distinct set;
+    * NearDupSpec pins the equivalence), so consumers' oracles are
+    * unchanged. Use [[signaturesFromHashes]] only when a shared
+    * (doc_id, h) relation is needed anyway (x51's exact-Jaccard
+    * audit reuses one shingle-hash pass for both sides). */
   def signatures(docs: DataFrame,
-      k: Int = DefaultConfig.k): DataFrame =
-    signaturesFromHashes(shingleHashes(docs), k)
+      k: Int = DefaultConfig.k): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("_mh", graft.functions.MinHashSigs(col("text")))
+      .select(col("doc_id") +:
+        (0 until k).map(j => col("_mh").getItem(j).as(s"m$j")): _*)
+  }
 
   /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from
     * [[signaturesFromHashes]] output — the banded join that replaces

@@ -36,8 +36,11 @@ object PolyHash {
   final val Mod = 1000000007L
 
   /** Static kernel shared by interpreted eval and generated code. */
-  def compute(s: UTF8String): Long = {
-    val str = s.toString
+  def compute(s: UTF8String): Long = computeStr(s.toString)
+
+  /** The fold itself, on a JVM string — shared with [[MinHashSigs]],
+    * whose kernel hashes shingles it assembles in-loop. */
+  def computeStr(str: String): Long = {
     var acc = 0L
     var i = 0
     val n = str.length

@@ -157,7 +157,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
     "x01_dedup_exact" -> 2,
-    "x02_dedup_minhash_lsh" -> 9,
+    // 9 → 6 when signatures went row-local (MinHashSigs): the sig
+    // stage is a shuffle-free projection; only the banded candidate
+    // join, verify joins, and final sort shuffle
+    "x02_dedup_minhash_lsh" -> 6,
     // signature agg + banded candidate join + verify-stage
     // intersect/size joins over the checkpointed shingle relation
     "x51_minhash_error" -> 11,

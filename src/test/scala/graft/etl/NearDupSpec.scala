@@ -105,6 +105,35 @@ class NearDupSpec extends SparkSpec {
     assert(Set(10L, 11L).forall(cl(_) == 10L))
   }
 
+  test("row-local MinHashSigs kernel is bit-identical to the " +
+      "relational min-aggregate path on every doc and slot") {
+    // graded corpus: repeated shingles, multi-space-free but varied
+    // lengths; plus a doc with a DOUBLE space (empty word) to pin the
+    // split(-1) parity and one with exactly 3 words (single shingle)
+    val tricky = graded.union(Seq(
+      900L -> "alpha  beta gamma delta", // empty word from double space
+      901L -> "one two three"            // exactly one shingle
+    ).toDF("doc_id", "text"))
+    val rowLocal = NearDup.signatures(tricky)
+    val relational = NearDup.signaturesFromHashes(
+      NearDup.shingleHashes(tricky))
+    assert(rowLocal.columns.toSeq === relational.columns.toSeq)
+    val l = rowLocal.orderBy("doc_id").collect().map(_.toSeq)
+    val r = relational.orderBy("doc_id").collect().map(_.toSeq)
+    assert(l.toSeq === r.toSeq)
+  }
+
+  test("signatures plans ZERO shuffles — the row-local kernel needs " +
+      "no explode and no aggregation") {
+    val plan = NearDup.signatures(docs)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"expected shuffle-free plan:\n$plan")
+  }
+
   test("non-default config end-to-end: 2x8 precision banding still " +
       "recovers exact-copy clusters") {
     val cl = NearDup.clusters(docs, NearDup.LshConfig(2, 8, minSig = 16))
