@@ -2132,6 +2132,135 @@ object DedupSim {
        |ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X71 — KMV (bottom-k) sketch overlap with its error contract: the
+  // sketch-based swap-in for x49's exact pair join, certified against
+  // it. Per source, a bottom-k=128 sketch of the word-3-gram PolyHash
+  // set rides ONE custom-Aggregator pass ([[graft.functions
+  // .BottomKSketch]] — O(k) state per group; at 100 TB the sketch
+  // shuffles 128 longs per source where the exact join shuffles the
+  // full distinct shingle relation TWICE). Pair estimate = the
+  // classic KMV Jaccard (|bottom-k of the sketch union ∩ both
+  // sketches| / k), in exact ppm; the exact side is x49's kernel on
+  // the same hash grain; err vs the flat 2σ worst-case bound
+  // (1e6/√k ppm, x51's contract style) lands per pair. Everything
+  // the sketch computes is deterministic integer order statistics of
+  // oracle-portable hashes, so DuckDB reproduces the SKETCH ITSELF
+  // bit-for-bit (row_number ≤ k over the same h order) — the
+  // estimator is certified cross-engine, not just the exact twin.
+  // The pair stage runs on the bounded source domain (x49's rule:
+  // complete upper-triangle matrix, zero-overlap pairs explicit).
+  // ---------------------------------------------------------------------
+  private val KmvK = 128
+
+  private def x71(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.fanout(Tables.documents(s, d))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"), explode(expr(sparkShingles)).as("shingle"))
+      .withColumn("h", graft.functions.PolyHash(col("shingle")))
+      .select("source", "h").distinct()
+      // three consumers (sizes, sketches, both exact-join sides):
+      // one materialization
+      .cut(false)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val bk = udaf(new graft.functions.BottomKSketch(KmvK))
+    val sketches = sh.groupBy(col("source")).agg(bk(col("h")).as("sk"))
+    val dom = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), col("src_a") < col("src_b"))
+    dom
+      .join(broadcast(sketches.select(col("source").as("src_a"),
+        col("sk").as("sk_a"))), Seq("src_a"))
+      .join(broadcast(sketches.select(col("source").as("src_b"),
+        col("sk").as("sk_b"))), Seq("src_b"))
+      .join(broadcast(pairs), Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("ku",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))),
+          1, KmvK))
+      .withColumn("k_used", size(col("ku")).cast("long"))
+      .withColumn("kmv_shared",
+        size(array_intersect(col("ku"),
+          array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("est_ppm",
+        expr("(1000000 * kmv_shared) div k_used"))
+      .withColumn("exact_ppm",
+        expr("(1000000 * n_shared) div (n_a + n_b - n_shared)"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .withColumn("bound_ppm",
+        ceil(lit(1000000.0) / sqrt(col("k_used").cast("double")))
+          .cast("long"))
+      .withColumn("within_bound",
+        (col("err_ppm") <= col("bound_ppm")).cast("long"))
+      .select("src_a", "src_b", "n_a", "n_b", "n_shared", "k_used",
+        "kmv_shared", "est_ppm", "exact_ppm", "err_ppm", "bound_ppm",
+        "within_bound")
+      .orderBy("src_a", "src_b")
+  }
+  private lazy val x71Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${duckHashes(duckShingles)}) AS h
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM sh a JOIN sh b
+       |    ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM sh) WHERE rk <= $KmvK),
+       |dom AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b,
+       |    sa.n AS n_a, sb.n AS n_b
+       |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source),
+       |u AS (
+       |  SELECT d.src_a, d.src_b, s.h,
+       |    MAX(CASE WHEN s.source = d.src_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = d.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM dom d JOIN sk s ON s.source IN (d.src_a, d.src_b)
+       |  GROUP BY 1, 2, 3),
+       |kk AS (
+       |  SELECT src_a, src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS k_used,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS kmv_shared
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+       |          ORDER BY h) AS rk FROM u)
+       |  WHERE rk <= $KmvK GROUP BY 1, 2)
+       |SELECT d.src_a, d.src_b, d.n_a, d.n_b,
+       |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |  k.k_used, k.kmv_shared,
+       |  CAST((1000000 * k.kmv_shared) // k.k_used AS BIGINT) AS est_ppm,
+       |  CAST((1000000 * COALESCE(p.n_shared, 0))
+       |    // (d.n_a + d.n_b - COALESCE(p.n_shared, 0)) AS BIGINT)
+       |    AS exact_ppm,
+       |  CAST(ABS((1000000 * k.kmv_shared) // k.k_used
+       |    - (1000000 * COALESCE(p.n_shared, 0))
+       |      // (d.n_a + d.n_b - COALESCE(p.n_shared, 0))) AS BIGINT)
+       |    AS err_ppm,
+       |  CAST(CEIL(1000000.0 / SQRT(CAST(k.k_used AS DOUBLE)))
+       |    AS BIGINT) AS bound_ppm,
+       |  CAST(CASE WHEN ABS((1000000 * k.kmv_shared) // k.k_used
+       |      - (1000000 * COALESCE(p.n_shared, 0))
+       |        // (d.n_a + d.n_b - COALESCE(p.n_shared, 0)))
+       |    <= CEIL(1000000.0 / SQRT(CAST(k.k_used AS DOUBLE)))
+       |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM dom d
+       |JOIN kk k ON k.src_a = d.src_a AND k.src_b = d.src_b
+       |LEFT JOIN pairs p ON p.src_a = d.src_a AND p.src_b = d.src_b
+       |ORDER BY d.src_a, d.src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X50 — leakage-safe train/eval split: the split key is the
   // DUP-GROUP (min doc_id per content fingerprint), not the document,
   // so a duplicated document can never land on both sides of the
@@ -2576,6 +2705,7 @@ object DedupSim {
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
     QueryDef("x62_hard_negatives", Some(x62Sql), x62),
-    QueryDef("x63_diverse_sample", Some(x63Sql), x63)
+    QueryDef("x63_diverse_sample", Some(x63Sql), x63),
+    QueryDef("x71_kmv_overlap", Some(x71Sql), x71)
   )
 }

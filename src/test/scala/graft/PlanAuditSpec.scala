@@ -72,7 +72,11 @@ class PlanAuditSpec extends SparkSpec {
       "assignment argmin (x47's pattern)"),
     "x68_annotator_agreement" -> ("final kappa combine crossJoins two " +
       "SINGLE-ROW aggregates over the ≤|langs|² confusion matrix " +
-      "(1×1 by construction, q14's scalar pattern)"))
+      "(1×1 by construction, q14's scalar pattern)"),
+    "x71_kmv_overlap" -> ("x49's pattern: the src_a < src_b pair " +
+      "domain is a self-join of the per-SOURCE sizes/sketch relations " +
+      "— bounded by the source domain (a handful of rows carrying " +
+      "128-long sketches), never by the data"))
 
   test("no unbounded cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.defs.flatMap { q =>

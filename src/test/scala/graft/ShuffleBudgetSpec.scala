@@ -258,6 +258,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // per-source token agg; both windows run over the contracted
     // source domain
     "x70_quota_apportion" -> 2,
+    // one checkpointed (source, h) distinct + sizes/sketch aggs, the
+    // exact pair join (the thing the sketch replaces at scale), sort
+    "x71_kmv_overlap" -> 6,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
