@@ -1730,7 +1730,74 @@ object Advanced {
        |    AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q52-ext — CUSUM changepoint detection: the mean-shift audit a
+  // monitoring stack runs over a pipeline's daily volumes (did this
+  // event type's rate step-change, and when?). Per event type over
+  // the ordered daily counts c_1..c_n, the scaled CUSUM statistic
+  // T_k = n·prefix_k − k·total is EXACT BIGINT arithmetic (it is
+  // n·k·(mean_before_k − mean_overall) with the divisions cleared),
+  // so the argmax split day is bit-deterministic across engines and
+  // partitionings — no float drift deciding between near-tied days.
+  // Plan shape at 100 TB: the raw stream contracts to |types|×|days|
+  // in ONE keyed partial agg; every window after that runs inside the
+  // per-type partition of that contracted relation (the pick window
+  // reuses the same hash partitioning — no extra exchange).
+  // ---------------------------------------------------------------------
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pre", sum("c").over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("c").over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("abs_t",
+        abs(col("n") * col("pre") - col("k") * col("total")))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("abs_t").desc, col("k"))
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"), col("k"),
+        col("n").as("n_days"), col("abs_t").as("cusum_abs"),
+        expr("(1000000L * pre) div k").as("mean_before_ppm"),
+        expr("(1000000L * (total - pre)) div (n - k)")
+          .as("mean_after_ppm"))
+      .orderBy("event_type")
+  }
+  private val q52Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, day,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS pre,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM daily),
+      |scored AS (
+      |  SELECT *, ABS(n * pre - k * total) AS abs_t
+      |  FROM pre WHERE k < n),
+      |picked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY abs_t DESC, k) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS split_day, k, n AS n_days,
+      |  abs_t AS cusum_abs,
+      |  (1000000 * pre) // k AS mean_before_ppm,
+      |  (1000000 * (total - pre)) // (n - k) AS mean_after_ppm
+      |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q52_changepoint", Some(q52Sql), q52),
     QueryDef("q51_fd_discovery", Some(q51Sql), q51),
     QueryDef("x70_quota_apportion", Some(x70Sql), x70),
     QueryDef("x64_contribution_bound", Some(x64Sql), x64),

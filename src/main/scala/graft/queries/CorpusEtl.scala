@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.etl.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -272,9 +273,86 @@ object CorpusEtl {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM matches) AS dup_pairs
        |FROM ann""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X74 — shard integrity manifest: the tamper-evidence layer a corpus
+  // release ships next to its data files (did any shard change between
+  // snapshot A and B? which one?). Per shard (doc_id % 16): an
+  // ORDER-INDEPENDENT additive digest in the style of incremental
+  // multiset hashing (AdHash, Bellare–Micciancio '97): each doc's leaf
+  // is the oracle-portable PolyHash of its full canonical row string,
+  // mixed by a Knuth multiply and SUMMED mod p. Commutativity is the
+  // point at 100 TB: the digest is a commutative monoid, so it
+  // partial-aggregates map-side, merges in any order, and an appended/
+  // changed doc updates it in O(1) without re-reading the shard —
+  // exactly the property a Merkle-LIST (positional chain) would lose
+  // under distributed execution. The corpus root row (shard = -1)
+  // folds the shard digests the same way, giving the single value two
+  // releases compare first. Sums ride DECIMAL(38,0) so the
+  // accumulation cannot overflow at any shard size (Spark long sums
+  // wrap silently; DuckDB HUGEINT doesn't — parity demands decimal).
+  // ---------------------------------------------------------------------
+  private val MerkleP = 1000000007L
+  private val MerkleMix = 2654435761L
+
+  private def x74(s: SparkSession, d: String): DataFrame = {
+    val leaves = Tables.fanout(Tables.documents(s, d))
+      .withColumn("shard", col("doc_id") % 16)
+      .withColumn("leaf", graft.functions.PolyHash(concat_ws("|",
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("text"))))
+      .withColumn("mixed",
+        expr(s"(leaf * ${MerkleMix}L) % ${MerkleP}L"))
+    val shards = leaves.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"CAST(SUM(CAST(mixed AS DECIMAL(38,0))) % ${MerkleP}L" +
+          " AS BIGINT)").as("digest"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      // two consumers (manifest rows + the root fold): one corpus scan
+      .cut(false)
+    val root = shards
+      .withColumn("remixed",
+        expr(s"(digest * ${MerkleMix}L) % ${MerkleP}L"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        expr(s"CAST(SUM(CAST(remixed AS DECIMAL(38,0))) % ${MerkleP}L" +
+          " AS BIGINT)").as("digest"),
+        min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("digest"),
+        col("min_doc"), col("max_doc"))
+    shards.select(col("shard"), col("n_docs"), col("digest"),
+        col("min_doc"), col("max_doc"))
+      .union(root)
+      .orderBy("shard")
+  }
+  private val x74Sql =
+    s"""WITH leaves AS (
+       |  SELECT doc_id % 16 AS shard, doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(
+       |        doc_id || '|' || source || '|' || lang || '|'
+       |          || n_chars || '|' || text, ''), ch -> ch <> ''),
+       |        ch -> CAST(unicode(ch) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $MerkleP)
+       |     * $MerkleMix) % $MerkleP AS mixed
+       |  FROM documents),
+       |shards AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(mixed) % $MerkleP AS BIGINT) AS digest,
+       |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |  FROM leaves GROUP BY 1),
+       |root AS (
+       |  SELECT CAST(-1 AS BIGINT) AS shard,
+       |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |    CAST(SUM((digest * $MerkleMix) % $MerkleP) % $MerkleP
+       |      AS BIGINT) AS digest,
+       |    MIN(min_doc) AS min_doc, MAX(max_doc) AS max_doc
+       |  FROM shards)
+       |SELECT * FROM shards UNION ALL SELECT * FROM root
+       |ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w03_corpus_etl", Some(w03Sql), w03),
     QueryDef("w04_curation_funnel", Some(w04Sql), w04),
-    QueryDef("w05_neardup_funnel", Some(w05Sql), w05)
+    QueryDef("w05_neardup_funnel", Some(w05Sql), w05),
+    QueryDef("x74_merkle_manifest", Some(x74Sql), x74)
   )
 }

@@ -2261,6 +2261,65 @@ object DedupSim {
        |ORDER BY d.src_a, d.src_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X73 — reciprocal-rank fusion of the two ANN retrievers: the
+  // standard way a RAG stack combines rankings from heterogeneous
+  // systems (here the brute-force cosine baseline and the sign-LSH
+  // path — x60 prices their recall; x73 fuses their answers).
+  // RRF score = Σ_systems 1/(60 + rank), computed as EXACT integer
+  // nano-units (10⁹ div (60 + rank)) so fusion order, ties and the
+  // final top-10 are bit-deterministic across engines — no float sum
+  // deciding between candidates ranked (3, absent) vs (absent, 3).
+  // A candidate missing from one system contributes 0 from it (full
+  // outer join + COALESCE — the x49 zero-overlap lesson). Scale: both
+  // inputs are ≤ 10·|probes| rows, the fusion join and the pick
+  // window are keyed on (q_id[, vec_id]) — the expensive part is the
+  // retrievers themselves, which are exactly x05/x05b's audited plans.
+  // ---------------------------------------------------------------------
+  private def x73(s: SparkSession, d: String): DataFrame = {
+    val brute = x05(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank").as("r_brute"))
+    val lsh = x05b(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank").as("r_lsh"))
+    val fused = brute.join(lsh, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000L div (60L + r_brute)"), lit(0L)) +
+        coalesce(expr("1000000000L div (60L + r_lsh)"), lit(0L)))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("q_id"), col("vec_id"), col("fused_rank"),
+        col("rrf_score"),
+        coalesce(col("r_brute"), lit(0)).cast("long").as("r_brute"),
+        coalesce(col("r_lsh"), lit(0)).cast("long").as("r_lsh"))
+      .orderBy("q_id", "fused_rank")
+  }
+  private lazy val x73Sql =
+    s"""WITH brute AS ($x05Sql),
+       |lshq AS ($x05bSql),
+       |f AS (
+       |  SELECT COALESCE(b.q_id, l.q_id) AS q_id,
+       |    COALESCE(b.vec_id, l.vec_id) AS vec_id,
+       |    b.rank AS r_brute, l.rank AS r_lsh
+       |  FROM brute b FULL OUTER JOIN lshq l
+       |    ON b.q_id = l.q_id AND b.vec_id = l.vec_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    COALESCE(1000000000 // (60 + r_brute), 0)
+       |      + COALESCE(1000000000 // (60 + r_lsh), 0) AS rrf_score,
+       |    CAST(COALESCE(r_brute, 0) AS BIGINT) AS r_brute,
+       |    CAST(COALESCE(r_lsh, 0) AS BIGINT) AS r_lsh
+       |  FROM f),
+       |picked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_score DESC, vec_id) AS fused_rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+       |  CAST(rrf_score AS BIGINT) AS rrf_score, r_brute, r_lsh
+       |FROM picked WHERE fused_rank <= 10
+       |ORDER BY q_id, fused_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X50 — leakage-safe train/eval split: the split key is the
   // DUP-GROUP (min doc_id per content fingerprint), not the document,
   // so a duplicated document can never land on both sides of the
@@ -2706,6 +2765,7 @@ object DedupSim {
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
     QueryDef("x62_hard_negatives", Some(x62Sql), x62),
     QueryDef("x63_diverse_sample", Some(x63Sql), x63),
-    QueryDef("x71_kmv_overlap", Some(x71Sql), x71)
+    QueryDef("x71_kmv_overlap", Some(x71Sql), x71),
+    QueryDef("x73_rrf_fusion", Some(x73Sql), x73)
   )
 }

@@ -1535,7 +1535,105 @@ object TextOps {
       |    / CAST(SUM(ws) AS DOUBLE), 4) AS fertility
       |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X72-ext — Count-Min sketch frequency estimates with the one-sided
+  // error contract: completes the sketch-contract family (HLL q26c/
+  // q38b, MinHash x51, GK q48, KMV x71) with the classic
+  // counter-matrix sketch. The d=4 × w=256 counter matrix is built by
+  // a keyed partial agg over (row, bucket) — at 100 TB each executor
+  // holds its own 1,024-long matrix and the merge is counter addition,
+  // the textbook mergeable-sketch shape; nothing here materializes the
+  // token domain beyond the exact audit side it is certified against.
+  // Buckets come from per-row affine mixes of the oracle-portable
+  // PolyHash (distinct multipliers per row — the x53 postmortem's
+  // weak-mixing lesson), so DuckDB rebuilds the SKETCH bit-for-bit.
+  // Contract per audited token (top-100 heavy hitters, the sketch's
+  // actual use case): est ≥ exact ALWAYS (the CMS one-sided
+  // guarantee — a negative err is a bug, spec-asserted), and
+  // est − exact ≤ 4·N/w with per-row Markov probability ≤ 1/4,
+  // i.e. ≤ 1/256 after the min over 4 independent rows.
+  // ---------------------------------------------------------------------
+  private val CmsW = 256
+  private val CmsD = 4
+  private val CmsA = Seq(1000003L, 100003L, 10007L, 1009L)
+  private val CmsB = Seq(12345L, 54321L, 7L, 999983L)
+  // explode-ready (r, a, b) parameter rows; bucket = ((ph*a + b) % P) % w
+  private def cmsParams = array((0 until CmsD).map(r => struct(
+    lit(r).as("r"), lit(CmsA(r)).as("pa"), lit(CmsB(r)).as("pb"))): _*)
+  private val cmsBucket =
+    s"((ph * p.pa + p.pb) % 1000000007L) % $CmsW"
+
+  private def x72(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.fanout(Tables.documents(s, d))
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("ph", graft.functions.PolyHash(col("tok")))
+      // three consumers (counter matrix, N scalar, audit slice):
+      // one materialization
+      .cut(false)
+    val counters = ex
+      .select(col("exact_cnt"), col("ph"), explode(cmsParams).as("p"))
+      .select(col("p.r").as("r"), expr(cmsBucket).as("b"),
+        col("exact_cnt"))
+      .groupBy("r", "b").agg(sum("exact_cnt").as("c"))
+    val n = ex.agg(sum("exact_cnt").as("n_total"))
+    val top = ex.orderBy(col("exact_cnt").desc, col("tok")).limit(100)
+    top
+      .select(col("tok"), col("exact_cnt"), col("ph"),
+        explode(cmsParams).as("p"))
+      .select(col("tok"), col("exact_cnt"), col("p.r").as("r"),
+        expr(cmsBucket).as("b"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("tok", "exact_cnt").agg(min("c").as("est_cnt"))
+      .crossJoin(broadcast(n))
+      .withColumn("err", col("est_cnt") - col("exact_cnt"))
+      .withColumn("bound", expr(s"(4L * n_total) div $CmsW"))
+      .withColumn("within_bound",
+        (col("err") <= col("bound")).cast("long"))
+      .select("tok", "exact_cnt", "est_cnt", "err", "n_total", "bound",
+        "within_bound")
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+  private val duckPolyHashTok =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(list_filter(string_split(tok, ''), ch -> ch <> ''),
+      |    ch -> CAST(unicode(ch) AS BIGINT))),
+      |  (acc, c) -> (acc * 31 + c) % 1000000007)"""
+      .stripMargin.replace("\n", " ")
+  private lazy val x72Sql =
+    s"""WITH toks AS (
+       |  SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+'))
+       |    AS tok
+       |  FROM documents),
+       |ex AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM toks WHERE tok <> '' GROUP BY 1),
+       |exh AS (SELECT *, $duckPolyHashTok AS ph FROM ex),
+       |params(r, pa, pb) AS (VALUES
+       |  (0, ${CmsA(0)}, ${CmsB(0)}), (1, ${CmsA(1)}, ${CmsB(1)}),
+       |  (2, ${CmsA(2)}, ${CmsB(2)}), (3, ${CmsA(3)}, ${CmsB(3)})),
+       |counters AS (
+       |  SELECT p.r, ((e.ph * p.pa + p.pb) % 1000000007) % $CmsW AS b,
+       |    CAST(SUM(e.exact_cnt) AS BIGINT) AS c
+       |  FROM exh e CROSS JOIN params p GROUP BY 1, 2),
+       |n AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n_total FROM ex),
+       |top AS (SELECT * FROM exh ORDER BY exact_cnt DESC, tok LIMIT 100),
+       |est AS (
+       |  SELECT t.tok, t.exact_cnt, MIN(c.c) AS est_cnt
+       |  FROM top t CROSS JOIN params p
+       |  JOIN counters c ON c.r = p.r
+       |    AND c.b = ((t.ph * p.pa + p.pb) % 1000000007) % $CmsW
+       |  GROUP BY 1, 2)
+       |SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS err,
+       |  n_total, (4 * n_total) // $CmsW AS bound,
+       |  CAST(CASE WHEN est_cnt - exact_cnt <= (4 * n_total) // $CmsW
+       |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM est CROSS JOIN n
+       |ORDER BY exact_cnt DESC, tok""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x72_cms_frequency", Some(x72Sql), x72),
     QueryDef("x68_annotator_agreement", Some(x68Sql), x68),
     QueryDef("x69_tokenizer_fertility", Some(x69Sql), x69),
     QueryDef("x66_padding_waste", Some(x66Sql), x66),

@@ -73,6 +73,13 @@ class PlanAuditSpec extends SparkSpec {
     "x68_annotator_agreement" -> ("final kappa combine crossJoins two " +
       "SINGLE-ROW aggregates over the ≤|langs|² confusion matrix " +
       "(1×1 by construction, q14's scalar pattern)"),
+    "x73_rrf_fusion" -> ("composes x05 (documented brute-force " +
+      "baseline) and x05b (bounded plane index) verbatim — inherits " +
+      "exactly their allowlisted bounded nested-loop sides (x60's " +
+      "pattern); the fusion join itself is keyed on (q_id, vec_id)"),
+    "x72_cms_frequency" -> ("audited tokens crossJoin the SINGLE-ROW " +
+      "total-count aggregate (100×1 by construction, a17's scalar " +
+      "pattern); the counter matrix itself joins keyed on (r, bucket)"),
     "x71_kmv_overlap" -> ("x49's pattern: the src_a < src_b pair " +
       "domain is a self-join of the per-SOURCE sizes/sketch relations " +
       "— bounded by the source domain (a handful of rows carrying " +

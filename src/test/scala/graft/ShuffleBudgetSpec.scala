@@ -261,6 +261,20 @@ class ShuffleBudgetSpec extends SparkSpec {
     // one checkpointed (source, h) distinct + sizes/sketch aggs, the
     // exact pair join (the thing the sketch replaces at scale), sort
     "x71_kmv_overlap" -> 6,
+    // one token agg feeding the checkpointed exact relation, one
+    // (row, bucket) counter agg; the probe/min/argmax stages ride the
+    // broadcast 1,024-row matrix and TakeOrdered — no further exchange
+    "x72_cms_frequency" -> 2,
+    // the two retriever subplans verbatim (x05 = 4, x05b = 10) plus
+    // the keyed full-outer fusion join's two exchanges; the pick
+    // window reuses the fusion partitioning
+    "x73_rrf_fusion" -> 16,
+    // shard-digest agg is checkpointed (one corpus scan for both
+    // consumers); root fold + final sort remain
+    "x74_merkle_manifest" -> 2,
+    // daily (type, day) contraction, the per-type window pass (pick
+    // window reuses its partitioning), final sort
+    "q52_changepoint" -> 3,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,

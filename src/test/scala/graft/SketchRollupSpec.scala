@@ -39,4 +39,21 @@ class SketchRollupSpec extends SparkSpec {
         s"${ex(month)} (err $err)")
     }
   }
+
+  test("x72 count-min: one-sided guarantee holds, bound rarely missed") {
+    val rows = SparkEntry.defs.find(_.name == "x72_cms_frequency").get
+      .run(spark, sf).collect()
+    assert(rows.length > 10)
+    // est >= exact is the CMS HARD guarantee — hash collisions only
+    // ever ADD counts. A single negative err is an implementation bug.
+    rows.foreach { r =>
+      val err = r.getAs[Long]("err")
+      assert(err >= 0, s"${r.getAs[String]("tok")}: est < exact ($err)")
+    }
+    // the 4N/w bound fails with per-token probability ≤ 4^-4 = 1/256;
+    // allow 5% of the ≤100-token audit slice before calling it broken
+    val viol = rows.count(_.getAs[Long]("within_bound") == 0L)
+    assert(viol <= rows.length / 20,
+      s"$viol of ${rows.length} audited tokens exceed the 4N/w bound")
+  }
 }
