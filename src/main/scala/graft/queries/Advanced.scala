@@ -1796,7 +1796,65 @@ object Advanced {
       |  (1000000 * (total - pre)) // (n - k) AS mean_after_ppm
       |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q53-ext — l-diversity audit: q49's companion. k-anonymity bounds
+  // how FEW people share a quasi-identifier class; l-diversity bounds
+  // how UNIFORM the sensitive attribute is within it (a k=50 class
+  // where all 50 share one diagnosis still leaks it). Same QI grain
+  // as q49 (segment, nation, balance band), sensitive attribute =
+  // order priority reached through the keyed customer→orders join;
+  // a class is diverse iff it carries ≥ l = 3 DISTINCT priorities.
+  // Scale: the join is keyed on custkey (AQE picks the build side),
+  // the class agg contracts to the QI grain before the per-segment
+  // rollup — the same two contracting keyed shuffles as q49 plus the
+  // join. countDistinct stays exact: the sensitive domain is 5
+  // values, so the distinct expansion is bounded per class.
+  // ---------------------------------------------------------------------
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val l = 3L
+    val joined = Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+    val classes = joined
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 100.0).as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderpriority")).as("ldiv"))
+    classes.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("ldiv")).as("min_diversity"),
+        sum(when(col("ldiv") < l, 1L).otherwise(0L))
+          .as("classes_below_l"),
+        sum(when(col("ldiv") < l, col("n")).otherwise(0L))
+          .as("rows_below_l"))
+      .withColumn("risk_frac",
+        round(col("rows_below_l").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy("c_mktsegment")
+  }
+  private val q53Sql =
+    """WITH classes AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    FLOOR(c_acctbal / 100.0) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ldiv
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  MIN(ldiv) AS min_diversity,
+      |  CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_l,
+      |  CAST(SUM(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_l,
+      |  ROUND(CAST(SUM(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(n) AS DOUBLE), 4) AS risk_frac
+      |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q53_l_diversity", Some(q53Sql), q53),
     QueryDef("q52_changepoint", Some(q52Sql), q52),
     QueryDef("q51_fd_discovery", Some(q51Sql), q51),
     QueryDef("x70_quota_apportion", Some(x70Sql), x70),

@@ -2320,6 +2320,52 @@ object DedupSim {
        |ORDER BY q_id, fused_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X75 — context-window assembly under a token budget: the step a
+  // RAG stack runs AFTER retrieval — pack the ranked candidates into
+  // the prompt until the budget is spent. Candidates come from the
+  // sign-LSH retriever (x05b's audited plan, the scale path); token
+  // costs join keyed on the doc id (x08's whitespace grain); the
+  // budget gate is a per-query running sum over the rank order
+  // (strict prefix cut at 256 tokens: the first overflowing chunk and
+  // everything after it is dropped — deterministic, no knapsack
+  // reordering surprises between engines). Scale: the window runs
+  // inside per-q_id partitions of a ≤ 10·|probes|-row relation; the
+  // retriever dominates, and it is exactly x05b's audited plan.
+  // ---------------------------------------------------------------------
+  private val CtxBudget = 256L
+
+  private def x75(s: SparkSession, d: String): DataFrame = {
+    val cands = x05b(s, d)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("q_id").orderBy("rank")
+    cands.join(toks, Seq("vec_id"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= CtxBudget)
+      .withColumn("rank", col("rank").cast("long"))
+      .select("q_id", "rank", "vec_id", "n_tok", "cum_tok")
+      .orderBy("q_id", "rank")
+  }
+  private lazy val x75Sql =
+    s"""WITH cands AS ($x05bSql),
+       |toks AS (
+       |  SELECT doc_id AS vec_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT c.q_id, CAST(c.rank AS BIGINT) AS rank, c.vec_id,
+       |    t.n_tok,
+       |    CAST(SUM(t.n_tok) OVER (PARTITION BY c.q_id ORDER BY c.rank)
+       |      AS BIGINT) AS cum_tok
+       |  FROM cands c JOIN toks t USING (vec_id))
+       |SELECT q_id, rank, vec_id, n_tok, cum_tok
+       |FROM packed WHERE cum_tok <= $CtxBudget
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X50 — leakage-safe train/eval split: the split key is the
   // DUP-GROUP (min doc_id per content fingerprint), not the document,
   // so a duplicated document can never land on both sides of the
@@ -2766,6 +2812,7 @@ object DedupSim {
     QueryDef("x62_hard_negatives", Some(x62Sql), x62),
     QueryDef("x63_diverse_sample", Some(x63Sql), x63),
     QueryDef("x71_kmv_overlap", Some(x71Sql), x71),
-    QueryDef("x73_rrf_fusion", Some(x73Sql), x73)
+    QueryDef("x73_rrf_fusion", Some(x73Sql), x73),
+    QueryDef("x75_context_budget", Some(x75Sql), x75)
   )
 }

@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     "x68_annotator_agreement" -> ("final kappa combine crossJoins two " +
       "SINGLE-ROW aggregates over the ≤|langs|² confusion matrix " +
       "(1×1 by construction, q14's scalar pattern)"),
+    "x75_context_budget" -> ("composes x05b verbatim — inherits its " +
+      "allowlisted bounded plane-index relation; the token join and " +
+      "budget window are keyed"),
     "x73_rrf_fusion" -> ("composes x05 (documented brute-force " +
       "baseline) and x05b (bounded plane index) verbatim — inherits " +
       "exactly their allowlisted bounded nested-loop sides (x60's " +

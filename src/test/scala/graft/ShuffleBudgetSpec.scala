@@ -265,6 +265,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (row, bucket) counter agg; the probe/min/argmax stages ride the
     // broadcast 1,024-row matrix and TakeOrdered — no further exchange
     "x72_cms_frequency" -> 2,
+    // x05b's retriever subplan (10) — the token join rides broadcast
+    // and the budget window reuses the retriever's q_id partitioning
+    "x75_context_budget" -> 10,
+    // customer⋈orders keyed join (2), QI-class agg, segment rollup;
+    // countDistinct's expand is bounded by the 5-value domain
+    "q53_l_diversity" -> 4,
     // the two retriever subplans verbatim (x05 = 4, x05b = 10) plus
     // the keyed full-outer fusion join's two exchanges; the pick
     // window reuses the fusion partitioning
