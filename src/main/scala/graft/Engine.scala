@@ -31,7 +31,7 @@ package graft
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
   * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich` | watermark-bounded state; batch ≡ stream parity-tested |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
-  * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK}` | mergeable, fixed memory, error bounds oracle-checked |
+  * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK, CountMinSketch}` | mergeable, fixed memory, error bounds oracle-checked |
   *
   * Session wiring: `functions.GraftExtensions` registers the SQL
   * functions + analysis guards via `SparkSessionExtensions`;
@@ -82,6 +82,7 @@ object Engine {
     val DotProduct = graft.functions.DotProduct
     val DistinctNgrams = graft.functions.DistinctNgrams
     val BottomKSketch = graft.functions.BottomKSketch
+    val CountMinSketch = graft.functions.CountMinSketch
     /** SpaceSavingTopK is a class (instantiate with capacity + k):
       * `new Engine.functions.SpaceSavingTopK(1024, 10)`. */
     type SpaceSavingTopK = graft.functions.SpaceSavingTopK

@@ -1552,6 +1552,9 @@ object TextOps {
   // guarantee — a negative err is a bug, spec-asserted), and
   // est − exact ≤ 4·N/w with per-row Markov probability ≤ 1/4,
   // i.e. ≤ 1/256 after the min over 4 independent rows.
+  // [[graft.functions.CountMinSketch]] is the library kernel with the
+  // SAME bucket family — CountMinSketchSpec pins that the Aggregator
+  // build equals this relational build counter-for-counter.
   // ---------------------------------------------------------------------
   private val CmsW = 256
   private val CmsD = 4
