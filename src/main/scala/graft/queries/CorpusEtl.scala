@@ -349,7 +349,87 @@ object CorpusEtl {
        |SELECT * FROM shards UNION ALL SELECT * FROM root
        |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X76 — license/policy gate: the compliance audit a corpus release
+  // runs before training — which token mass is actually trainable
+  // under each source's license class? The license registry is the
+  // canonical BROADCAST-DIM shape (a few thousand sources at any
+  // corpus size — here derived deterministically from the source id,
+  // in production a curated table): distinct sources → class, joined
+  // back broadcast so the corpus-side scan stays one pass with no
+  // wide shuffle. Per class: sources, docs, token mass at x08's
+  // whitespace grain, the trainable verdict (permissive/attribution
+  // train; noncommercial/restricted don't), share of total tokens in
+  // exact ppm (1-row scalar crossJoin, a17's pattern) and the gated
+  // token mass the release may keep.
+  // ---------------------------------------------------------------------
+  private def x76(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .withColumn("n_tok",
+        size(split(col("text"), "\\s+")).cast("long"))
+      // two consumers (registry distinct + the class join): one scan
+      .cut(false)
+    val registry = docs.select(col("source")).distinct()
+      .withColumn("lic_id",
+        expr("CAST(substr(source, 4) AS INT) % 4"))
+      .withColumn("license", expr(
+        """CASE lic_id WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution'
+          |WHEN 2 THEN 'noncommercial' ELSE 'restricted' END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("trainable",
+        (col("lic_id") <= 1).cast("long"))
+      .drop("lic_id")
+    // source counts come from the registry itself (already one row
+    // per source) — keeps the corpus-side agg free of the
+    // countDistinct Expand fan-out
+    val perClassSrc = registry.groupBy(col("license"), col("trainable"))
+      .agg(count(lit(1)).as("n_sources"))
+    val perClass = docs.join(broadcast(registry), Seq("source"))
+      .groupBy(col("license"), col("trainable"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .join(broadcast(perClassSrc), Seq("license", "trainable"))
+      // 4-row class rollup consumed twice (rows + the total scalar)
+      .cut(false)
+    val total = perClass.agg(sum(col("tokens")).as("total_tok"))
+    perClass.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("(1000000L * tokens) div total_tok"))
+      .withColumn("gated_tokens",
+        col("trainable") * col("tokens"))
+      .select("license", "trainable", "n_sources", "n_docs", "tokens",
+        "share_ppm", "gated_tokens")
+      .orderBy("license")
+  }
+  private val x76Sql =
+    """WITH docs AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |registry AS (
+      |  SELECT source,
+      |    CASE CAST(substr(source, 4) AS INT) % 4
+      |      WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution'
+      |      WHEN 2 THEN 'noncommercial' ELSE 'restricted' END AS license,
+      |    CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 4 <= 1
+      |      THEN 1 ELSE 0 END AS BIGINT) AS trainable
+      |  FROM (SELECT DISTINCT source FROM docs)),
+      |per_class AS (
+      |  SELECT r.license, r.trainable,
+      |    CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(d.n_tok) AS BIGINT) AS tokens
+      |  FROM docs d JOIN registry r USING (source)
+      |  GROUP BY 1, 2),
+      |total AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tok
+      |          FROM per_class)
+      |SELECT license, trainable, n_sources, n_docs, tokens,
+      |  (1000000 * tokens) // total_tok AS share_ppm,
+      |  trainable * tokens AS gated_tokens
+      |FROM per_class CROSS JOIN total
+      |ORDER BY license""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x76_license_gate", Some(x76Sql), x76),
     QueryDef("w03_corpus_etl", Some(w03Sql), w03),
     QueryDef("w04_curation_funnel", Some(w04Sql), w04),
     QueryDef("w05_neardup_funnel", Some(w05Sql), w05),

@@ -511,8 +511,99 @@ object Media {
       |  AND (pos = 0 OR pha % 1024 <> phb % 1024)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // M7 — cross-modality token budgeting: the mix-planning step a
+  // multimodal training run executes over its media METADATA (never
+  // the payloads — the whole point of the metadata extract is that
+  // planning touches bytes_per_item-sized rows, not the 100 TB of
+  // media). Each modality's token cost comes from its own real
+  // container walk (PNG header, WAV fmt/data chunks, MP4 mvhd):
+  // images cost a fixed 256 patch tokens; audio 50 tokens/second at
+  // the walked sample rate ((50·n_samples) div sample_rate — exact);
+  // video 256 tokens/second of walked duration. Per modality the plan
+  // reports item count, token mass, exact-ppm share of the corpus,
+  // the fixed target mix (image 40% / audio 30% / video 30% of a 1M
+  // budget) and the coverage that allocation actually buys
+  // (alloc capped at the available mass; keep_frac in ppm).
+  // Scale: three metadata scans union into ONE 3-row rollup; the
+  // grand-total is a 1-row scalar crossJoin (a17's pattern).
+  // ---------------------------------------------------------------------
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val imgs = MediaPipeline.extractMeta(
+      ids.filter(col("doc_id") % 3 === 0).map(id =>
+        MediaPipeline.MediaRow(id, MediaPipeline.pngBytes(
+          (320 + id % 1280).toInt, (240 + id * 7 % 720).toInt)))).toDF()
+      .select(lit("image").as("modality"), lit(256L).as("tok"))
+    val auds = MediaPipeline.extractAudioMeta(
+      ids.filter(col("doc_id") % 3 === 1).map(id =>
+        MediaPipeline.MediaRow(id, MediaPipeline.wavBytes(
+          if (id % 2 == 0) 16000 else 44100, 1,
+          (id % 997 + 1) * 4000)))).toDF()
+      .select(lit("audio").as("modality"),
+        expr("(50L * n_samples) div sample_rate").as("tok"))
+    val vids = MediaPipeline.extractVideoMeta(
+      ids.filter(col("doc_id") % 3 === 2).map(id =>
+        MediaPipeline.MediaRow(id, MediaPipeline.mp4Bytes(
+          (320 + id % 1280).toInt, (240 + id * 7 % 720).toInt,
+          600, (((id % 3600) + 1) * 600).toInt)))).toDF()
+      .select(lit("video").as("modality"),
+        expr("256L * (duration_units div timescale)").as("tok"))
+    val per = imgs.union(auds).union(vids)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_items"), sum("tok").as("total_tok"))
+    val grand = per.agg(sum("total_tok").as("grand_tok"))
+    per.crossJoin(broadcast(grand))
+      .withColumn("share_ppm",
+        expr("(1000000L * total_tok) div grand_tok"))
+      .withColumn("target_ppm", expr(
+        "CASE modality WHEN 'image' THEN 400000L " +
+          "WHEN 'audio' THEN 300000L ELSE 300000L END"))
+      // with a 1M-token budget, the target token count IS target_ppm
+      .withColumn("alloc_tok", least(col("total_tok"), col("target_ppm")))
+      .withColumn("keep_frac_ppm",
+        expr("(1000000L * alloc_tok) div total_tok"))
+      .select("modality", "n_items", "total_tok", "share_ppm",
+        "target_ppm", "alloc_tok", "keep_frac_ppm")
+      .orderBy("modality")
+  }
+  private val m07Sql =
+    """WITH costs AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+      |           WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 256
+      |      WHEN 1 THEN (50 * ((doc_id % 997 + 1) * 4000))
+      |        // (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END)
+      |      ELSE 256 * ((((doc_id % 3600) + 1) * 600) // 600) END AS tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(tok) AS BIGINT) AS total_tok
+      |  FROM costs GROUP BY 1),
+      |grand AS (SELECT CAST(SUM(total_tok) AS BIGINT) AS grand_tok
+      |          FROM per)
+      |SELECT modality, n_items, total_tok,
+      |  (1000000 * total_tok) // grand_tok AS share_ppm,
+      |  CAST(CASE modality WHEN 'image' THEN 400000
+      |    WHEN 'audio' THEN 300000 ELSE 300000 END AS BIGINT)
+      |    AS target_ppm,
+      |  LEAST(total_tok,
+      |    CAST(CASE modality WHEN 'image' THEN 400000
+      |      WHEN 'audio' THEN 300000 ELSE 300000 END AS BIGINT))
+      |    AS alloc_tok,
+      |  (1000000 * LEAST(total_tok,
+      |    CAST(CASE modality WHEN 'image' THEN 400000
+      |      WHEN 'audio' THEN 300000 ELSE 300000 END AS BIGINT)))
+      |    // total_tok AS keep_frac_ppm
+      |FROM per CROSS JOIN grand
+      |ORDER BY modality""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_meta", Some(m01Sql), m01),
+    QueryDef("m07_modality_mix", Some(m07Sql), m07),
     QueryDef("m05_phash_neardup", Some(m05Sql), m05),
     QueryDef("m02_frame_sample", Some(m02Sql), m02),
     QueryDef("m03_resize_plan", Some(m03Sql), m03),

@@ -73,6 +73,12 @@ class PlanAuditSpec extends SparkSpec {
     "x68_annotator_agreement" -> ("final kappa combine crossJoins two " +
       "SINGLE-ROW aggregates over the ≤|langs|² confusion matrix " +
       "(1×1 by construction, q14's scalar pattern)"),
+    "x76_license_gate" -> ("4-row class rollup crossJoins its " +
+      "SINGLE-ROW token total (4×1 by construction, a17's scalar " +
+      "pattern); the license registry joins keyed + broadcast"),
+    "m07_modality_mix" -> ("3-row modality rollup crossJoins its " +
+      "SINGLE-ROW grand total (3×1 by construction, a17's scalar " +
+      "pattern)"),
     "x75_context_budget" -> ("composes x05b verbatim — inherits its " +
       "allowlisted bounded plane-index relation; the token join and " +
       "budget window are keyed"),

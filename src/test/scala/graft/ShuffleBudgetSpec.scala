@@ -265,6 +265,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (row, bucket) counter agg; the probe/min/argmax stages ride the
     // broadcast 1,024-row matrix and TakeOrdered — no further exchange
     "x72_cms_frequency" -> 2,
+    // checkpointed scan + class rollup hide their exchanges behind
+    // the cuts; the registry distinct and final sort remain
+    "x76_license_gate" -> 2,
+    // three metadata scans union into one 3-row rollup, grand-total
+    // scalar, final sort
+    "m07_modality_mix" -> 4,
     // x05b's retriever subplan (10) — the token join rides broadcast
     // and the budget window reuses the retriever's q_id partitioning
     "x75_context_budget" -> 10,
