@@ -29,7 +29,7 @@ package graft
   * | Files/formats | `Engine.Sources.*`, `Engine.Xlsx` | declared-schema scans, ordered/Z-ordered/compacted writes |
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
-  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint` | watermark-bounded state; batch ≡ stream parity-tested |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
   * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK, CountMinSketch}` | mergeable, fixed memory, error bounds oracle-checked |
   *
@@ -72,6 +72,7 @@ object Engine {
   val TopKStream = streaming.TopKStream
   val StreamJoin = streaming.StreamJoin
   val Enrich = streaming.Enrich
+  val Changepoint = streaming.Changepoint
   // media
   val MediaPipeline = multimodal.MediaPipeline
 

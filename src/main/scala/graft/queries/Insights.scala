@@ -1188,6 +1188,77 @@ object Insights {
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST9 — Page's CUSUM drift monitor (batch form): the online twin of
+  // q52's offline argmax changepoint, and the batch reference for
+  // [[graft.streaming.Changepoint]] (flatMapGroupsWithState with four
+  // integers of state per key). The one-sided statistics come from
+  // the prefix identity S⁺ = P − min(0, running-min P),
+  // S⁻ = max(0, running-max P) − P over the deviation prefix sum
+  // P = Σ(10⁶·c − ref_ppm) — two window passes over the contracted
+  // |types|×|days| relation, all exact ppm integers (the LEAST/
+  // GREATEST-with-0 terms include the empty prefix P₀ = 0, matching
+  // the streaming state's zero init). Self-calibrated here: ref_ppm
+  // is the per-type series mean — the deploy shape attaches it from
+  // an offline calibration table instead. Alarm = either side beyond
+  // 3·ref_ppm (three average days of cumulative excess/deficit).
+  // ---------------------------------------------------------------------
+  private def st09(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("c_sum", sum(col("c")).over(wAll))
+      .withColumn("c_n", count(lit(1)).over(wAll))
+      .withColumn("ref_ppm", expr("(1000000L * c_sum) div c_n"))
+      .withColumn("p",
+        sum(lit(1000000L) * col("c") - col("ref_ppm")).over(wOrd))
+      .withColumn("s_pos", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+      .withColumn("s_neg", greatest(lit(0L), max(col("p")).over(wOrd)) - col("p"))
+      .withColumn("alarm",
+        (col("s_pos") > lit(3L) * col("ref_ppm")) ||
+        (col("s_neg") > lit(3L) * col("ref_ppm")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        first(col("ref_ppm")).as("ref_ppm"),
+        max(col("s_pos")).as("max_s_pos"),
+        max(col("s_neg")).as("max_s_neg"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("day"))).as("first_alarm_day"))
+      .orderBy("event_type")
+  }
+  private val st09Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, (1000000 * CAST(SUM(c) OVER w AS BIGINT))
+      |      // CAST(COUNT(*) OVER w AS BIGINT) AS ref_ppm
+      |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+      |p AS (
+      |  SELECT *, CAST(SUM(1000000 * c - ref_ppm) OVER wo AS BIGINT)
+      |      AS p
+      |  FROM r WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+      |sc AS (
+      |  SELECT *,
+      |    p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER wo AS BIGINT))
+      |      AS s_pos,
+      |    GREATEST(CAST(0 AS BIGINT), CAST(MAX(p) OVER wo AS BIGINT)) - p
+      |      AS s_neg
+      |  FROM p WINDOW wo AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(MIN(ref_ppm) AS BIGINT) AS ref_ppm,
+      |  CAST(MAX(s_pos) AS BIGINT) AS max_s_pos,
+      |  CAST(MAX(s_neg) AS BIGINT) AS max_s_neg,
+      |  CAST(SUM(CASE WHEN s_pos > 3 * ref_ppm OR s_neg > 3 * ref_ppm
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |  MIN(CASE WHEN s_pos > 3 * ref_ppm OR s_neg > 3 * ref_ppm
+      |    THEN day END) AS first_alarm_day
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A26 — audience overlap matrix: for every pair of event types, the
   // exact user-set intersection and Jaccard — the "who does A also do
   // B" segmentation primitive. Contract to the DISTINCT (type, user)
@@ -1814,6 +1885,7 @@ object Insights {
     QueryDef("q38b_hll_bound", Some(q38bSql), q38b),
     QueryDef("a25_incremental_rollup", Some(a25Sql), a25),
     QueryDef("st08_lateness_profile", Some(st08Sql), st08),
+    QueryDef("st09_cusum_monitor", Some(st09Sql), st09),
     QueryDef("a26_audience_overlap", Some(a26Sql), a26),
     QueryDef("a27_ratio_to_report", Some(a27Sql), a27),
     QueryDef("q39_orphan_trend", Some(q39Sql), q39),

@@ -287,6 +287,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // daily (type, day) contraction, the per-type window pass (pick
     // window reuses its partitioning), final sort
     "q52_changepoint" -> 3,
+    // q52's contraction + one per-type window pass (ref/prefix/min/
+    // max share the partitioning), final sort
+    "st09_cusum_monitor" -> 3,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
