@@ -1853,7 +1853,137 @@ object Advanced {
       |    / CAST(SUM(n) AS DOUBLE), 4) AS risk_frac
       |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X77-ext — compaction planning: the small-files maintenance pass a
+  // lakehouse runs over its FILE INVENTORY (metadata-sized — one row
+  // per file, never the data). Files (here: (source, doc_id % 4)
+  // slices with their byte mass) are packed next-fit into 64 KiB
+  // target bins by a running sum WITHIN each source — compaction is
+  // per-table/partition, so the planning window partitions by source
+  // and no global sort exists at any inventory size. Bin assignment
+  // is pure integer arithmetic ((cum − 1) div target; a straddling
+  // file belongs to the bin where its cumulative mass ends), so the
+  // plan is bit-deterministic — the property that makes a compaction
+  // job safely re-runnable after a driver failure. Per planned output
+  // bin: inputs merged, byte mass, fill vs target in exact ppm.
+  // ---------------------------------------------------------------------
+  private val CompactTarget = 65536L
+
+  private def x77(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.fanout(Tables.documents(s, d))
+      .groupBy(col("source"), (col("doc_id") % 4).as("slice"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy("source").orderBy("slice")
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"(cum - 1) div ${CompactTarget}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_inputs"), sum(col("bytes")).as("bytes"))
+      .withColumn("fill_ppm",
+        expr(s"(1000000L * bytes) div ${CompactTarget}L"))
+      .select("source", "bin", "n_inputs", "bytes", "fill_ppm")
+      .orderBy("source", "bin")
+  }
+  private val x77Sql =
+    s"""WITH files AS (
+       |  SELECT source, doc_id % 4 AS slice,
+       |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT source, slice, bytes,
+       |    CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY slice)
+       |      AS BIGINT) AS cum
+       |  FROM files)
+       |SELECT source, (cum - 1) // $CompactTarget AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_inputs,
+       |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+       |  (1000000 * CAST(SUM(bytes) AS BIGINT)) // $CompactTarget
+       |    AS fill_ppm
+       |FROM planned GROUP BY 1, 2
+       |ORDER BY source, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q54-ext — decile lift/gain table: the model-evaluation staple —
+  // does ranking customers by balance concentrate the urgent-order
+  // population into the top deciles, and by how much? Deciles come
+  // from NTILE over (balance desc, custkey) — q22's pinned-parity
+  // ranking — positives from an EXISTS-style semi-join flag
+  // aggregated BEFORE ranking so each customer is one row. Lift is
+  // exact ppm of ratios of BIGINT counts, cumulative gain from the
+  // running sums over the bounded segment×decile relation. Scale: one
+  // keyed join + one customer-grain agg + the PER-SEGMENT decile
+  // window (q22's keyed-window discipline — no global sort);
+  // everything after the first agg is |segments|×10 rows.
+  // ---------------------------------------------------------------------
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(
+        col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+        .withColumn("pos", lit(1L)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        coalesce(col("pos"), lit(0L)).as("pos"))
+    val ranked = cust.withColumn("decile",
+      ntile(10).over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
+    val deciles = ranked.groupBy("c_mktsegment", "decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("positives"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("c_mktsegment").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    deciles
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("positives").over(w))
+      .withColumn("total_n", sum("n").over(tot))
+      .withColumn("total_pos", sum("positives").over(tot))
+      .withColumn("rate_ppm", expr("(1000000L * positives) div n"))
+      .withColumn("lift_ppm", expr(
+        "(1000000L * cum_pos * total_n) div (cum_n * total_pos)"))
+      .withColumn("gain_ppm",
+        expr("(1000000L * cum_pos) div total_pos"))
+      .select("c_mktsegment", "decile", "n", "positives", "rate_ppm",
+        "cum_n", "cum_pos", "lift_ppm", "gain_ppm")
+      .orderBy("c_mktsegment", "decile")
+  }
+  private val q54Sql =
+    """WITH cust AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c_custkey
+      |        AND o.o_orderpriority = '1-URGENT')
+      |    THEN 1 ELSE 0 END AS pos
+      |  FROM customer),
+      |ranked AS (
+      |  SELECT *, CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS decile
+      |  FROM cust),
+      |deciles AS (
+      |  SELECT c_mktsegment, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS positives
+      |  FROM ranked GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER wo AS BIGINT) AS cum_n,
+      |    CAST(SUM(positives) OVER wo AS BIGINT) AS cum_pos,
+      |    CAST(SUM(n) OVER ws AS BIGINT) AS total_n,
+      |    CAST(SUM(positives) OVER ws AS BIGINT) AS total_pos
+      |  FROM deciles
+      |  WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  ws AS (PARTITION BY c_mktsegment))
+      |SELECT c_mktsegment, decile, n, positives,
+      |  (1000000 * positives) // n AS rate_ppm,
+      |  cum_n, cum_pos,
+      |  (1000000 * cum_pos * total_n) // (cum_n * total_pos)
+      |    AS lift_ppm,
+      |  (1000000 * cum_pos) // total_pos AS gain_ppm
+      |FROM cum ORDER BY c_mktsegment, decile""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q54_decile_lift", Some(q54Sql), q54),
+    QueryDef("x77_compaction_plan", Some(x77Sql), x77),
     QueryDef("q53_l_diversity", Some(q53Sql), q53),
     QueryDef("q52_changepoint", Some(q52Sql), q52),
     QueryDef("q51_fd_discovery", Some(q51Sql), q51),

@@ -290,6 +290,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // q52's contraction + one per-type window pass (ref/prefix/min/
     // max share the partitioning), final sort
     "st09_cusum_monitor" -> 3,
+    // file-inventory agg, per-source planning window + bin agg
+    // (shared partitioning), final sort
+    "x77_compaction_plan" -> 4,
+    // urgent-custkey distinct + keyed join, customer-grain decile
+    // window/agg (per-segment), 50-row cum windows + sort
+    "q54_decile_lift" -> 3,
     "x34_token_budget_mix" -> 2,
     "x35_cdc_chunks" -> 2,
     "x36_weighted_sample" -> 3,
