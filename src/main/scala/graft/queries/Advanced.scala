@@ -1981,7 +1981,77 @@ object Advanced {
       |  (1000000 * cum_pos) // total_pos AS gain_ppm
       |FROM cum ORDER BY c_mktsegment, decile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q55-ext — Spearman rank correlation (q35's robust sibling): does
+  // customer balance RANK-correlate with order spend, per segment?
+  // Ranks come from row_number over the repo's total-order discipline
+  // (value, custkey) — a deterministic permutation, no ties by
+  // construction — so the classic ρ = 1 − 6Σd²/(n(n²−1)) identity is
+  // EXACT rational arithmetic: Σd² accumulates in DECIMAL(38,0)
+  // (n³-scale sums overflow BIGINT long before 100 TB; DuckDB's
+  // HUGEINT widens silently — parity demands the explicit decimal),
+  // and ρ lands as exact fixed-point ppm via integral division on
+  // both sides. Scale: one keyed join + customer-grain agg, two
+  // row_number passes sharing the per-segment partitioning, one
+  // contracting segment agg. Pearson-on-values is q35; this is the
+  // outlier-robust twin an analyst reaches for when spend is
+  // heavy-tailed.
+  // ---------------------------------------------------------------------
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val cust = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        coalesce(col("spend"), lit(0).cast("decimal(18,2)"))
+          .as("spend"))
+    val rx = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val ry = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend"), col("c_custkey"))
+    cust
+      .withColumn("rx", row_number().over(rx).cast("long"))
+      .withColumn("ry", row_number().over(ry).cast("long"))
+      .withColumn("d2", expr(
+        "CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      .withColumn("rho_ppm", expr(
+        """CAST(1000000 - (6000000 * sd2)
+          |div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("c_mktsegment"), col("n"),
+        col("sd2").cast("string").as("sum_d2"), col("rho_ppm"))
+      .orderBy("c_mktsegment")
+  }
+  private val q55Sql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |cust AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    COALESCE(s.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+      |  FROM customer LEFT JOIN spend s ON o_custkey = c_custkey),
+      |ranked AS (
+      |  SELECT c_mktsegment,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rx,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY spend, c_custkey) AS BIGINT) AS ry
+      |  FROM cust),
+      |agg AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM((rx - ry) * (rx - ry)) AS sd2
+      |  FROM ranked GROUP BY 1)
+      |SELECT c_mktsegment, n, CAST(sd2 AS VARCHAR) AS sum_d2,
+      |  CAST(1000000 - (6000000 * sd2)
+      |    // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_ppm
+      |FROM agg ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q55_spearman", Some(q55Sql), q55),
     QueryDef("q54_decile_lift", Some(q54Sql), q54),
     QueryDef("x77_compaction_plan", Some(x77Sql), x77),
     QueryDef("q53_l_diversity", Some(q53Sql), q53),

@@ -294,21 +294,48 @@ object CorpusEtl {
   private val MerkleP = 1000000007L
   private val MerkleMix = 2654435761L
 
-  private def x74(s: SparkSession, d: String): DataFrame = {
-    val leaves = Tables.fanout(Tables.documents(s, d))
+  /** Per-shard AdHash digests of a documents frame (the x74 kernel,
+    * shared with x78's snapshot diff). Checkpointed: every caller has
+    * at least two consumers of the 16-row result. */
+  private def shardDigests(docs: DataFrame): DataFrame = {
+    val leaves = docs
       .withColumn("shard", col("doc_id") % 16)
       .withColumn("leaf", graft.functions.PolyHash(concat_ws("|",
         col("doc_id"), col("source"), col("lang"), col("n_chars"),
         col("text"))))
       .withColumn("mixed",
         expr(s"(leaf * ${MerkleMix}L) % ${MerkleP}L"))
-    val shards = leaves.groupBy(col("shard"))
+    leaves.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         expr(s"CAST(SUM(CAST(mixed AS DECIMAL(38,0))) % ${MerkleP}L" +
           " AS BIGINT)").as("digest"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       // two consumers (manifest rows + the root fold): one corpus scan
       .cut(false)
+  }
+  /** DuckDB twin of [[shardDigests]]'s leaves CTE over `textExpr`.
+    * Emitted as ONE line per CTE: callers interpolate this into
+    * stripMargin'd SQL, and a continuation line starting with `||`
+    * would lose a pipe to the margin strip. */
+  private def duckShardCtes(tag: String, textExpr: String): String =
+    (s"""leaves_$tag AS (
+       |  SELECT doc_id % 16 AS shard, doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(
+       |        doc_id || '|' || source || '|' || lang || '|' ||
+       |          n_chars || '|' || ($textExpr), ''), ch -> ch <> ''),
+       |        ch -> CAST(unicode(ch) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $MerkleP)
+       |     * $MerkleMix) % $MerkleP AS mixed
+       |  FROM documents),
+       |shards_$tag AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(mixed) % $MerkleP AS BIGINT) AS digest
+       |  FROM leaves_$tag GROUP BY 1)""").stripMargin
+      .replace("\n", " ")
+
+  private def x74(s: SparkSession, d: String): DataFrame = {
+    val shards = shardDigests(Tables.fanout(Tables.documents(s, d)))
     val root = shards
       .withColumn("remixed",
         expr(s"(digest * ${MerkleMix}L) % ${MerkleP}L"))
@@ -348,6 +375,67 @@ object CorpusEtl {
        |  FROM shards)
        |SELECT * FROM shards UNION ALL SELECT * FROM root
        |ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X78 — manifest diff: the USE of x74's digests — given two corpus
+  // snapshots, localize what changed without comparing a single row
+  // of data. Snapshot B plants a deterministic perturbation (docs
+  // with doc_id % 101 = 7 gain one byte); the diff joins the two
+  // 16-row manifests keyed on shard and flags digest inequality, plus
+  // the root row (shard −1, the single compare a release check runs
+  // first). At 100 TB both sides are metadata-sized manifests — the
+  // corpus scans happened once each at snapshot time; TamperSpec pins
+  // detection (every planted shard flips) AND specificity (an
+  // untouched shard's digest is bit-identical across snapshots).
+  // ---------------------------------------------------------------------
+  private def x78(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanout(Tables.documents(s, d)).cut(false)
+    val a = shardDigests(base)
+      .select(col("shard"), col("n_docs").as("n_a"),
+        col("digest").as("digest_a"))
+    val b = shardDigests(base.withColumn("text",
+        when(col("doc_id") % 101 === 7, concat(col("text"), lit("!")))
+          .otherwise(col("text"))))
+      .select(col("shard"), col("n_docs").as("n_b"),
+        col("digest").as("digest_b"))
+    val perShard = a.join(b, Seq("shard"))
+    val root = perShard
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        expr(s"CAST(SUM(CAST((digest_a * ${MerkleMix}L) % ${MerkleP}L" +
+          s" AS DECIMAL(38,0))) % ${MerkleP}L AS BIGINT)")
+          .as("digest_a"),
+        expr(s"CAST(SUM(CAST((digest_b * ${MerkleMix}L) % ${MerkleP}L" +
+          s" AS DECIMAL(38,0))) % ${MerkleP}L AS BIGINT)")
+          .as("digest_b"))
+      .select(lit(-1L).as("shard"), col("n_a"), col("n_b"),
+        col("digest_a"), col("digest_b"))
+    perShard.unionByName(root)
+      .withColumn("changed",
+        (col("digest_a") =!= col("digest_b")).cast("long"))
+      .select("shard", "n_a", "n_b", "digest_a", "digest_b", "changed")
+      .orderBy("shard")
+  }
+  private lazy val x78Sql =
+    s"""WITH ${duckShardCtes("a", "text")},
+       |${duckShardCtes("b",
+          "CASE WHEN doc_id % 101 = 7 THEN text || '!' ELSE text END")},
+       |per AS (
+       |  SELECT a.shard, a.n_docs AS n_a, b.n_docs AS n_b,
+       |    a.digest AS digest_a, b.digest AS digest_b
+       |  FROM shards_a a JOIN shards_b b USING (shard)),
+       |root AS (
+       |  SELECT CAST(-1 AS BIGINT) AS shard,
+       |    CAST(SUM(n_a) AS BIGINT) AS n_a,
+       |    CAST(SUM(n_b) AS BIGINT) AS n_b,
+       |    CAST(SUM((digest_a * $MerkleMix) % $MerkleP) % $MerkleP
+       |      AS BIGINT) AS digest_a,
+       |    CAST(SUM((digest_b * $MerkleMix) % $MerkleP) % $MerkleP
+       |      AS BIGINT) AS digest_b
+       |  FROM per),
+       |u AS (SELECT * FROM per UNION ALL SELECT * FROM root)
+       |SELECT *, CAST(CASE WHEN digest_a <> digest_b THEN 1 ELSE 0 END
+       |  AS BIGINT) AS changed
+       |FROM u ORDER BY shard""".stripMargin
 
   // ---------------------------------------------------------------------
   // X76 — license/policy gate: the compliance audit a corpus release
@@ -433,6 +521,7 @@ object CorpusEtl {
     QueryDef("w03_corpus_etl", Some(w03Sql), w03),
     QueryDef("w04_curation_funnel", Some(w04Sql), w04),
     QueryDef("w05_neardup_funnel", Some(w05Sql), w05),
-    QueryDef("x74_merkle_manifest", Some(x74Sql), x74)
+    QueryDef("x74_merkle_manifest", Some(x74Sql), x74),
+    QueryDef("x78_manifest_diff", Some(x78Sql), x78)
   )
 }

@@ -284,6 +284,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // shard-digest agg is checkpointed (one corpus scan for both
     // consumers); root fold + final sort remain
     "x74_merkle_manifest" -> 2,
+    // both snapshots' digest aggs are checkpointed 16-row manifests;
+    // the keyed diff join + root fold + sort ride those
+    "x78_manifest_diff" -> 2,
+    // orders spend agg + keyed join, the two per-segment rank windows
+    // share one partitioning, contracting segment agg + sort
+    "q55_spearman" -> 3,
     // daily (type, day) contraction, the per-type window pass (pick
     // window reuses its partitioning), final sort
     "q52_changepoint" -> 3,
