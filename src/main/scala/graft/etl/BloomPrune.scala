@@ -53,7 +53,21 @@ object BloomPrune {
     // cast the probe to long: BloomFilterMightContain type-checks a
     // LongType child only, while build() happily ingests int keys via
     // putLong — without the cast an IntegerType probe column fails
-    // analysis. The cast preserves hash semantics (putLong both sides).
+    // analysis. The cast preserves hash semantics (putLong both sides)
+    // — but ONLY for integral probes. A string/double probe would
+    // cast non-numeric values to NULL and silently prune every row
+    // (the build() contract is long keys), so reject it loudly here
+    // instead of losing data downstream.
+    val expr = Bridge.expression(c)
+    if (expr.resolved) expr.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"BloomPrune probes long keys; got $other — non-integral " +
+          "probes would cast to NULL and silently prune every row")
+    }
     Bridge.column(BloomFilterMightContain(
       Literal(bos.toByteArray, BinaryType),
       Bridge.expression(c.cast("long"))))

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.etl.NearDup.signatures]] (explode distinct shingles →
   * PolyHash → groupBy(doc_id) with 16 min-aggregates): identical
   * values — min over the shingle multiset equals min over the distinct
-  * set, the split/concat_ws('_')/hash semantics are replicated
+  * set, the split/concat_ws(' ')/hash semantics are replicated
   * byte-for-byte (regex-free space split with limit −1 keeps empty
   * words exactly like Spark's `split(text, ' ')`) — so the DuckDB
   * oracles of every consumer (x02/x56/w05/w06) still match

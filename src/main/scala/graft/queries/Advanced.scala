@@ -1939,8 +1939,13 @@ object Advanced {
       .withColumn("total_n", sum("n").over(tot))
       .withColumn("total_pos", sum("positives").over(tot))
       .withColumn("rate_ppm", expr("(1000000L * positives) div n"))
+      // lift numerator goes through DECIMAL(38,0): 10⁶·cum_pos·total_n
+      // wraps BIGINT silently in Spark (DuckDB widens to HUGEINT and
+      // would diverge) once cum_pos·total_n passes ~9.2e12 — a few
+      // million customers per segment, i.e. guaranteed at 100 TB.
       .withColumn("lift_ppm", expr(
-        "(1000000L * cum_pos * total_n) div (cum_n * total_pos)"))
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos * total_n)" +
+          " div (cum_n * total_pos) AS BIGINT)"))
       .withColumn("gain_ppm",
         expr("(1000000L * cum_pos) div total_pos"))
       .select("c_mktsegment", "decile", "n", "positives", "rate_ppm",
@@ -1976,8 +1981,8 @@ object Advanced {
       |SELECT c_mktsegment, decile, n, positives,
       |  (1000000 * positives) // n AS rate_ppm,
       |  cum_n, cum_pos,
-      |  (1000000 * cum_pos * total_n) // (cum_n * total_pos)
-      |    AS lift_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * cum_pos * total_n)
+      |    // (cum_n * total_pos) AS BIGINT) AS lift_ppm,
       |  (1000000 * cum_pos) // total_pos AS gain_ppm
       |FROM cum ORDER BY c_mktsegment, decile""".stripMargin
 

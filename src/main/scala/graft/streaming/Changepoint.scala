@@ -29,7 +29,8 @@ object Changepoint {
       ref_ppm: Long)
   final case class CusumState(p: Long, minP: Long, maxP: Long,
       nDays: Long, maxSPos: Long, maxSNeg: Long, nAlarms: Long,
-      firstAlarmDays: Long) // epoch days of first alarm; -1 = none
+      firstAlarmDays: Long, // epoch days of first alarm; -1 = none
+      lastDay: Long) // high-water mark: last folded epoch day; -1 = none
   final case class Summary(event_type: String, n_days: Long,
       max_s_pos: Long, max_s_neg: Long, n_alarms: Long,
       first_alarm_day: Option[Date])
@@ -37,13 +38,23 @@ object Changepoint {
   /** Fold a key's (sorted) new daily counts into the CUSUM state,
     * emitting the updated summary. Pure — unit-testable without a
     * streaming query. Days must arrive at most once per key (the
-    * upstream daily aggregate guarantees the grain). */
+    * upstream daily aggregate guarantees the grain) AND in
+    * non-decreasing day order ACROSS micro-batches: the upstream daily
+    * aggregate must be APPEND-mode behind a watermark (an update-mode
+    * aggregate would re-emit a day, and a late day would land behind
+    * the prefix). The state carries a last-seen-day high-water mark and
+    * silently DROPS any day <= it — a re-emitted or late day cannot
+    * corrupt the prefix statistic, it is simply not folded (the batch
+    * recompute, q52, is the repair path for late data).
+    */
   def step(tpe: String, rows: Iterator[DayCount],
       state: GroupState[CusumState]): Iterator[Summary] = {
     val sorted = rows.toSeq.sortBy(_.day.toLocalDate.toEpochDay)
     var s = state.getOption.getOrElse(
-      CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L))
+      CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L))
     sorted.foreach { r =>
+      val epochDay = r.day.toLocalDate.toEpochDay
+      if (epochDay > s.lastDay) {
       val p = s.p + (1000000L * r.c - r.ref_ppm)
       val minP = math.min(s.minP, p)
       val maxP = math.max(s.maxP, p)
@@ -53,8 +64,9 @@ object Changepoint {
       s = CusumState(p, minP, maxP, s.nDays + 1,
         math.max(s.maxSPos, sPos), math.max(s.maxSNeg, sNeg),
         s.nAlarms + (if (alarm) 1L else 0L),
-        if (alarm && s.firstAlarmDays < 0)
-          r.day.toLocalDate.toEpochDay else s.firstAlarmDays)
+        if (alarm && s.firstAlarmDays < 0) epochDay else s.firstAlarmDays,
+        epochDay)
+      }
     }
     state.update(s)
     Iterator.single(Summary(tpe, s.nDays, s.maxSPos, s.maxSNeg,

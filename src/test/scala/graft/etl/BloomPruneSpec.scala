@@ -30,6 +30,21 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= prunedJoin)
   }
 
+  test("non-integral probe column is rejected loudly, not silently pruned") {
+    val li = Tables.lineitem(spark, sf)
+    val keys = Tables.orders(spark, sf).select("o_orderkey").limit(10)
+    val bf = BloomPrune.build(keys, "o_orderkey", expectedKeys = 10L)
+    // a string probe would cast non-numeric values to NULL and prune
+    // every row — the misuse must fail analysis-side instead
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.mightContain(bf)(li("l_returnflag"))
+    }
+    assert(e.getMessage.contains("non-integral"))
+    // integral probes of every width still pass
+    BloomPrune.mightContain(bf)(li("l_orderkey"))          // long
+    BloomPrune.mightContain(bf)(li("l_linenumber"))        // int
+  }
+
   test("probe predicate compiles into the scan's whole-stage codegen") {
     val li = Tables.lineitem(spark, sf)
     val keys = Tables.orders(spark, sf)

@@ -40,6 +40,38 @@ class ChangepointSpec extends SparkSpec {
       Date.valueOf(java.time.LocalDate.ofEpochDay(19013L)))
   }
 
+  test("step: re-emitted / late days are dropped by the high-water mark") {
+    val ref = 100L * 1000000L
+    def day(i: Long) = Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + i))
+    def emptyState = org.apache.spark.sql.streaming.TestGroupState.create[
+      Changepoint.CusumState](
+      org.apache.spark.api.java.Optional.empty[Changepoint.CusumState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 1: days 0..4 clean
+    val st = emptyState
+    val b1 = (0L until 5L).map(i => Changepoint.DayCount("t", day(i), 100L, ref))
+    Changepoint.step("t", b1.iterator, st).toSeq
+    val afterB1 = st.get
+    // batch 2: day 4 RE-EMITTED (update-mode upstream) with a huge count
+    // plus a LATE day 2 — both must be dropped, only day 5 folds
+    val b2 = Seq(
+      Changepoint.DayCount("t", day(4), 999L, ref), // re-emit
+      Changepoint.DayCount("t", day(2), 999L, ref), // late
+      Changepoint.DayCount("t", day(5), 100L, ref))
+    val out = Changepoint.step("t", b2.iterator, st).toSeq
+    assert(out.head.n_days == 6, "exactly one new day folded")
+    assert(out.head.n_alarms == 0,
+      "the poisoned re-emit must not reach the prefix statistic")
+    assert(st.get.lastDay == afterB1.lastDay + 1)
+    // a batch of ONLY stale days leaves the state untouched
+    val before = st.get
+    Changepoint.step("t",
+      Iterator(Changepoint.DayCount("t", day(1), 999L, ref)), st).toSeq
+    assert(st.get == before)
+  }
+
   test("stateful monitor == batch st09 on the events table") {
     val batch = SparkEntry.defs.find(_.name == "st09_cusum_monitor").get
       .run(spark, sf).collect()
