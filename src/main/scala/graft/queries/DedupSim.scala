@@ -2780,7 +2780,78 @@ object DedupSim {
        |  >= 0.95
        |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ST10 — streaming near-dup dedup, batch form: the near-dup twin of
+  // exact-key st05, closing the batch ≡ stream story for the whole
+  // dedup family. Documents arrive as a stream (arrival second derived
+  // deterministically from doc_id: original k at 2k, its planted dup
+  // at 2k+1 — i.e. one second behind, the retry-shaped near-dup an
+  // ingestion guard exists to catch); the streaming side
+  // ([[graft.streaming.NearDupStream]]) holds banded-bucket member
+  // state in flatMapGroupsWithState, evicted by a 600 s watermark.
+  // This batch twin prices that design explicitly: per duplicate doc,
+  // the earliest in-horizon partner the stream WOULD catch (dup_of),
+  // how many verified partners were in horizon (n_caught), and how
+  // many escaped because they sit further apart than the state horizon
+  // (n_escaped — the late-dup trade, made a number). Same kernels as
+  // x02 (one signature family, banded candidates, 12/16 verify) so the
+  // stream can never drift from the batch family it guards.
+  // Scale: sigPairs' banded join is the only wide exchange; everything
+  // after is |verified pairs| rows. NearDupStreamSpec pins stream ≡
+  // batch on the caught set and proves bucket-state eviction.
+  // ---------------------------------------------------------------------
+  private val St10HorizonSec = 600L
+  private def st10(s: SparkSession, d: String): DataFrame = {
+    def arr(c: Column): Column =
+      when(c >= 1000000L, (c - 1000000L) * 2 + 1).otherwise(c * 2)
+    val o = sigPairs(s, d).filter(col("sig_matches") >= NeardupMinSig)
+      .withColumn("arr_a", arr(col("doc_a")))
+      .withColumn("arr_b", arr(col("doc_b")))
+      .select(
+        when(col("arr_a") < col("arr_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_id"),
+        when(col("arr_a") < col("arr_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("early_id"),
+        greatest(col("arr_a"), col("arr_b")).as("arrival_s"),
+        abs(col("arr_b") - col("arr_a")).as("gap"))
+    o.groupBy("doc_id", "arrival_s")
+      .agg(
+        min(when(col("gap") <= St10HorizonSec, col("early_id")))
+          .as("dup_of"),
+        count(when(col("gap") <= St10HorizonSec, lit(1)))
+          .as("n_caught"),
+        count(when(col("gap") > St10HorizonSec, lit(1)))
+          .as("n_escaped"))
+      .orderBy("doc_id")
+  }
+  private def st10Sql: String =
+    s"""WITH $duckSigPairsCtes,
+       |ver AS (SELECT doc_a, doc_b FROM sigm WHERE m >= $NeardupMinSig),
+       |arr AS (
+       |  SELECT doc_a, doc_b,
+       |    CASE WHEN doc_a >= 1000000 THEN (doc_a - 1000000) * 2 + 1
+       |         ELSE doc_a * 2 END AS arr_a,
+       |    CASE WHEN doc_b >= 1000000 THEN (doc_b - 1000000) * 2 + 1
+       |         ELSE doc_b * 2 END AS arr_b
+       |  FROM ver),
+       |o AS (
+       |  SELECT CASE WHEN arr_a < arr_b THEN doc_b ELSE doc_a END
+       |      AS doc_id,
+       |    CASE WHEN arr_a < arr_b THEN doc_a ELSE doc_b END AS early_id,
+       |    GREATEST(arr_a, arr_b) AS arrival_s,
+       |    ABS(arr_b - arr_a) AS gap
+       |  FROM arr)
+       |SELECT doc_id, arrival_s,
+       |  MIN(CASE WHEN gap <= $St10HorizonSec THEN early_id END)
+       |    AS dup_of,
+       |  CAST(COUNT(CASE WHEN gap <= $St10HorizonSec THEN 1 END)
+       |    AS BIGINT) AS n_caught,
+       |  CAST(COUNT(CASE WHEN gap > $St10HorizonSec THEN 1 END)
+       |    AS BIGINT) AS n_escaped
+       |FROM o GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("st10_neardup_dedup", Some(st10Sql), st10),
     QueryDef("x19_quantize_error", Some(x19Sql), x19),
     QueryDef("x53_jl_projection", Some(x53Sql), x53),
     QueryDef("x55_semantic_decontam", Some(x55Sql), x55),

@@ -161,6 +161,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // stage is a shuffle-free projection; only the banded candidate
     // join, verify joins, and final sort shuffle
     "x02_dedup_minhash_lsh" -> 6,
+    // x02's sigPairs (banded candidate join + verify joins + distinct)
+    // + the caught/escaped per-doc agg + final sort — arrival mapping
+    // and orientation are row-local
+    "st10_neardup_dedup" -> 7,
     // signature agg + banded candidate join + verify-stage
     // intersect/size joins over the checkpointed shingle relation
     "x51_minhash_error" -> 11,
