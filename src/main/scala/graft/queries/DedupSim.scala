@@ -857,80 +857,26 @@ object DedupSim {
   // nprobe=4 of 16 cells: on near-uniform synthetic embeddings the cell
   // structure is weak, so probing a quarter of the codebook buys recall
   // while still scanning ~1/4 of the corpus per query (the IVF contract)
-  private val IvfK = 16
-  private val IvfProbes = 4
-  private val IvfIters = 2
+  private val IvfK = graft.etl.AnnIndex.K
+  private val IvfProbes = graft.etl.AnnIndex.Probes
 
-  /** One exact Lloyd step over `e`(vec_id, emb, norm) given centroids
-    * (c_id, c_emb, c_norm): nearest-centroid assignment (broadcast +
-    * min_by — x47's shape) then per-(cluster, dim) decimal-exact means
-    * reassembled into centroid vectors with fresh norms. Deterministic
-    * under any partitioning; empty cells drop out. */
-  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist", lit(1.0) -
-        DotProduct(col("emb"), col("c_emb")) /
-          (col("norm") * col("c_norm")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("emb").as("emb"), col("c_id").as("c_id")),
-        struct(col("dist"), col("c_id"))).as("b"))
-      .select(col("b.emb").as("emb"), col("b.c_id").as("cluster"))
-    assigned
-      .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
-        count(lit(1)).cast("double")).as("coord"))
-      .groupBy(col("cluster"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, coord)))" +
-        ", s -> s.coord)").as("c_emb"))
-      .select(col("cluster").as("c_id"), col("c_emb"))
-      .withColumn("c_norm", sqrt(DotProduct(col("c_emb"), col("c_emb"))))
-  }
-
+  // The IVF kernels (hash-spread seeds, exact-decimal lloydStep, frozen-
+  // codebook assign, probe-and-rank serve) moved to the library module
+  // [[graft.etl.AnnIndex]] in r8 — the build/serve split a deployment
+  // needs (index persisted once, queries served from the loaded tables;
+  // AnnIndexSpec proves write→read→serve ≡ this inline path). The query
+  // here composes them inline so the oracle below stays the single gate
+  // for the whole family.
   private def x18(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.fanout(Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("norm", sqrt(DotProduct(col("emb"), col("emb"))))
+    import graft.etl.AnnIndex
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
       .cut(false) // consumers: seeds, 2 Lloyd assigns, index, probes
-    val seeds = e
-      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
-        % 1000000007L, col("vec_id"))
-      .limit(IvfK)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("norm").as("c_norm"))
-    val cents = (1 to IvfIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+    val cents = AnnIndex.train(e)
       .cut(false) // two consumers below; ≤ IvfK rows
-    def cdist(v: Column, n: Column): Column =
-      lit(1.0) - DotProduct(v, col("c_emb")) / (n * col("c_norm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist", cdist(col("emb"), col("norm")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("norm"),
-        col("c_id").as("cluster"))
-    val probes = e.filter(col("vec_id") % 100 === 0)
+    val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", cdist(col("q_emb"), col("q_norm")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("dist").asc,
-          col("c_id"))))
-      .filter(col("rk") <= IvfProbes)
-      .select(col("q_id"), col("q_emb"), col("q_norm"),
-        col("c_id").as("cluster"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", DotProduct(col("emb"), col("q_emb")) /
-        (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select("q_id", "vec_id", "cluster", "rank", "cos")
+    AnnIndex.serve(queries, cents, AnnIndex.assign(e, cents))
       .orderBy("q_id", "rank")
   }
   /** DuckDB twin of [[lloydStep]]: assignment CTE (argmin over the
@@ -959,8 +905,12 @@ object DedupSim {
        |    sqrt(${duckDot.format("c_emb", "c_emb")}) AS c_norm
        |  FROM v$tag)""".stripMargin
 
-  private lazy val x18Sql =
-    s"""WITH raw AS (
+  /** The build-phase CTE chain (raw → e → seeds → 2 Lloyd steps → c2
+    * codebook → assigned posting lists) — shared by the x18 serve
+    * oracle and the x79 index-build oracle, so the persisted-index card
+    * and the query path can never train different codebooks. */
+  private lazy val duckIvfPrefix =
+    s"""raw AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
@@ -981,7 +931,10 @@ object DedupSim {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
        |          / (e.norm * c.c_norm), c.c_id) AS rk
-       |    FROM e CROSS JOIN c2 c) WHERE rk = 1),
+       |    FROM e CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
+
+  private lazy val x18Sql =
+    s"""WITH $duckIvfPrefix,
        |probes AS (
        |  SELECT q_id, q_emb, q_norm, c_id AS cluster FROM (
        |    SELECT e.vec_id AS q_id, e.emb AS q_emb,
@@ -1001,6 +954,49 @@ object DedupSim {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rank FROM cand)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X79 — ANN index build card: the PERSISTED-index half of the x18
+  // build/serve split ([[graft.etl.AnnIndex]]). A deployment builds the
+  // IVF index once and serves queries from the stored tables; this row
+  // is the build artifact the gate checks — per codebook cell, the
+  // posting-list census (n_members), an exact BIGINT membership
+  // fingerprint (id_sum — proves WHICH vectors landed in the cell
+  // cross-engine, x63's sample-hash trick), the id range, and the
+  // trained centroid's norm (proves the codebook itself, not just the
+  // partition). Same build CTEs as x18's oracle (duckIvfPrefix), so the
+  // persisted index and the query path can never train apart.
+  // AnnIndexSpec holds the rest of the deploy contract: write→read→
+  // serve ≡ inline x18, and frozen-codebook append (assignments-only
+  // update for new vectors, existing assignments bit-stable).
+  // Scale: the card is ≤ K rows; cost = the build itself (2 Lloyd
+  // shuffles + one assignment pass), amortized over every serve.
+  // ---------------------------------------------------------------------
+  private def x79(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.AnnIndex
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false) // consumers: seeds + 2 Lloyd assigns + final assign
+    val cents = AnnIndex.train(e).cut(false)
+    AnnIndex.assign(e, cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("id_min"),
+        max(col("vec_id")).as("id_max"))
+      .join(cents.select(col("c_id"), col("c_norm")),
+        col("cluster") === col("c_id"))
+      .select(col("c_id"), col("n_members"), col("id_sum"),
+        col("id_min"), col("id_max"), col("c_norm"))
+      .orderBy("c_id")
+  }
+  private lazy val x79Sql =
+    s"""WITH $duckIvfPrefix
+       |SELECT c.c_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
+       |  MIN(a.vec_id) AS id_min, MAX(a.vec_id) AS id_max,
+       |  MIN(c.c_norm) AS c_norm
+       |FROM assigned a JOIN c2 c ON a.cluster = c.c_id
+       |GROUP BY 1 ORDER BY c_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // X62 — hard-negative mining + margin audit: for each anchor in the
@@ -2875,6 +2871,7 @@ object DedupSim {
     QueryDef("x47_kmeans_step", Some(x47Sql), x47),
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
+    QueryDef("x79_ann_index_build", Some(x79Sql), x79),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),

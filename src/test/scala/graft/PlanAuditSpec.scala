@@ -21,6 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "x10_dedup_embedding" ->
       "same bounded plane-index relation as x05_knn_lsh",
     "x18_knn_ivf" -> "fixed 16-row coarse codebook",
+    "x79_ann_index_build" -> ("x18's build phase alone — the same " +
+      "fixed 16-row codebook broadcasts for Lloyd/assignment argmins"),
     "x47_kmeans_step" -> "fixed 8-row seed codebook (x18's pattern)",
     "x50_group_split" -> ("splits crossJoin a SINGLE-ROW straddle " +
       "aggregate (2×1 by construction, a17's pattern)"),

@@ -198,6 +198,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // subtrees stop being recounted per consumer; the Lloyd steps'
     // (cluster, dim) aggs sit behind the cut
     "x18_knn_ivf" -> 6,
+    // the build phase alone (x18 minus serve): 2 Lloyd (cluster, dim)
+    // mean aggs + the assignment window + the <= K-row card agg/sort
+    "x79_ann_index_build" -> 4,
     "x19_quantize_error" -> 2,
     "x20_segment_dedup" -> 4,
     "x21_tombstone_cascade" -> 6,
