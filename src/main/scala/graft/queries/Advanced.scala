@@ -1502,31 +1502,25 @@ object Advanced {
   // ConnectedComponents, and the iteration count is the only change.
   // N is one count job (catalog stats at real scale).
   // ---------------------------------------------------------------------
-  private val PrScale = 1000000000000L
+  private val PrScale = graft.etl.PageRank.Scale
   private val PrIters = 3
 
+  // The iteration kernel moved to the library module
+  // [[graft.etl.PageRank]] in r8: runFixed here is the oracle gate's
+  // unrolled 3-step form; the promised CONVERGENCE form
+  // (iterate-with-cut + delta-below-threshold stop, the
+  // ConnectedComponents discipline) is PageRank.runConverged —
+  // spec-pinned by PageRankSpec on a chain graph where 3 iterations
+  // have provably NOT converged.
   private def x59(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select((col("l_partkey").cast("long") * 2).as("u"),
         (col("l_suppkey").cast("long") * 2 + 1).as("v"))
       .distinct()
-    val edges = pairs
-      .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
-      .cut(false) // consumed by deg + every iteration
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .cut(false)
-    val n = deg.count()
-    val base = PrScale * 15L / (100L * n)
-    var r = deg.select(col("u").as("node"), lit(PrScale / n).as("rank"))
-    for (_ <- 1 to PrIters) {
-      r = edges.join(deg, Seq("u"))
-        .join(r.withColumnRenamed("node", "u"), Seq("u"))
-        .select(col("v").as("node"),
-          expr("(rank * 85) div (100 * deg)").as("c"))
-        .groupBy(col("node"))
-        .agg((sum(col("c")) + lit(base)).as("rank"))
-    }
-    r.orderBy(desc("rank"), col("node")).limit(20)
+    val g = graft.etl.PageRank.graph(pairs
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"))))
+    graft.etl.PageRank.runFixed(g, PrIters)
+      .orderBy(desc("rank"), col("node")).limit(20)
       .select(when(col("node") % 2 === 0, lit("part"))
         .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("key"),
