@@ -2049,7 +2049,111 @@ object Advanced {
       |    // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_ppm
       |FROM agg ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q57-ext — t-closeness: the third leg of the privacy triple
+  // (k-anonymity q49 counts class sizes, l-diversity q53 counts
+  // distinct sensitive values; t-closeness bounds how much a class's
+  // SENSITIVE DISTRIBUTION leaks vs the global one). Quasi-id =
+  // (nation, segment); sensitive = the ordered balance band
+  // floor((bal+1000)/1000) ∈ 0..10 (IEEE-exact row-local banding —
+  // q49's rule — m = 11 ordered bins). Distance is the ordered-EMD
+  // t = (1/(m−1))·Σ_j |Σ_{i≤j}(p_i − q_i)|, computed as EXACT
+  // integers by clearing denominators: per (class, band) the signed
+  // diff is c_i·N − g_i·n (DECIMAL(38,0) — n·N-scale products wrap
+  // BIGINT long before 100 TB), prefix-summed along the DENSE band
+  // grid (unobserved cells folded in arithmetically, a33's rule —
+  // a class missing a band still drifts by the global share), and
+  // t lands as ppm integral division. Scale: two keyed partial aggs
+  // (class×band, band) + an 11-row-per-class grid join + one
+  // per-class window over 11 rows — nothing grows past
+  // |classes|·m rows after the first agg.
+  // ---------------------------------------------------------------------
+  private val TCloseBands = 11
+  private val TCloseBreachPpm = 200000L // t > 0.2 leaks
+
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_nationkey"),
+      col("c_mktsegment"),
+      floor((col("c_acctbal") + 1000.0) / 1000.0).cast("long").as("band"))
+    val cls = cust.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("c")).cut(false) // grid + class totals
+    val classes = cls.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("c").as("n_class"))
+    val global = cls.groupBy("band").agg(sum("c").as("g"))
+    val total = global.agg(sum("g").as("n_total"))
+    val grid = classes
+      .crossJoin(broadcast(
+        total.select(explode(expr(s"sequence(0L, ${TCloseBands - 1}L)"))
+          .as("band"), col("n_total"))))
+      .join(global, Seq("band"), "left")
+      .join(cls, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+        col("n_class"), col("n_total"),
+        coalesce(col("g"), lit(0L)).as("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("diff", expr(
+        "CAST(c AS DECIMAL(38,0)) * n_total" +
+          " - CAST(g AS DECIMAL(38,0)) * n_class"))
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum", sum("diff").over(w))
+      .groupBy("c_nationkey", "c_mktsegment", "n_class", "n_total")
+      .agg(sum(abs(col("cum"))).as("t_num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_class"),
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * t_num) div" +
+          s" (${TCloseBands - 1} * CAST(n_class AS DECIMAL(38,0))" +
+          s" * n_total) AS BIGINT)").as("t_ppm"))
+      .withColumn("breach", col("t_ppm") > TCloseBreachPpm)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+  private val q57Sql =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR((c_acctbal + 1000.0) / 1000.0) AS BIGINT) AS band
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, band,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM cust GROUP BY 1, 2, 3),
+       |classes AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(SUM(c) AS BIGINT) AS n_class
+       |  FROM cls GROUP BY 1, 2),
+       |global AS (SELECT band, CAST(SUM(c) AS BIGINT) AS g
+       |           FROM cls GROUP BY 1),
+       |total AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM global),
+       |grid AS (
+       |  SELECT cl.c_nationkey, cl.c_mktsegment, b.band, cl.n_class,
+       |    t.n_total, COALESCE(g.g, 0) AS g, COALESCE(c.c, 0) AS c
+       |  FROM classes cl
+       |  CROSS JOIN (SELECT unnest(generate_series(0,
+       |    ${TCloseBands - 1})) AS band) b
+       |  CROSS JOIN total t
+       |  LEFT JOIN global g ON g.band = b.band
+       |  LEFT JOIN cls c ON c.c_nationkey = cl.c_nationkey
+       |    AND c.c_mktsegment = cl.c_mktsegment AND c.band = b.band),
+       |cum AS (
+       |  SELECT c_nationkey, c_mktsegment, n_class, n_total,
+       |    SUM(CAST(c AS HUGEINT) * n_total
+       |        - CAST(g AS HUGEINT) * n_class)
+       |      OVER (PARTITION BY c_nationkey, c_mktsegment
+       |        ORDER BY band
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum
+       |  FROM grid)
+       |SELECT c_nationkey, c_mktsegment, n_class,
+       |  CAST((CAST(1000000 AS HUGEINT) * SUM(ABS(cum)))
+       |    // (${TCloseBands - 1} * CAST(n_class AS HUGEINT) * n_total)
+       |    AS BIGINT) AS t_ppm,
+       |  CAST((CAST(1000000 AS HUGEINT) * SUM(ABS(cum)))
+       |    // (${TCloseBands - 1} * CAST(n_class AS HUGEINT) * n_total)
+       |    AS BIGINT) > $TCloseBreachPpm AS breach
+       |FROM cum GROUP BY 1, 2, n_class, n_total
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q57_t_closeness", Some(q57Sql), q57),
     QueryDef("q55_spearman", Some(q55Sql), q55),
     QueryDef("q54_decile_lift", Some(q54Sql), q54),
     QueryDef("x77_compaction_plan", Some(x77Sql), x77),

@@ -999,6 +999,90 @@ object DedupSim {
        |GROUP BY 1 ORDER BY c_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X83 — late-interaction (MaxSim) rerank: the third retrieval stage
+  // a modern RAG stack runs after candidate generation — ColBERT's
+  // scoring shape, Σ_i max_j cos(q_i, d_j) over per-"token" subvectors
+  // — applied to x05b's LSH top-10. Subvectors are the 4×16-dim
+  // slices x58's PQ already treats as subspaces (the corpus has one
+  // pooled embedding per doc; slicing is the deterministic stand-in
+  // for per-token vectors, and the plumbing — slice norms, 16 fused
+  // dot products per pair, greatest-of-4 per query slice, fixed-order
+  // sum — is exactly the real operator's). Everything is IEEE double
+  // arithmetic on the proven DotProduct fold (max is order-free,
+  // the 4-term sum is fixed left-assoc), so scores are bit-identical
+  // cross-engine. Scale: candidates are ≤ 10·|probes| rows from the
+  // audited x05b plan; the rerank itself is two keyed joins against
+  // the sliced-embedding relation + one row-local 16-dot projection +
+  // one per-query window — rerank cost grows with the CANDIDATE list,
+  // never the corpus (the whole point of the generate-then-rerank
+  // split).
+  // ---------------------------------------------------------------------
+  private def x83(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .cut(false) // query-side and doc-side slice consumers
+    def sliced(prefix: String, idAs: String): DataFrame = {
+      val base = e.select(col("vec_id").as(idAs) +:
+        (0 until 4).map(i =>
+          expr(s"slice(emb, ${16 * i + 1}, 16)").as(s"${prefix}v$i")): _*)
+      (0 until 4).foldLeft(base)((acc, i) =>
+        acc.withColumn(s"${prefix}n$i",
+          sqrt(DotProduct(col(s"${prefix}v$i"), col(s"${prefix}v$i")))))
+    }
+    val cand = x05b(s, d)
+      .select(col("q_id"), col("vec_id"),
+        col("rank").cast("long").as("lsh_rank"))
+    val maxes = (0 until 4).map { i =>
+      greatest((0 until 4).map(j =>
+        DotProduct(col(s"qv$i"), col(s"dv$j")) /
+          (col(s"qn$i") * col(s"dn$j"))): _*)
+    }
+    cand.join(sliced("q", "q_id"), Seq("q_id"))
+      .join(sliced("d", "vec_id"), Seq("vec_id"))
+      .withColumn("maxsim", maxes.reduce(_ + _))
+      .withColumn("rr_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
+      .select("q_id", "vec_id", "lsh_rank", "rr_rank", "maxsim")
+      .orderBy("q_id", "rr_rank")
+  }
+  private lazy val x83Sql = {
+    def dotQD(i: Int, j: Int) =
+      s"${duckDot.format(s"q.v$i", s"d.v$j")} / (q.n$i * d.n$j)"
+    val maxsim = (0 until 4).map(i =>
+      "GREATEST(" + (0 until 4).map(j => dotQD(i, j)).mkString(", ") +
+        ")").mkString(" + ")
+    s"""WITH lshq AS ($x05bSql),
+       |eall AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, emb[1:16] AS v0, emb[17:32] AS v1,
+       |    emb[33:48] AS v2, emb[49:64] AS v3
+       |  FROM eall),
+       |subn AS (
+       |  SELECT vec_id, v0, v1, v2, v3,
+       |    sqrt(${duckDot.format("v0", "v0")}) AS n0,
+       |    sqrt(${duckDot.format("v1", "v1")}) AS n1,
+       |    sqrt(${duckDot.format("v2", "v2")}) AS n2,
+       |    sqrt(${duckDot.format("v3", "v3")}) AS n3
+       |  FROM sub),
+       |scored AS (
+       |  SELECT l.q_id, l.vec_id, CAST(l.rank AS BIGINT) AS lsh_rank,
+       |    $maxsim AS maxsim
+       |  FROM lshq l
+       |  JOIN subn q ON q.vec_id = l.q_id
+       |  JOIN subn d ON d.vec_id = l.vec_id)
+       |SELECT q_id, vec_id, lsh_rank, rr_rank, maxsim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rr_rank
+       |  FROM scored)
+       |ORDER BY q_id, rr_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // X62 — hard-negative mining + margin audit: for each anchor in the
   // probe slice, the NEAREST SAME-LABEL neighbor (the positive) and
   // the NEAREST OTHER-LABEL neighbor (the hard negative), plus their
@@ -2872,6 +2956,7 @@ object DedupSim {
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
     QueryDef("x79_ann_index_build", Some(x79Sql), x79),
+    QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),

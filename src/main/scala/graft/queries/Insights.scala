@@ -1859,7 +1859,80 @@ object Insights {
        |    AS token_load_factor
        |FROM g ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q56-ext — funnel conversion (view → click → purchase): the product-
+  // analytics staple — of the users who viewed, how many clicked within
+  // 24 h of their FIRST view, and of those, how many purchased within
+  // 24 h of that first qualifying click. Step times are first-match
+  // semantics (min event time past the previous step's timestamp,
+  // within the window), so the whole funnel is three keyed min-aggs —
+  // no per-user sequence scan, no window function, and each step's
+  // relation SHRINKS (converters only). Latencies and conversion rates
+  // are exact integers (epoch µs sums, ppm integral division). One
+  // summary row; the three step relations are user-keyed partial aggs
+  // — at 100 TB this is three shuffles of at-most-|users| rows.
+  // ---------------------------------------------------------------------
+  private val FunnelWindowUs = 86400000000L // 24 h
+
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t0") &&
+        col("us") <= col("t0") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("us").as("t1"), min("t0").as("t0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t1") &&
+        col("us") <= col("t1") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val va = v.agg(count(lit(1)).as("n_view"))
+    val ca = c.agg(count(lit(1)).as("n_click"),
+      sum(col("t1") - col("t0")).as("lat_c"))
+    val pa = p.agg(count(lit(1)).as("n_purchase"),
+      sum(col("t2") - col("t1")).as("lat_p"))
+    va.crossJoin(ca).crossJoin(pa)
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("1000000L * n_click div n_view").as("click_conv_ppm"),
+        expr("1000000L * n_purchase div n_click")
+          .as("purchase_conv_ppm"),
+        expr("lat_c div n_click").as("avg_click_lat_us"),
+        expr("lat_p div n_purchase").as("avg_purchase_lat_us"))
+  }
+  private val q56Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |v AS (SELECT user_id, MIN(us) AS t0 FROM ev
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, MIN(e.us) AS t1, MIN(v.t0) AS t0
+       |  FROM ev e JOIN v ON v.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.us > v.t0
+       |    AND e.us <= v.t0 + $FunnelWindowUs
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT e.user_id, MIN(e.us) AS t2, MIN(c.t1) AS t1
+       |  FROM ev e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us > c.t1
+       |    AND e.us <= c.t1 + $FunnelWindowUs
+       |  GROUP BY 1),
+       |va AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM v),
+       |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_click,
+       |       CAST(SUM(t1 - t0) AS BIGINT) AS lat_c FROM c),
+       |pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase,
+       |       CAST(SUM(t2 - t1) AS BIGINT) AS lat_p FROM p)
+       |SELECT n_view, n_click, n_purchase,
+       |  1000000 * n_click // n_view AS click_conv_ppm,
+       |  1000000 * n_purchase // n_click AS purchase_conv_ppm,
+       |  lat_c // n_click AS avg_click_lat_us,
+       |  lat_p // n_purchase AS avg_purchase_lat_us
+       |FROM va CROSS JOIN ca CROSS JOIN pa""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
     QueryDef("q33_distribution_drift", Some(q33Sql), q33),

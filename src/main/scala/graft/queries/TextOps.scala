@@ -1635,7 +1635,144 @@ object TextOps {
        |FROM est CROSS JOIN n
        |ORDER BY exact_cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X80 — BM25 sparse retrieval: the lexical retriever next to the
+  // dense stack (x05 brute / x05b LSH / x18 IVF / x73 fusion) — a RAG
+  // deployment runs BOTH and fuses. Query model: every 100th doc is a
+  // query; its terms are its 3 RAREST corpus terms with df ≥ 2
+  // (informative-term selection — it also bounds the candidate volume
+  // by construction: posting lists of rare terms, never stop-word
+  // scans; impact-ordered/WAND pruning is the 100 TB path for
+  // arbitrary terms and changes nothing below the candidate join).
+  // Scoring is EXACT integer BM25 (k1 = 1.2, b = 0.75) with one
+  // documented deviation: idf is the log-free rational
+  // (2(N−df)+1)/(2df+1) in ppm — monotone in the textbook
+  // log((N−df+0.5)/(df+0.5)), so per-term orderings agree, and no
+  // float/log divergence can split the engines (x23's house rule).
+  // The index is IMPACT-TRUNCATED: each term's posting list keeps only
+  // its top-[[BmImpactCap]] postings by (tf desc, doc_id) — the
+  // impact-ordered early-termination discipline real sparse indexes
+  // (WAND/MaxScore) rely on, and the load-bearing bound here: this
+  // corpus's vocabulary is ~31 tokens, so EVERY term is a stop word
+  // with a corpus-sized posting list, and the uncapped candidate join
+  // was measured at 55M rows / 492 s at sf1 — with the cap it is
+  // ≤ 3·cap per query at any corpus size. Both engines score the same
+  // truncated index, so the gate stays exact.
+  // tf normalization clears ALL fractions: with avgdl = T/N,
+  //   tf_part = 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/avgdl))
+  //           = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)  — exact.
+  // Products route through DECIMAL(38,0)/HUGEINT (T·tf·10⁶ wraps
+  // BIGINT long before 100 TB — the q54/q55 rule).
+  // Plan: token tf/df/dl aggs (vocabulary- and corpus-grain partial
+  // aggs), a 1-row corpus-stats broadcast, the term-keyed candidate
+  // join, one (q_id, doc_id) sum agg, one per-query top-10 window.
+  // ---------------------------------------------------------------------
+  private val BmImpactCap = 1000
+
+  private def x80(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .cut(false) // consumers: df, dl, query terms, posting lists
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df")).cut(false)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("t_tokens"))
+    // impact-truncated posting lists: top-cap postings per term
+    val plist = tf
+      .withColumn("prk", row_number().over(Window.partitionBy("tok")
+        .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("prk") <= BmImpactCap)
+      .select("doc_id", "tok", "tf")
+    val qterms = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(df, "tok").filter(col("df") >= 2)
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("df").asc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "tok")
+    val contrib = qterms
+      .join(plist, "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2*(n_docs - df) + 1))" +
+          " div (2*df + 1) AS BIGINT)"))
+      .withColumn("tfp_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * t_tokens * tf) div" +
+          " (CAST(10 AS DECIMAL(38,0)) * t_tokens * tf + 3 * t_tokens" +
+          " + 9 * dl * n_docs) AS BIGINT)"))
+      .withColumn("c_ppm", expr(
+        "CAST((CAST(idf_ppm AS DECIMAL(38,0)) * tfp_ppm)" +
+          " div 1000000 AS BIGINT)"))
+    contrib.groupBy("q_id", "doc_id")
+      .agg(sum("c_ppm").as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "doc_id", "rank", "score_ppm", "n_terms")
+      .orderBy("q_id", "rank")
+  }
+  private val x80Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      |       FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+      |plist AS (
+      |  SELECT doc_id, tok, tf FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tok
+      |      ORDER BY tf DESC, doc_id) AS prk
+      |    FROM tf)
+      |  WHERE prk <= 1000),
+      |qterms AS (
+      |  SELECT q_id, tok FROM (
+      |    SELECT tf.doc_id AS q_id, tf.tok,
+      |      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |        ORDER BY df.df ASC, tf.tok) AS rk
+      |    FROM tf JOIN df USING (tok)
+      |    WHERE tf.doc_id % 100 = 0 AND df.df >= 2)
+      |  WHERE rk <= 3),
+      |contrib AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |    CAST((CAST(1000000 AS HUGEINT) * (2*(s.n_docs - df.df) + 1))
+      |      // (2*df.df + 1) AS BIGINT) AS idf_ppm,
+      |    CAST((CAST(1000000 AS HUGEINT) * 22 * s.t_tokens * tf.tf)
+      |      // (CAST(10 AS HUGEINT) * s.t_tokens * tf.tf
+      |         + 3 * s.t_tokens + 9 * dl.dl * s.n_docs)
+      |      AS BIGINT) AS tfp_ppm
+      |  FROM qterms q
+      |  JOIN plist tf USING (tok)
+      |  JOIN df USING (tok)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE tf.doc_id <> q.q_id),
+      |scored AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(SUM(CAST(CAST(idf_ppm AS HUGEINT) * tfp_ppm // 1000000
+      |      AS BIGINT)) AS BIGINT) AS score_ppm,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT q_id, doc_id, rank, score_ppm, n_terms FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x80_bm25", Some(x80Sql), x80),
     QueryDef("x72_cms_frequency", Some(x72Sql), x72),
     QueryDef("x68_annotator_agreement", Some(x68Sql), x68),
     QueryDef("x69_tokenizer_fertility", Some(x69Sql), x69),

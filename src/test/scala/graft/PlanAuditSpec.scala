@@ -11,6 +11,15 @@ class PlanAuditSpec extends SparkSpec {
 
   // query → why its nested-loop/cartesian side cannot grow with data
   private val allow: Map[String, String] = Map(
+    "x80_bm25" -> ("1-row corpus-stats scalar (n_docs, t_tokens) " +
+      "broadcast into the scoring projection — never grows"),
+    "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
+      "cross-joined into the single output row — never grows"),
+    "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +
+      "11-band grid broadcast under each class — never grows"),
+    "x83_maxsim_rerank" -> ("composes x05b verbatim — inherits its " +
+      "allowlisted bounded plane-index relation; the rerank itself " +
+      "is keyed joins only"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

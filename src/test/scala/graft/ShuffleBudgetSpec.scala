@@ -153,6 +153,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x53_jl_projection" -> 3,
     "q48_quantile_sketch_bound" -> 6,
     "q49_k_anonymity" -> 3,
+    // 3 user-keyed step aggs (+ their join sides) + 3 one-row summary
+    // aggs; every step relation shrinks to converters only
+    "q56_funnel_conversion" -> 8,
+    // class×band agg + class totals + band totals + the 11-row-grid
+    // window + final sort — nothing past |classes|·m after the 1st agg
+    "q57_t_closeness" -> 5,
     // (brand, type) count agg + the contracted-domain window + rollup
     "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
@@ -197,6 +203,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // codebook lineages once each (lazy localCheckpoints), so shared
     // subtrees stop being recounted per consumer; the Lloyd steps'
     // (cluster, dim) aggs sit behind the cut
+    // x05b's audited candidate plan + the two sliced-embedding joins,
+    // the per-query rerank window and the final sort
+    "x83_maxsim_rerank" -> 10,
+    // token tf agg + vocab df agg + the impact-truncation window (tok)
+    // + doc-grain dl agg + the (q_id, doc_id) score agg + final sort;
+    // the candidate join itself rides the broadcast qterms side
+    "x80_bm25" -> 6,
     "x18_knn_ivf" -> 6,
     // the build phase alone (x18 minus serve): 2 Lloyd (cluster, dim)
     // mean aggs + the assignment window + the <= K-row card agg/sort
