@@ -208,4 +208,68 @@ object NearDup {
       .select("doc_id")
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
+
+  // -------------------------------------------------------------------
+  // Persisted index + incremental dedup — the build/serve split for
+  // the MinHash family (AnnIndex's contract, lexical edition): a
+  // 100 TB corpus signs ONCE, persists the signature table, and each
+  // day's shard is deduped against the index by signing ONLY the
+  // delta. The stored form is just [[signatures]] output — band keys
+  // are a row-local projection of the signature columns, so there is
+  // nothing else to store and the banding stays reconfigurable at
+  // read time.
+  // -------------------------------------------------------------------
+
+  /** Persist a corpus's signature index (one row per ≥3-word doc:
+    * doc_id, m0..m15). */
+  def writeIndex(docs: DataFrame, dir: String,
+      k: Int = DefaultConfig.k): Unit =
+    graft.sources.Sources.writeOrdered(
+      Seq("minhash_index" -> signatures(docs, k)), dir)
+
+  /** Load a persisted signature index. */
+  def readIndex(s: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame = s.read.parquet(s"$dir/minhash_index")
+
+  /** Verified near-dup edges of DELTA docs against base ∪ delta:
+    * (doc_id ∈ delta, dup_of) where dup_of is a base doc or an
+    * earlier (smaller-id) delta doc. Only delta rows are signed by
+    * the caller; the base side comes from a signature index — the
+    * whole base corpus is touched ONLY through its (already-computed)
+    * signatures, never re-shingled. Cost: the banded join of delta's
+    * band keys against the combined band relation + the agreement
+    * verify — bounded by delta size × bucket occupancy, never by the
+    * base corpus. */
+  def incrementalEdges(baseSigs: DataFrame, deltaSigs: DataFrame,
+      cfg: LshConfig = DefaultConfig): DataFrame = {
+    def bands(sigs: DataFrame): DataFrame = {
+      val bandKeys = array((0 until cfg.bands).map { b =>
+        concat_ws("_", (0 until cfg.rows).map(r =>
+          col(s"m${cfg.rows * b + r}").cast("string")): _*)
+      }: _*)
+      sigs.select(col("doc_id"), posexplode(bandKeys)
+        .as(Seq("band", "band_key")))
+    }
+    val allSigs = baseSigs.withColumn("is_base", lit(true))
+      .unionByName(deltaSigs.withColumn("is_base", lit(false)))
+    val cand = bands(deltaSigs)
+      .select(col("doc_id").as("doc_id"), col("band"), col("band_key"))
+      .join(bands(allSigs.drop("is_base"))
+        .select(col("doc_id").as("dup_of"), col("band"),
+          col("band_key")), Seq("band", "band_key"))
+      .filter(col("dup_of") =!= col("doc_id"))
+      .select("doc_id", "dup_of").distinct()
+    // keep only (delta, base) and (delta, earlier-delta) orientations
+    val baseIds = baseSigs.select(col("doc_id").as("dup_of"))
+    val orientated = cand.join(baseIds, Seq("dup_of"), "left_semi")
+      .unionByName(
+        cand.join(baseIds, Seq("dup_of"), "left_anti")
+          .filter(col("dup_of") < col("doc_id")))
+    val sigsAB = allSigs.drop("is_base")
+    agreementOf(sigsAB,
+      orientated.select(col("dup_of").as("doc_a"),
+        col("doc_id").as("doc_b")), cfg.k)
+      .filter(col("sig_matches") >= cfg.minSig)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
+  }
 }

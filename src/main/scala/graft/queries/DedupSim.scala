@@ -999,6 +999,69 @@ object DedupSim {
        |GROUP BY 1 ORDER BY c_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X82 — incremental dedup against a persisted MinHash index: the
+  // daily-ingestion pattern — the corpus is signed ONCE
+  // (NearDup.writeIndex; NearDupIndexSpec proves the write→read→dedup
+  // round trip), and each arriving shard is deduped by signing ONLY
+  // the delta and banding it against the stored signatures. Here the
+  // shard is the planted-dup generation (ids ≥ 10⁶ — every one a
+  // near-copy of a base doc) and the base is the original corpus;
+  // the card gives each delta doc its verdict: dup of the BASE corpus
+  // (the index hit — the case that saves the full recompute), dup of
+  // an earlier delta doc (intra-shard), or genuinely new. Same
+  // signature family / banding / 12-of-16 verify as x02, so this
+  // composes the audited kernels; the oracle is the x02 CTE chain
+  // restricted to delta-sided pairs. Scale: the base corpus is
+  // touched only through its signature relation — the delta's band
+  // join + verify cost is bounded by shard size × bucket occupancy,
+  // never by corpus size.
+  // ---------------------------------------------------------------------
+  private def x82(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.fanout(minhashCorpus(s, d))
+    val baseSigs = graft.etl.NearDup
+      .signatures(corpus.filter(col("doc_id") < 1000000L)).cut(false)
+    val deltaSigs = graft.etl.NearDup
+      .signatures(corpus.filter(col("doc_id") >= 1000000L)).cut(false)
+    val per = graft.etl.NearDup.incrementalEdges(baseSigs, deltaSigs)
+      .groupBy("doc_id")
+      .agg(min(col("dup_of")).as("first_dup"),
+        sum(when(col("dup_of") < 1000000L, 1L).otherwise(0L))
+          .as("nb"),
+        sum(when(col("dup_of") >= 1000000L, 1L).otherwise(0L))
+          .as("nd"))
+    deltaSigs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("first_dup").as("dup_of"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nd"), lit(0L)).as("n_delta"))
+      .withColumn("status",
+        when(col("n_base") > 0, "dup_base")
+          .when(col("n_delta") > 0, "dup_delta")
+          .otherwise("new"))
+      .orderBy("doc_id")
+  }
+  private def x82Sql: String =
+    s"""WITH $duckSigPairsCtes,
+       |edges AS (
+       |  SELECT doc_b AS doc_id, doc_a AS dup_of FROM sigm
+       |  WHERE m >= $NeardupMinSig AND doc_b >= 1000000),
+       |per AS (
+       |  SELECT doc_id, MIN(dup_of) AS dup_of,
+       |    CAST(COUNT(CASE WHEN dup_of < 1000000 THEN 1 END)
+       |      AS BIGINT) AS n_base,
+       |    CAST(COUNT(CASE WHEN dup_of >= 1000000 THEN 1 END)
+       |      AS BIGINT) AS n_delta
+       |  FROM edges GROUP BY 1),
+       |deltas AS (SELECT doc_id FROM sigs WHERE doc_id >= 1000000)
+       |SELECT d.doc_id, p.dup_of,
+       |  CAST(COALESCE(p.n_base, 0) AS BIGINT) AS n_base,
+       |  CAST(COALESCE(p.n_delta, 0) AS BIGINT) AS n_delta,
+       |  CASE WHEN COALESCE(p.n_base, 0) > 0 THEN 'dup_base'
+       |       WHEN COALESCE(p.n_delta, 0) > 0 THEN 'dup_delta'
+       |       ELSE 'new' END AS status
+       |FROM deltas d LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X83 — late-interaction (MaxSim) rerank: the third retrieval stage
   // a modern RAG stack runs after candidate generation — ColBERT's
   // scoring shape, Σ_i max_j cos(q_i, d_j) over per-"token" subvectors
@@ -2956,6 +3019,7 @@ object DedupSim {
     QueryDef("x05_knn_lsh", Some(x05bSql), x05b),
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
     QueryDef("x79_ann_index_build", Some(x79Sql), x79),
+    QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),

@@ -1771,8 +1771,60 @@ object TextOps {
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X84 — per-source Gini concentration: how unequally is a source's
+  // character mass distributed over its documents? The curation
+  // question behind it: a source whose mass sits in a few huge docs
+  // behaves very differently under doc-level sampling/dedup than one
+  // with uniform docs — x29's corpus card says how MUCH a source
+  // contributes, this says how CONCENTRATED it is. Exact integer
+  // Gini via the rank identity G = Σ(2i−n−1)·x_(i) / (n·Σx) with the
+  // repo's total-order discipline (size, doc_id) — tie order cannot
+  // change the sum (equal x under permuted consecutive ranks), so the
+  // value is deterministic; products route through DECIMAL(38,0)
+  // (rank·size·n wraps BIGINT at corpus scale). One per-source window
+  // + one contracting agg; output is |sources| rows.
+  // ---------------------------------------------------------------------
+  private def x84(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("source")))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(expr("CAST(2*i - n - 1 AS DECIMAL(38,0)) * n_chars"))
+          .as("gnum"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gnum) div" +
+          " (CAST(n_docs AS DECIMAL(38,0)) * total_chars) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy("source")
+  }
+  private val x84Sql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    SUM(CAST(2*i - n - 1 AS HUGEINT) * n_chars) AS gnum
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n_docs, total_chars,
+      |  CAST((CAST(1000000 AS HUGEINT) * gnum)
+      |    // (CAST(n_docs AS HUGEINT) * total_chars) AS BIGINT)
+      |    AS gini_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x80_bm25", Some(x80Sql), x80),
+    QueryDef("x84_source_gini", Some(x84Sql), x84),
     QueryDef("x72_cms_frequency", Some(x72Sql), x72),
     QueryDef("x68_annotator_agreement", Some(x68Sql), x68),
     QueryDef("x69_tokenizer_fertility", Some(x69Sql), x69),

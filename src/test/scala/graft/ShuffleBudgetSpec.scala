@@ -171,6 +171,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // + the caught/escaped per-doc agg + final sort — arrival mapping
     // and orientation are row-local
     "st10_neardup_dedup" -> 7,
+    // delta-vs-index band join + distinct + verify joins + the per-doc
+    // verdict agg + final sort; base corpus touched only via its
+    // signature relation
+    "x82_incremental_dedup" -> 5,
     // signature agg + banded candidate join + verify-stage
     // intersect/size joins over the checkpointed shingle relation
     "x51_minhash_error" -> 11,
@@ -203,6 +207,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // codebook lineages once each (lazy localCheckpoints), so shared
     // subtrees stop being recounted per consumer; the Lloyd steps'
     // (cluster, dim) aggs sit behind the cut
+    // one per-source rank window + the contracting source agg/sort
+    "x84_source_gini" -> 2,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
