@@ -1080,7 +1080,13 @@ object DedupSim {
   // never the corpus (the whole point of the generate-then-rerank
   // split).
   // ---------------------------------------------------------------------
-  private def x83(s: SparkSession, d: String): DataFrame = {
+  /** Attach the MaxSim late-interaction score to a candidate relation
+    * carrying `q_id` and `vec_id`: joins both sides against the
+    * 4×16-dim sliced-embedding relation and computes
+    * Σ_i max_j cos(q_i, d_j) row-locally. Shared by x83 and the w07
+    * funnel so the reranker is ONE audited kernel. */
+  private def withMaxsim(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -1093,9 +1099,6 @@ object DedupSim {
         acc.withColumn(s"${prefix}n$i",
           sqrt(DotProduct(col(s"${prefix}v$i"), col(s"${prefix}v$i")))))
     }
-    val cand = x05b(s, d)
-      .select(col("q_id"), col("vec_id"),
-        col("rank").cast("long").as("lsh_rank"))
     val maxes = (0 until 4).map { i =>
       greatest((0 until 4).map(j =>
         DotProduct(col(s"qv$i"), col(s"dv$j")) /
@@ -1104,20 +1107,26 @@ object DedupSim {
     cand.join(sliced("q", "q_id"), Seq("q_id"))
       .join(sliced("d", "vec_id"), Seq("vec_id"))
       .withColumn("maxsim", maxes.reduce(_ + _))
+      .drop((0 until 4).flatMap(i =>
+        Seq(s"qv$i", s"qn$i", s"dv$i", s"dn$i")): _*)
+  }
+
+  private def x83(s: SparkSession, d: String): DataFrame = {
+    val cand = x05b(s, d)
+      .select(col("q_id"), col("vec_id"),
+        col("rank").cast("long").as("lsh_rank"))
+    withMaxsim(s, d, cand)
       .withColumn("rr_rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
       .select("q_id", "vec_id", "lsh_rank", "rr_rank", "maxsim")
       .orderBy("q_id", "rr_rank")
   }
-  private lazy val x83Sql = {
-    def dotQD(i: Int, j: Int) =
-      s"${duckDot.format(s"q.v$i", s"d.v$j")} / (q.n$i * d.n$j)"
-    val maxsim = (0 until 4).map(i =>
-      "GREATEST(" + (0 until 4).map(j => dotQD(i, j)).mkString(", ") +
-        ")").mkString(" + ")
-    s"""WITH lshq AS ($x05bSql),
-       |eall AS (
+  /** MaxSim oracle pieces: the sliced-embedding CTE chain (eall → sub
+    * → subn) and the Σ greatest(...) scoring expression over `q`/`d`
+    * aliases of subn — shared by the x83 and w07 oracles. */
+  private lazy val duckMaxsimCtes =
+    s"""eall AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
@@ -1131,10 +1140,21 @@ object DedupSim {
        |    sqrt(${duckDot.format("v1", "v1")}) AS n1,
        |    sqrt(${duckDot.format("v2", "v2")}) AS n2,
        |    sqrt(${duckDot.format("v3", "v3")}) AS n3
-       |  FROM sub),
+       |  FROM sub)""".stripMargin
+  private lazy val duckMaxsimExpr: String = {
+    def dotQD(i: Int, j: Int) =
+      s"${duckDot.format(s"q.v$i", s"d.v$j")} / (q.n$i * d.n$j)"
+    (0 until 4).map(i =>
+      "GREATEST(" + (0 until 4).map(j => dotQD(i, j)).mkString(", ") +
+        ")").mkString(" + ")
+  }
+
+  private lazy val x83Sql =
+    s"""WITH lshq AS ($x05bSql),
+       |$duckMaxsimCtes,
        |scored AS (
        |  SELECT l.q_id, l.vec_id, CAST(l.rank AS BIGINT) AS lsh_rank,
-       |    $maxsim AS maxsim
+       |    $duckMaxsimExpr AS maxsim
        |  FROM lshq l
        |  JOIN subn q ON q.vec_id = l.q_id
        |  JOIN subn d ON d.vec_id = l.vec_id)
@@ -1143,7 +1163,102 @@ object DedupSim {
        |    ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rr_rank
        |  FROM scored)
        |ORDER BY q_id, rr_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W7 — RAG serving funnel (flagship): the full retrieval-side
+  // pipeline a RAG deployment runs per query, composed end-to-end from
+  // the audited kernels — SPARSE retrieval (x80's impact-truncated
+  // integer BM25) ∥ DENSE retrieval (x05b's sign-LSH cosine) →
+  // reciprocal-rank FUSION (x73's exact nano-unit RRF, full-outer +
+  // COALESCE so single-system candidates survive) → late-interaction
+  // RERANK of the fused top-10 (x83's MaxSim kernel) → CONTEXT
+  // PACKING under a character budget (per query, take reranked docs
+  // while the running total fits — x75's greedy-prefix discipline).
+  // Every stage's arithmetic contract is inherited: integer BM25/RRF,
+  // IEEE-exact MaxSim, exact cumulative chars — so the final packed
+  // context is bit-deterministic across engines. Scale: the two
+  // retrievers are the audited bounded plans; everything downstream
+  // is ≤ 10–20 rows per query (fusion joins, one rerank projection,
+  // one packing window) — serve cost per query is independent of
+  // corpus size, the property a serving funnel exists to have.
+  // ---------------------------------------------------------------------
+  private val W07CtxBudgetChars = 2000L
+
+  private def w07(s: SparkSession, d: String): DataFrame = {
+    val sparse = TextOps.x80(s, d)
+      .select(col("q_id"), col("doc_id").as("vec_id"),
+        col("rank").as("r_sparse"))
+    val dense = x05b(s, d)
+      .select(col("q_id"), col("vec_id"),
+        col("rank").cast("long").as("r_dense"))
+    val fused = sparse.join(dense, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000L div (60L + r_sparse)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60L + r_dense)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("rrf_score").desc, col("vec_id"))).cast("long"))
+      .filter(col("fused_rank") <= 10)
+    val reranked = withMaxsim(s, d, fused)
+      .withColumn("rr_rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
+    val wCum = Window.partitionBy("q_id").orderBy("rr_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    reranked
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("n_chars")), "vec_id")
+      .withColumn("cum_chars", sum("n_chars").over(wCum))
+      .withColumn("picked", col("cum_chars") <= W07CtxBudgetChars)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("fused_rank"), col("rr_rank"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+        col("rrf_score"), col("maxsim"), col("n_chars"),
+        col("cum_chars"), col("picked"))
+      .orderBy("q_id", "rr_rank")
   }
+  private lazy val w07Sql =
+    s"""WITH sparse AS (${TextOps.x80Sql}),
+       |dense AS ($x05bSql),
+       |rrf_f AS (
+       |  SELECT COALESCE(sp.q_id, de.q_id) AS q_id,
+       |    COALESCE(sp.doc_id, de.vec_id) AS vec_id,
+       |    sp.rank AS r_sparse, de.rank AS r_dense,
+       |    COALESCE(1000000000 // (60 + sp.rank), 0)
+       |      + COALESCE(1000000000 // (60 + de.rank), 0) AS rrf_score
+       |  FROM sparse sp FULL OUTER JOIN dense de
+       |    ON sp.q_id = de.q_id AND sp.doc_id = de.vec_id),
+       |rrf_top AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, vec_id) AS BIGINT) AS fused_rank
+       |    FROM rrf_f)
+       |  WHERE fused_rank <= 10),
+       |$duckMaxsimCtes,
+       |rr_scored AS (
+       |  SELECT f.*, $duckMaxsimExpr AS maxsim
+       |  FROM rrf_top f
+       |  JOIN subn q ON q.vec_id = f.q_id
+       |  JOIN subn d ON d.vec_id = f.vec_id),
+       |rr_ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rr_rank
+       |  FROM rr_scored),
+       |ctx AS (
+       |  SELECT r.*, doc.n_chars,
+       |    SUM(doc.n_chars) OVER (PARTITION BY r.q_id ORDER BY r.rr_rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum_chars
+       |  FROM rr_ranked r
+       |  JOIN documents doc ON doc.doc_id = r.vec_id)
+       |SELECT q_id, vec_id AS doc_id, fused_rank, rr_rank,
+       |  CAST(COALESCE(r_sparse, 0) AS BIGINT) AS r_sparse,
+       |  CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense,
+       |  rrf_score, maxsim, n_chars,
+       |  CAST(cum_chars AS BIGINT) AS cum_chars,
+       |  cum_chars <= $W07CtxBudgetChars AS picked
+       |FROM ctx ORDER BY q_id, rr_rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // X62 — hard-negative mining + margin audit: for each anchor in the
@@ -3020,6 +3135,7 @@ object DedupSim {
     QueryDef("x18_knn_ivf", Some(x18Sql), x18),
     QueryDef("x79_ann_index_build", Some(x79Sql), x79),
     QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
+    QueryDef("w07_rag_funnel", Some(w07Sql), w07),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),

@@ -1931,8 +1931,49 @@ object Insights {
        |  lat_p // n_purchase AS avg_purchase_lat_us
        |FROM va CROSS JOIN ca CROSS JOIN pa""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q59-ext — DAU/WAU stickiness: daily active users vs trailing-7-day
+  // actives, the engagement ratio every product dashboard carries.
+  // The hard part is DISTINCT over a SLIDING window — not expressible
+  // as a window function in either engine (no DISTINCT aggregates over
+  // frames), and the naive day-grid × events range join plans as a
+  // nested loop. The scalable shape: each (day, user) fact is exploded
+  // to the 7 window-END days it contributes to (a bounded 7× fan-out
+  // of the DEDUPED daily relation, not raw events), then one exact
+  // count-distinct per window end — two keyed partial-agg shuffles,
+  // zero non-equi joins, linear at any scale. Stickiness is exact ppm.
+  // ---------------------------------------------------------------------
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().cut(false) // dau agg + the exploded wau path
+    val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(explode(expr("sequence(day, date_add(day, 6))"))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("1000000L * dau div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+  private val q59Sql =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      |        FROM daily GROUP BY 1),
+      |expl AS (
+      |  SELECT DISTINCT day + CAST(k AS INTEGER) AS day, user_id
+      |  FROM daily, UNNEST(generate_series(0, 6)) AS t(k)),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+      |        FROM expl GROUP BY 1)
+      |SELECT day, dau, wau, 1000000 * dau // wau AS stickiness_ppm
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
+    QueryDef("q59_dau_wau", Some(q59Sql), q59),
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
     QueryDef("q33_distribution_drift", Some(q33Sql), q33),

@@ -1669,7 +1669,7 @@ object TextOps {
   // ---------------------------------------------------------------------
   private val BmImpactCap = 1000
 
-  private def x80(s: SparkSession, d: String): DataFrame = {
+  private[queries] def x80(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
@@ -1718,7 +1718,7 @@ object TextOps {
       .select("q_id", "doc_id", "rank", "score_ppm", "n_terms")
       .orderBy("q_id", "rank")
   }
-  private val x80Sql =
+  private[queries] val x80Sql =
     """WITH toks AS (
       |  SELECT doc_id,
       |    UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok

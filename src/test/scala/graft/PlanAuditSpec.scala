@@ -20,6 +20,10 @@ class PlanAuditSpec extends SparkSpec {
     "x83_maxsim_rerank" -> ("composes x05b verbatim — inherits its " +
       "allowlisted bounded plane-index relation; the rerank itself " +
       "is keyed joins only"),
+    "w07_rag_funnel" -> ("composes x80 (1-row corpus-stats scalar) " +
+      "and x05b (bounded plane index) verbatim — inherits exactly " +
+      "their allowlisted bounded sides; fusion/rerank/packing are " +
+      "keyed joins and windows only"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -159,6 +159,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // class×band agg + class totals + band totals + the 11-row-grid
     // window + final sort — nothing past |classes|·m after the 1st agg
     "q57_t_closeness" -> 5,
+    // daily dedup + dau agg + the exploded (7x deduped) wau dedup/agg
+    // + final sort — the sliding-distinct without a range join
+    "q59_dau_wau" -> 4,
     // (brand, type) count agg + the contracted-domain window + rollup
     "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
@@ -209,6 +212,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (cluster, dim) aggs sit behind the cut
     // one per-source rank window + the contracting source agg/sort
     "x84_source_gini" -> 2,
+    // the flagship serving composite: x80's 5 sparse stages + x05b's
+    // dense stages + the fusion outer join, rerank window, packing
+    // window and final sort — everything after the retrievers is
+    // <= 10 rows/query
+    "w07_rag_funnel" -> 18,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
