@@ -1971,9 +1971,65 @@ object Insights {
       |SELECT day, dau, wau, 1000000 * dau // wau AS stickiness_ppm
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q60-ext — weekly cohort retention triangle: users grouped by their
+  // FIRST active week, tracked by distinct-active presence in each
+  // later week — the retention curve behind every growth dashboard,
+  // and the q59 stickiness ratio unrolled over cohort age. Exact
+  // integers throughout: week buckets are date_trunc (Monday-start in
+  // both engines), cohort age is day-difference div 7, retention is
+  // ppm integral division against the cohort's week-0 size (every
+  // user is active in their first week by construction, so week 0 IS
+  // the cohort census). Plan: one (user, week) dedup, one per-user
+  // min, a keyed join back, one (cohort, age) agg and a broadcast-
+  // sized join to attach cohort sizes — all partial-agg'd keyed
+  // shuffles, nothing wider than |users| rows.
+  // ---------------------------------------------------------------------
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct().cut(false) // first-week agg + activity join
+    val first = weekly.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val aged = weekly.join(first, "user_id")
+      .withColumn("weeks_since",
+        expr("datediff(week, cohort_week) div 7"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = aged.filter(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    aged.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        expr("1000000L * n_active div cohort_size")
+          .as("retention_ppm"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+  private val q60Sql =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(week) AS cohort_week
+      |          FROM weekly GROUP BY 1),
+      |aged AS (
+      |  SELECT f.cohort_week,
+      |    date_diff('day', f.cohort_week, w.week) // 7 AS weeks_since,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM weekly w JOIN first f ON f.user_id = w.user_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_week, n_active AS cohort_size
+      |          FROM aged WHERE weeks_since = 0)
+      |SELECT a.cohort_week, a.weeks_since, a.n_active, s.cohort_size,
+      |  1000000 * a.n_active // s.cohort_size AS retention_ppm
+      |FROM aged a JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
     QueryDef("q59_dau_wau", Some(q59Sql), q59),
+    QueryDef("q60_retention_cohorts", Some(q60Sql), q60),
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
     QueryDef("q33_distribution_drift", Some(q33Sql), q33),

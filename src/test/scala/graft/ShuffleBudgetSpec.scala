@@ -162,6 +162,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // daily dedup + dau agg + the exploded (7x deduped) wau dedup/agg
     // + final sort — the sliding-distinct without a range join
     "q59_dau_wau" -> 4,
+    // (user, week) dedup + per-user min + the activity join-back agg
+    // + cohort-size join + final sort
+    "q60_retention_cohorts" -> 5,
     // (brand, type) count agg + the contracted-domain window + rollup
     "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
