@@ -1822,9 +1822,107 @@ object TextOps {
       |    AS gini_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X85 — cross-source quantile (QQ) calibration card: before mixing
+  // sources under ONE quality threshold, a curation pipeline must know
+  // whether score=X means the same thing in every source — x65
+  // calibrates a score against gold, this calibrates sources against
+  // EACH OTHER. Score is an exact integer ppm twin of x07's blend
+  // (length half + stopword half, integral division only). For each
+  // source and each decile k, the card gives the source's type-1
+  // quantile boundary vs the global one and their gap — the rank-map
+  // a quantile-normalization pass would apply. Boundaries come from
+  // the q15/q29 histogram discipline: score→count histograms (never
+  // per-doc buffering), cumulative counts, dup-aware rank-pick
+  // MIN(score | cum ≥ ⌊(n−1)k/10⌋+1) — no global sort of docs, no
+  // interpolation ambiguity, exact in both engines. Scale: histograms
+  // are |distinct scores| rows; everything after is histogram-sized.
+  // ---------------------------------------------------------------------
+  private def x85(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.fanout(Tables.documents(s, d))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_hits",
+        expr("CAST(size(filter(toks, x -> x IN ('the', 'a'))) AS LONG)"))
+      .withColumn("score_ppm", expr(
+        "(1000000L * least(n_tokens, 100L)) div 200L" +
+          " + (1000000L * (n_tokens - stop_hits)) div (2L * n_tokens)"))
+      .select("source", "doc_id", "score_ppm")
+      .cut(false) // per-source + global histogram consumers
+    val ks = (1 to 9).map(k => s"($k)").mkString(", ")
+    def boundaries(hist: DataFrame, grp: Seq[String], out: String)
+        : DataFrame = {
+      val w = Window.partitionBy(grp.map(col): _*).orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(grp.map(col): _*)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(tot))
+      cum.crossJoin(broadcast(
+          s.sql(s"SELECT * FROM VALUES $ks AS t(decile)")))
+        .groupBy((grp.map(col) :+ col("decile")): _*)
+        .agg(min(when(col("cum") >=
+          expr("((n - 1) * decile) div 10 + 1"), col("score_ppm")))
+          .as(out))
+    }
+    val srcHist = scored.groupBy("source", "score_ppm")
+      .agg(count(lit(1)).as("cnt"))
+    val gloHist = scored.groupBy("score_ppm")
+      .agg(count(lit(1)).as("cnt"))
+    val src = boundaries(srcHist, Seq("source"), "src_score_ppm")
+    val glo = boundaries(gloHist, Seq.empty, "global_score_ppm")
+    src.join(glo, Seq("decile"))
+      .select(col("source"), col("decile").cast("long").as("decile"),
+        col("src_score_ppm"), col("global_score_ppm"),
+        (col("src_score_ppm") - col("global_score_ppm")).as("gap_ppm"))
+      .orderBy("source", "decile")
+  }
+  private val x85Sql =
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    (1000000 * LEAST(len(string_split(text, ' ')), 100)) // 200
+      |    + (1000000 * (len(string_split(text, ' '))
+      |        - len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the', 'a')))))
+      |      // (2 * len(string_split(text, ' '))) AS score_ppm
+      |  FROM documents),
+      |ks AS (SELECT unnest(generate_series(1, 9)) AS decile),
+      |sh AS (SELECT source, score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM scored GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT source, score_ppm,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY score_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM sh),
+      |src AS (
+      |  SELECT source, decile,
+      |    MIN(CASE WHEN cum >= ((n - 1) * decile) // 10 + 1
+      |        THEN score_ppm END) AS src_score_ppm
+      |  FROM sc CROSS JOIN ks GROUP BY 1, 2),
+      |gh AS (SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM scored GROUP BY 1),
+      |gc AS (
+      |  SELECT score_ppm,
+      |    SUM(cnt) OVER (ORDER BY score_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM gh),
+      |glo AS (
+      |  SELECT decile,
+      |    MIN(CASE WHEN cum >= ((n - 1) * decile) // 10 + 1
+      |        THEN score_ppm END) AS global_score_ppm
+      |  FROM gc CROSS JOIN ks GROUP BY 1)
+      |SELECT s.source, CAST(s.decile AS BIGINT) AS decile,
+      |  s.src_score_ppm, g.global_score_ppm,
+      |  s.src_score_ppm - g.global_score_ppm AS gap_ppm
+      |FROM src s JOIN glo g USING (decile)
+      |ORDER BY source, decile""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x80_bm25", Some(x80Sql), x80),
     QueryDef("x84_source_gini", Some(x84Sql), x84),
+    QueryDef("x85_quantile_calibration", Some(x85Sql), x85),
     QueryDef("x72_cms_frequency", Some(x72Sql), x72),
     QueryDef("x68_annotator_agreement", Some(x68Sql), x68),
     QueryDef("x69_tokenizer_fertility", Some(x69Sql), x69),

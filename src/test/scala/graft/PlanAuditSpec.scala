@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +
       "11-band grid broadcast under each class — never grows"),
+    "x85_quantile_calibration" -> ("constant 9-row decile grid " +
+      "broadcast under histogram-sized relations — never grows"),
     "x83_maxsim_rerank" -> ("composes x05b verbatim — inherits its " +
       "allowlisted bounded plane-index relation; the rerank itself " +
       "is keyed joins only"),

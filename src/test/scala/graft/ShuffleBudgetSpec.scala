@@ -215,6 +215,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (cluster, dim) aggs sit behind the cut
     // one per-source rank window + the contracting source agg/sort
     "x84_source_gini" -> 2,
+    // per-source + global score histograms, their cum windows, the
+    // 9-row decile grid agg and final sort — histogram-sized throughout
+    "x85_quantile_calibration" -> 5,
     // the flagship serving composite: x80's 5 sparse stages + x05b's
     // dense stages + the fusion outer join, rerank window, packing
     // window and final sort — everything after the retrievers is
