@@ -29,7 +29,9 @@ package graft
   * | Files/formats | `Engine.Sources.*`, `Engine.Xlsx` | declared-schema scans, ordered/Z-ordered/compacted writes |
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
-  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Persisted indexes | `Engine.AnnIndex` (IVF build/serve), `Engine.NearDup.writeIndex/incrementalEdges` | build once, serve/append forever; round trips spec-proven |
+  * | Graph ranking | `Engine.PageRank.runFixed/runConverged` | exact BIGINT ranks; iterate-with-cut keeps plan depth constant |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
   * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK, CountMinSketch}` | mergeable, fixed memory, error bounds oracle-checked |
   *
@@ -52,6 +54,9 @@ object Engine {
   val BloomPrune = etl.BloomPrune
   val Skew = etl.Skew
   val Bucketing = etl.Bucketing
+  // persisted retrieval indexes + graph ranking
+  val AnnIndex = etl.AnnIndex
+  val PageRank = etl.PageRank
   // warehouse + quality
   val Normalize = etl.Normalize
   val Warehouse = etl.Warehouse
@@ -73,6 +78,8 @@ object Engine {
   val StreamJoin = streaming.StreamJoin
   val Enrich = streaming.Enrich
   val Changepoint = streaming.Changepoint
+  val NearDupStream = streaming.NearDupStream
+  val FunnelStream = streaming.FunnelStream
   // media
   val MediaPipeline = multimodal.MediaPipeline
 
