@@ -2026,10 +2026,76 @@ object Insights {
       |FROM aged a JOIN sizes s USING (cohort_week)
       |ORDER BY cohort_week, weeks_since""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q61-ext — seasonal decomposition (STL-lite, exact integers): split
+  // each event type's daily volume into TREND (centered 7-day sum) and
+  // WEEKDAY SEASONALITY — the decomposition behind "is Monday really
+  // our slow day, or is that the trend?", and the exact counterpart of
+  // a33's χ² uniformity screen (a33 says WHETHER seasonality exists;
+  // this says HOW MUCH, per weekday). Everything stays integer by
+  // working at 7× scale: detrended_x7 = 7·c(day) − Σ_{±3 days} c, so
+  // no division happens until the final ppm index, and the centered
+  // window is gated to FULL, CONTIGUOUS 7-day spans (7 rows AND
+  // last−first = 6 days — a ROWS frame over gapped days would silently
+  // mix weeks). Seasonal index per (type, weekday): 1e6·Σ detrended_x7
+  // div (7·Σ c) over that weekday's qualifying days — positive = above
+  // trend. Weekday is the pinned Monday-0 convention (T12/a33).
+  // Plan: one (type, day) agg, one per-type ordered window, one
+  // (type, weekday) contracting agg — nothing wider than days×types.
+  // ---------------------------------------------------------------------
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("t7", sum("c").over(wC))
+      .withColumn("n7", count(lit(1)).over(wC))
+      .withColumn("d0", min("day").over(wC))
+      .withColumn("d6", max("day").over(wC))
+      .filter(col("n7") === 7 && expr("datediff(d6, d0) = 6"))
+      .withColumn("det7", lit(7L) * col("c") - col("t7"))
+      .withColumn("dow", ((dayofweek(col("day")) + 5) % 7).cast("long"))
+    det.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("sum_c"),
+        sum("det7").as("sum_det7"))
+      .withColumn("seasonal_ppm",
+        expr("(1000000L * sum_det7) div (7L * sum_c)"))
+      .orderBy("event_type", "dow")
+  }
+  private val q61Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |det AS (
+      |  SELECT event_type, day, c,
+      |    SUM(c) OVER w AS t7,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+      |    MIN(day) OVER w AS d0, MAX(day) OVER w AS d6
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |kept AS (
+      |  SELECT event_type, isodow(day) - 1 AS dow, c,
+      |    7 * c - t7 AS det7
+      |  FROM det
+      |  WHERE n7 = 7 AND date_diff('day', d0, d6) = 6)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(c) AS BIGINT) AS sum_c,
+      |  CAST(SUM(det7) AS BIGINT) AS sum_det7,
+      |  (1000000 * CAST(SUM(det7) AS BIGINT))
+      |    // (7 * CAST(SUM(c) AS BIGINT)) AS seasonal_ppm
+      |FROM kept GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
     QueryDef("q59_dau_wau", Some(q59Sql), q59),
     QueryDef("q60_retention_cohorts", Some(q60Sql), q60),
+    QueryDef("q61_seasonality_decompose", Some(q61Sql), q61),
     QueryDef("a18_streaks", Some(a18Sql), a18),
     QueryDef("q32_benford", Some(q32Sql), q32),
     QueryDef("q33_distribution_drift", Some(q33Sql), q33),

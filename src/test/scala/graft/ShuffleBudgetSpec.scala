@@ -165,6 +165,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (user, week) dedup + per-user min + the activity join-back agg
     // + cohort-size join + final sort
     "q60_retention_cohorts" -> 5,
+    // (type, day) agg + the per-type centered window + the weekday
+    // contracting agg/sort — nothing wider than days×types
+    "q61_seasonality_decompose" -> 3,
     // (brand, type) count agg + the contracted-domain window + rollup
     "q50_fd_repair" -> 3,
     "x54_shard_rebalance" -> 1,
