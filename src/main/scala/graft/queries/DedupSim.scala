@@ -1261,6 +1261,49 @@ object DedupSim {
        |FROM ctx ORDER BY q_id, rr_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X86 — hubness audit: in high-dimensional embedding spaces a few
+  // vectors become HUBS — they appear in a disproportionate share of
+  // other points' nearest-neighbor lists — and hubness silently
+  // degrades every k-NN consumer (retrieval, semdedup, k-NN label
+  // audits) because hub matches carry no semantic signal. This card
+  // measures it on the audited brute-force truth slice (x05's top-10
+  // lists): per corpus vector, its in-degree across all query lists,
+  // plus the skew summary the embedding-quality gate reads — expected
+  // in-degree is (10·|queries|)/|candidates|, so occ_ratio_ppm > ~3e6
+  // flags a hub (the k-occurrence skew statistic from the hubness
+  // literature, exact integers here). Top-20 by in-degree; ties to
+  // the smaller vec_id. Scale: composes x05's bounded probe slice
+  // verbatim; the audit itself is one keyed count + a 1-row scalar
+  // broadcast + TakeOrdered — candidate-list-sized, never corpus².
+  // ---------------------------------------------------------------------
+  private def x86(s: SparkSession, d: String): DataFrame = {
+    val lists = x05(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    val stats = lists.agg(count(lit(1)).as("n_slots"),
+      countDistinct(col("q_id")).as("n_queries"))
+    val indeg = lists.groupBy("vec_id")
+      .agg(count(lit(1)).as("in_degree"))
+    indeg.crossJoin(broadcast(stats))
+      .withColumn("occ_ratio_ppm", expr(
+        "(1000000L * in_degree * n_queries) div n_slots"))
+      .withColumn("is_hub", col("occ_ratio_ppm") > 3000000L)
+      .select("vec_id", "in_degree", "occ_ratio_ppm", "is_hub")
+      .orderBy(col("in_degree").desc, col("vec_id")).limit(20)
+  }
+  private lazy val x86Sql =
+    s"""WITH lists AS (
+       |  SELECT q_id, vec_id FROM ($x05Sql)),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+       |  CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM lists),
+       |indeg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+       |          FROM lists GROUP BY 1)
+       |SELECT vec_id, in_degree,
+       |  (1000000 * in_degree * n_queries) // n_slots AS occ_ratio_ppm,
+       |  (1000000 * in_degree * n_queries) // n_slots > 3000000
+       |    AS is_hub
+       |FROM indeg CROSS JOIN stats
+       |ORDER BY in_degree DESC, vec_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X62 — hard-negative mining + margin audit: for each anchor in the
   // probe slice, the NEAREST SAME-LABEL neighbor (the positive) and
   // the NEAREST OTHER-LABEL neighbor (the hard negative), plus their
@@ -3136,6 +3179,7 @@ object DedupSim {
     QueryDef("x79_ann_index_build", Some(x79Sql), x79),
     QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
     QueryDef("w07_rag_funnel", Some(w07Sql), w07),
+    QueryDef("x86_hubness", Some(x86Sql), x86),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),

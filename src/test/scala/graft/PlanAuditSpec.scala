@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
       "11-band grid broadcast under each class — never grows"),
     "x85_quantile_calibration" -> ("constant 9-row decile grid " +
       "broadcast under histogram-sized relations — never grows"),
+    "x86_hubness" -> ("composes x05's documented brute-force truth " +
+      "slice verbatim plus a 1-row occupancy-stats scalar — " +
+      "candidate-list-sized, never grows"),
     "x83_maxsim_rerank" -> ("composes x05b verbatim — inherits its " +
       "allowlisted bounded plane-index relation; the rerank itself " +
       "is keyed joins only"),

@@ -229,6 +229,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
+    // x05's audited truth-slice plan + the in-degree count agg + the
+    // distinct-query stats agg; the card itself is TakeOrdered
+    "x86_hubness" -> 3,
     // token tf agg + vocab df agg + the impact-truncation window (tok)
     // + doc-grain dl agg + the (q_id, doc_id) score agg + final sort;
     // the candidate join itself rides the broadcast qterms side
