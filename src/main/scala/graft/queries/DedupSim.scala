@@ -1261,6 +1261,133 @@ object DedupSim {
        |FROM ctx ORDER BY q_id, rr_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X87 — centroid drift monitor: the MAINTENANCE leg of the persisted-
+  // index lifecycle (x79 builds, x18 serves, AnnIndex.assign appends —
+  // this answers "when do I REBUILD?"). The corpus splits into the
+  // index-time base (vec_id % 5 ≠ 4) and an arrived delta (% 5 = 4);
+  // the codebook is trained on the BASE ONLY (frozen, as deployed),
+  // both populations are assigned against it, and per cell the card
+  // compares the trained centroid against the DELTA members' exact-
+  // decimal mean: occupancy shift (exact ppm of expected share) and
+  // squared centroid displacement drift_l2. Means are decimal-exact
+  // (partitioning-independent) and the displacement folds through the
+  // ordered DotProduct kernel over a zip_with diff — bit-identical
+  // cross-engine, NEVER a groupBy-ordered float sum over dims. Cells
+  // the delta never reaches carry NULL drift and n_delta 0 — an
+  // emptying cell is itself a drift signal. Scale: one extra
+  // assignment pass + a ≤K-row card; the monitor costs one scan of
+  // the delta, which is exactly the data that just arrived.
+  // ---------------------------------------------------------------------
+  private def x87(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.AnnIndex
+    val all = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false)
+    val base = all.filter(col("vec_id") % 5 =!= 4).cut(false)
+    val delta = all.filter(col("vec_id") % 5 === 4)
+    val cents = AnnIndex.train(base).cut(false)
+    val nBase = AnnIndex.assign(base, cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n_base"))
+    val dAssigned = AnnIndex.assign(delta, cents)
+    val dMeans = dAssigned
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("coord"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, coord)))" +
+        ", s -> s.coord)").as("d_emb"))
+    val nDelta = dAssigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_delta"))
+    val totals = nBase.agg(sum("n_base").as("tb"))
+      .crossJoin(nDelta.agg(sum("n_delta").as("td")))
+    cents.select(col("c_id"), col("c_emb"))
+      .join(nBase, col("c_id") === nBase("cluster")).drop("cluster")
+      .join(nDelta, col("c_id") === nDelta("cluster"), "left")
+      .drop("cluster")
+      .join(dMeans, col("c_id") === dMeans("cluster"), "left")
+      .drop("cluster")
+      .crossJoin(broadcast(totals))
+      .select(col("c_id"), col("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        // occupancy shift: delta share vs base share, exact ppm
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0))" +
+          " * coalesce(n_delta, 0L) * tb) div" +
+          " (CAST(td AS DECIMAL(38,0)) * n_base) AS BIGINT)")
+          .as("occ_shift_ppm"),
+        when(col("d_emb").isNotNull,
+          DotProduct(expr("zip_with(c_emb, d_emb, (x, y) -> x - y)"),
+            expr("zip_with(c_emb, d_emb, (x, y) -> x - y)")))
+          .as("drift_l2"))
+      .withColumn("rebuild",
+        coalesce(col("drift_l2") > 0.01, lit(true)))
+      .orderBy("c_id")
+  }
+  private lazy val x87Sql = {
+    val diff = "list_transform(list_zip(c.c_emb, dm.d_emb)," +
+      " p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    s"""WITH raw AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |eall AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM raw),
+       |e AS (SELECT * FROM eall WHERE vec_id % 5 <> 4),
+       |delta AS (SELECT * FROM eall WHERE vec_id % 5 = 4),
+       |seeds AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM e ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
+       |  LIMIT $IvfK),
+       |${duckLloydCtes("seeds", "1")},
+       |${duckLloydCtes("c1", "2")},
+       |nb AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_base FROM (
+       |    SELECT e.vec_id, c.c_id AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM e CROSS JOIN c2 c) WHERE rk = 1 GROUP BY 1),
+       |da AS (
+       |  SELECT vec_id, emb, c_id AS cluster FROM (
+       |    SELECT d.vec_id, d.emb, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("d.emb", "c.c_emb")}
+       |          / (d.norm * c.c_norm), c.c_id) AS rk
+       |    FROM delta d CROSS JOIN c2 c) WHERE rk = 1),
+       |nd AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_delta
+       |       FROM da GROUP BY 1),
+       |dm0 AS (
+       |  SELECT cluster, i,
+       |    CAST(CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS coord
+       |  FROM da, unnest(generate_series(1, len(emb))) AS t(i)
+       |  GROUP BY 1, 2),
+       |dm AS (SELECT cluster, list(coord ORDER BY i) AS d_emb
+       |       FROM dm0 GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(SUM(n_base) AS BIGINT) FROM nb) AS tb,
+       |    (SELECT CAST(SUM(n_delta) AS BIGINT) FROM nd) AS td)
+       |SELECT c.c_id, nb.n_base,
+       |  CAST(COALESCE(nd.n_delta, 0) AS BIGINT) AS n_delta,
+       |  CAST((CAST(1000000 AS HUGEINT) * COALESCE(nd.n_delta, 0)
+       |    * t.tb) // (CAST(t.td AS HUGEINT) * nb.n_base) AS BIGINT)
+       |    AS occ_shift_ppm,
+       |  CASE WHEN dm.d_emb IS NOT NULL THEN
+       |    ${duckDot.format(diff, diff)} END AS drift_l2,
+       |  COALESCE(CASE WHEN dm.d_emb IS NOT NULL THEN
+       |    ${duckDot.format(diff, diff)} END > 0.01, TRUE) AS rebuild
+       |FROM c2 c
+       |JOIN nb ON nb.cluster = c.c_id
+       |LEFT JOIN nd ON nd.cluster = c.c_id
+       |LEFT JOIN dm ON dm.cluster = c.c_id
+       |CROSS JOIN tot t
+       |ORDER BY c_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // X86 — hubness audit: in high-dimensional embedding spaces a few
   // vectors become HUBS — they appear in a disproportionate share of
   // other points' nearest-neighbor lists — and hubness silently
@@ -3180,6 +3307,7 @@ object DedupSim {
     QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
     QueryDef("w07_rag_funnel", Some(w07Sql), w07),
     QueryDef("x86_hubness", Some(x86Sql), x86),
+    QueryDef("x87_centroid_drift", Some(x87Sql), x87),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),

@@ -22,6 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "x86_hubness" -> ("composes x05's documented brute-force truth " +
       "slice verbatim plus a 1-row occupancy-stats scalar — " +
       "candidate-list-sized, never grows"),
+    "x87_centroid_drift" -> ("x18's fixed 16-row codebook broadcasts " +
+      "for the Lloyd/assignment argmins plus a 1-row totals scalar — " +
+      "never grows"),
     "x83_maxsim_rerank" -> ("composes x05b verbatim — inherits its " +
       "allowlisted bounded plane-index relation; the rerank itself " +
       "is keyed joins only"),

@@ -232,6 +232,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // x05's audited truth-slice plan + the in-degree count agg + the
     // distinct-query stats agg; the card itself is TakeOrdered
     "x86_hubness" -> 3,
+    // x79's build stages on the base split + the delta assignment,
+    // its (cluster, dim) mean aggs, occupancy aggs and card joins —
+    // the monitor costs one scan of the data that just arrived
+    "x87_centroid_drift" -> 15,
     // token tf agg + vocab df agg + the impact-truncation window (tok)
     // + doc-grain dl agg + the (q_id, doc_id) score agg + final sort;
     // the candidate join itself rides the broadcast qterms side
