@@ -29,15 +29,24 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object CdcMerge {
 
+  /** `trigger` defaults to the continuous processing-time trigger; pass
+    * `Trigger.AvailableNow()` for drain-and-stop runs (nightly catch-up
+    * — and the deterministic mode the spec uses: a continuously-polling
+    * file source can list a multi-file input write MID-COMMIT and split
+    * its rows across micro-batches, which is correct but
+    * non-deterministic). */
   def run(updates: DataFrame, stateDir: String, key: Seq[String],
-      attrs: Seq[String], asOfCol: String,
-      checkpoint: String): StreamingQuery =
-    updates.writeStream
+      attrs: Seq[String], asOfCol: String, checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(batch, id, stateDir, key, attrs, asOfCol)
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** The current SCD2 state (empty None before the first batch). */
   def current(spark: SparkSession, stateDir: String): Option[DataFrame] =
