@@ -239,9 +239,23 @@ object NearDup {
     * signatures, never re-shingled. Cost: the banded join of delta's
     * band keys against the combined band relation + the agreement
     * verify — bounded by delta size × bucket occupancy, never by the
-    * base corpus. */
+    * base corpus.
+    *
+    * Precondition: base and delta doc_id sets are DISJOINT (the same
+    * ingest contract as `SparseIndex.append` — a doc revision is
+    * delete + re-append upstream). A doc_id on both sides would carry
+    * duplicate signature rows through the union, double-joining in
+    * agreementOf and mis-orienting its edges; the sf-sized inputs here
+    * make an eager check cheap relative to the band join, so it is
+    * asserted rather than assumed. */
   def incrementalEdges(baseSigs: DataFrame, deltaSigs: DataFrame,
       cfg: LshConfig = DefaultConfig): DataFrame = {
+    val clash = baseSigs.select("doc_id")
+      .join(deltaSigs.select("doc_id"), "doc_id").limit(1).count()
+    require(clash == 0L,
+      "NearDup.incrementalEdges: delta doc_ids overlap the base index " +
+        "— incremental dedup is defined for disjoint shards " +
+        "(revise = delete + append)")
     def bands(sigs: DataFrame): DataFrame = {
       val bandKeys = array((0 until cfg.bands).map { b =>
         concat_ws("_", (0 until cfg.rows).map(r =>
@@ -250,11 +264,10 @@ object NearDup {
       sigs.select(col("doc_id"), posexplode(bandKeys)
         .as(Seq("band", "band_key")))
     }
-    val allSigs = baseSigs.withColumn("is_base", lit(true))
-      .unionByName(deltaSigs.withColumn("is_base", lit(false)))
+    val allSigs = baseSigs.unionByName(deltaSigs)
     val cand = bands(deltaSigs)
       .select(col("doc_id").as("doc_id"), col("band"), col("band_key"))
-      .join(bands(allSigs.drop("is_base"))
+      .join(bands(allSigs)
         .select(col("doc_id").as("dup_of"), col("band"),
           col("band_key")), Seq("band", "band_key"))
       .filter(col("dup_of") =!= col("doc_id"))
@@ -265,8 +278,7 @@ object NearDup {
       .unionByName(
         cand.join(baseIds, Seq("dup_of"), "left_anti")
           .filter(col("dup_of") < col("doc_id")))
-    val sigsAB = allSigs.drop("is_base")
-    agreementOf(sigsAB,
+    agreementOf(allSigs,
       orientated.select(col("dup_of").as("doc_a"),
         col("doc_id").as("doc_b")), cfg.k)
       .filter(col("sig_matches") >= cfg.minSig)

@@ -1395,39 +1395,52 @@ object DedupSim {
   // audits) because hub matches carry no semantic signal. This card
   // measures it on the audited brute-force truth slice (x05's top-10
   // lists): per corpus vector, its in-degree across all query lists,
-  // plus the skew summary the embedding-quality gate reads — expected
-  // in-degree is (10·|queries|)/|candidates|, so occ_ratio_ppm > ~3e6
-  // flags a hub (the k-occurrence skew statistic from the hubness
-  // literature, exact integers here). Top-20 by in-degree; ties to
-  // the smaller vec_id. Scale: composes x05's bounded probe slice
-  // verbatim; the audit itself is one keyed count + a 1-row scalar
-  // broadcast + TakeOrdered — candidate-list-sized, never corpus².
+  // normalized against the EXPECTED in-degree under no hubness —
+  // n_slots / n_candidates (every corpus vector equally likely to fill
+  // a list slot), so occ_ratio_ppm = 10⁶ · in_degree · n_candidates /
+  // n_slots is in-degree as a multiple of expected, in ppm — the
+  // k-occurrence skew statistic from the hubness literature in exact
+  // integers, and it stays calibrated as corpus and query-slice sizes
+  // scale independently (ADVICE r8: the old n_queries-normalized form
+  // reduced to in_degree/k and did NOT). Hub flag: > 300× expected —
+  // at this 1/100 query sampling that is the old in_degree > 30
+  // operating point, now stated in a unit that survives a 100× corpus.
+  // Products ride DECIMAL(38,0)/HUGEINT (10⁶·in_degree·n_candidates
+  // wraps BIGINT at real corpus sizes — the q54/q55 rule). Top-20 by
+  // in-degree; ties to the smaller vec_id. Scale: composes x05's
+  // bounded probe slice verbatim; the audit itself is one keyed count
+  // + two 1-row scalar broadcasts + TakeOrdered — candidate-list-
+  // sized, never corpus².
   // ---------------------------------------------------------------------
   private def x86(s: SparkSession, d: String): DataFrame = {
     val lists = x05(s, d).select(col("q_id"), col("vec_id")).cut(false)
-    val stats = lists.agg(count(lit(1)).as("n_slots"),
-      countDistinct(col("q_id")).as("n_queries"))
+    val stats = lists.agg(count(lit(1)).as("n_slots"))
+    val cand = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n_candidates"))
     val indeg = lists.groupBy("vec_id")
       .agg(count(lit(1)).as("in_degree"))
-    indeg.crossJoin(broadcast(stats))
+    indeg.crossJoin(broadcast(stats)).crossJoin(broadcast(cand))
       .withColumn("occ_ratio_ppm", expr(
-        "(1000000L * in_degree * n_queries) div n_slots"))
-      .withColumn("is_hub", col("occ_ratio_ppm") > 3000000L)
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * in_degree" +
+          " * n_candidates) div n_slots AS BIGINT)"))
+      .withColumn("is_hub", col("occ_ratio_ppm") > 300000000L)
       .select("vec_id", "in_degree", "occ_ratio_ppm", "is_hub")
       .orderBy(col("in_degree").desc, col("vec_id")).limit(20)
   }
   private lazy val x86Sql =
     s"""WITH lists AS (
        |  SELECT q_id, vec_id FROM ($x05Sql)),
-       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
-       |  CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM lists),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slots FROM lists),
+       |cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |         FROM embeddings),
        |indeg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
        |          FROM lists GROUP BY 1)
        |SELECT vec_id, in_degree,
-       |  (1000000 * in_degree * n_queries) // n_slots AS occ_ratio_ppm,
-       |  (1000000 * in_degree * n_queries) // n_slots > 3000000
-       |    AS is_hub
-       |FROM indeg CROSS JOIN stats
+       |  CAST((CAST(1000000 AS HUGEINT) * in_degree * n_candidates)
+       |    // n_slots AS BIGINT) AS occ_ratio_ppm,
+       |  CAST((CAST(1000000 AS HUGEINT) * in_degree * n_candidates)
+       |    // n_slots AS BIGINT) > 300000000 AS is_hub
+       |FROM indeg CROSS JOIN stats CROSS JOIN cand
        |ORDER BY in_degree DESC, vec_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -22,6 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * BATCH twin expressible as two plain window passes — the parity
   * ChangepointSpec pins. An alarm fires when either side exceeds
   * 3·ref_ppm (three average days of cumulative excess/deficit).
+  *
+  * State-schema compatibility (ADVICE r8): r8 added `lastDay` to
+  * [[CusumState]] — a BREAKING change for checkpoints written by the
+  * r7 schema (flatMapGroupsWithState state restore fails on encoder
+  * mismatch; Spark does not migrate case-class state). Fresh runs are
+  * unaffected. A long-running st09 monitor upgrading across that
+  * boundary must restart from a new checkpoint and re-seed via the
+  * batch twin q52 (the repair path for the prefix statistic) — the
+  * same discipline any state-schema evolution of this operator needs
+  * until it serializes an explicitly versioned state row.
   */
 object Changepoint {
 
