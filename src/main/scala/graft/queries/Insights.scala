@@ -1972,6 +1972,53 @@ object Insights {
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q62-ext — DAU/MAU stickiness: q59's sliding-distinct rewrite
+  // generalized to the trailing-28-day window (the other ratio every
+  // growth dashboard carries), registered to PRICE the rewrite's one
+  // scale knob: the explode fan-out is W× the DEDUPED (day, user)
+  // grain, so cost is linear in the window length W, and sublinear in
+  // wall time because the shared event scan + (day, user) dedup
+  // dominate and only the exploded dedup/agg grows with W; the
+  // exploded relation stays the deduped DAILY grain × 28, far below
+  // the raw event grain. (Measured q59-vs-q62 steady numbers live in
+  // the round-9 bench log, SURVEY.md §8.)
+  // CROSSOVER: the exploded relation is W·|daily| rows — when W grows
+  // past ~100 (quarterly/annual actives) or daily density approaches
+  // one row per user-day at 100 TB, the right swap-in is a mergeable
+  // distinct sketch per day (KMV bottom-k or HLL) union-folded over
+  // the window — O(|days|·k) state instead of W·|daily| — certified
+  // against this exact form via q26c's error-contract pattern (sketch
+  // row + exact twin + bound check as first-class columns).
+  // ---------------------------------------------------------------------
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().cut(false) // dau agg + the exploded mau path
+    val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = daily
+      .select(explode(expr("sequence(day, date_add(day, 27))"))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("1000000L * dau div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+  private val q62Sql =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      |        FROM daily GROUP BY 1),
+      |expl AS (
+      |  SELECT DISTINCT day + CAST(k AS INTEGER) AS day, user_id
+      |  FROM daily, UNNEST(generate_series(0, 27)) AS t(k)),
+      |mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+      |        FROM expl GROUP BY 1)
+      |SELECT day, dau, mau, 1000000 * dau // mau AS stickiness_ppm
+      |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q60-ext — weekly cohort retention triangle: users grouped by their
   // FIRST active week, tracked by distinct-active presence in each
   // later week — the retention curve behind every growth dashboard,
@@ -2094,6 +2141,7 @@ object Insights {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
     QueryDef("q59_dau_wau", Some(q59Sql), q59),
+    QueryDef("q62_dau_mau", Some(q62Sql), q62),
     QueryDef("q60_retention_cohorts", Some(q60Sql), q60),
     QueryDef("q61_seasonality_decompose", Some(q61Sql), q61),
     QueryDef("a18_streaks", Some(a18Sql), a18),

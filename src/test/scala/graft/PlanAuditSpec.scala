@@ -13,6 +13,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allow: Map[String, String] = Map(
     "x80_bm25" -> ("1-row corpus-stats scalar (n_docs, t_tokens) " +
       "broadcast into the scoring projection — never grows"),
+    "x88_sparse_index_build" -> ("the same 1-row corpus-stats scalar " +
+      "broadcast onto the per-term build card — never grows"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +

@@ -162,6 +162,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // daily dedup + dau agg + the exploded (7x deduped) wau dedup/agg
     // + final sort — the sliding-distinct without a range join
     "q59_dau_wau" -> 4,
+    // q59's shape at the 28-day window: same four stages, the explode
+    // is 28x the deduped daily grain (the priced linear-in-W knob)
+    "q62_dau_mau" -> 4,
     // (user, week) dedup + per-user min + the activity join-back agg
     // + cohort-size join + final sort
     "q60_retention_cohorts" -> 5,
@@ -240,6 +243,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     // + doc-grain dl agg + the (q_id, doc_id) score agg + final sort;
     // the candidate join itself rides the broadcast qterms side
     "x80_bm25" -> 6,
+    // the build phase alone (x80 minus serve, SparseIndex.build): the
+    // token tf agg + vocab df agg + the impact-truncation window (tok)
+    // + the per-term census agg/sort; stats rides a 1-row broadcast
+    "x88_sparse_index_build" -> 4,
+    // the card plan is the K-row driver-side merge table + one sort;
+    // the training rounds run eagerly behind per-round checkpoint cuts
+    // (each round: word agg + pair agg + bounded per-word windows —
+    // constant per round, released when superseded; BpeTrainSpec pins
+    // the constant-depth property)
+    "x89_bpe_train" -> 1,
     "x18_knn_ivf" -> 6,
     // the build phase alone (x18 minus serve): 2 Lloyd (cluster, dim)
     // mean aggs + the assignment window + the <= K-row card agg/sort
