@@ -30,7 +30,8 @@ package graft
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
   * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream` | watermark-bounded state; batch ≡ stream parity-tested |
-  * | Persisted indexes | `Engine.AnnIndex` (IVF build/serve), `Engine.NearDup.writeIndex/incrementalEdges` | build once, serve/append forever; round trips spec-proven |
+  * | Persisted indexes | `Engine.AnnIndex` (IVF build/serve), `Engine.NearDup.writeIndex/incrementalEdges`, `Engine.SparseIndex` (BM25 build/serve/append) | build once, serve/append forever; round trips + exact append spec-proven |
+  * | Tokenizer training | `Engine.BpeTrain.train/applyMerge` | K-merge BPE under iterate-with-cut; constant plan depth in K |
   * | Graph ranking | `Engine.PageRank.runFixed/runConverged` | exact BIGINT ranks; iterate-with-cut keeps plan depth constant |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
   * | Sketches | `Engine.functions.{BottomKSketch, SpaceSavingTopK, CountMinSketch}` | mergeable, fixed memory, error bounds oracle-checked |
@@ -54,8 +55,10 @@ object Engine {
   val BloomPrune = etl.BloomPrune
   val Skew = etl.Skew
   val Bucketing = etl.Bucketing
-  // persisted retrieval indexes + graph ranking
+  // persisted retrieval indexes + graph ranking + tokenizer training
   val AnnIndex = etl.AnnIndex
+  val SparseIndex = etl.SparseIndex
+  val BpeTrain = etl.BpeTrain
   val PageRank = etl.PageRank
   // warehouse + quality
   val Normalize = etl.Normalize

@@ -2019,6 +2019,117 @@ object Insights {
       |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X91 — sliding-window KMV distinct: the sketch swap-in q62's card
+  // prices, IMPLEMENTED and certified (q26c/x71's error-contract
+  // pattern: estimator + exact twin + 2σ bound as first-class
+  // columns). Per day, a bottom-k=128 sketch of multiplicative-hashed
+  // user ids (one keyed truncation over the deduped daily grain —
+  // k longs of state per day, the mergeable summary a 100 TB deploy
+  // would checkpoint); the 28-day MAU estimate merges the WINDOW's
+  // daily sketches: bottom-k of their union IS bottom-k of the
+  // window's full distinct-hash set (the same cap-monotonicity
+  // argument as SparseIndex.append — any hash in the window's true
+  // bottom-k is in its own day's bottom-k), so the sliding merge adds
+  // ZERO approximation over one-shot KMV; the only error is the
+  // estimator itself, (k−1)·M div h_(k), against which the exact q62
+  // path lands err_ppm and the flat 2σ bound 2·10⁶/√(k−2). Every
+  // number is deterministic integer order statistics, so DuckDB
+  // reproduces the SKETCH bit-for-bit (x71's certification trick) —
+  // the estimator is gated cross-engine, not just the exact twin.
+  // Scale: sketch-path cost is O(days · k) past the shared daily
+  // dedup — the W·|daily| explode that q62 pays survives here only on
+  // the days×k sketch relation, which is the crossover's entire point.
+  // ---------------------------------------------------------------------
+  private val KmvWinK = 128
+  private val KmvWinM = 1000000007L
+  private val KmvWinBoundPpm: Long =
+    math.ceil(2e6 / math.sqrt((KmvWinK - 2).toDouble)).toLong
+
+  private def x91(s: SparkSession, d: String): DataFrame = {
+    val wDay = Window.partitionBy("day").orderBy("h")
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().cut(false) // sketch path + exact path
+    val dh = daily
+      .withColumn("h", expr(
+        s"(2654435761L * (user_id % $KmvWinM) + 12345L) % $KmvWinM"))
+      .select("day", "h").distinct()
+    val daySk = dh
+      .withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= KmvWinK)
+      .select("day", "h")
+    val winSk = daySk
+      .select(explode(expr("sequence(day, date_add(day, 27))"))
+        .as("day"), col("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= KmvWinK)
+    val est = winSk.groupBy("day")
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_h"))
+      .withColumn("mau_est",
+        when(col("k_used") < KmvWinK, col("k_used"))
+          .otherwise(expr(s"(${KmvWinK - 1}L * ${KmvWinM}L) div kth_h")))
+    val exact = daily
+      .select(explode(expr("sequence(day, date_add(day, 27))"))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau_exact"))
+    exact.join(est, "day")
+      .withColumn("err_ppm",
+        expr("(1000000L * abs(mau_est - mau_exact)) div mau_exact"))
+      .withColumn("bound_ppm", lit(KmvWinBoundPpm))
+      .withColumn("within_bound",
+        (col("err_ppm") <= col("bound_ppm")).cast("long"))
+      .select("day", "mau_exact", "k_used", "kth_h", "mau_est",
+        "err_ppm", "bound_ppm", "within_bound")
+      .orderBy("day")
+  }
+  private lazy val x91Sql =
+    s"""WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dh AS (
+      |  SELECT DISTINCT day,
+      |    (2654435761 * (user_id % $KmvWinM) + 12345) % $KmvWinM AS h
+      |  FROM daily),
+      |daysk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h,
+      |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+      |    FROM dh)
+      |  WHERE rk <= $KmvWinK),
+      |winsk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h,
+      |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+      |    FROM (
+      |      SELECT DISTINCT day + CAST(k AS INTEGER) AS day, h
+      |      FROM daysk, UNNEST(generate_series(0, 27)) AS t(k)))
+      |  WHERE rk <= $KmvWinK),
+      |est AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS k_used,
+      |    MAX(h) AS kth_h
+      |  FROM winsk GROUP BY 1),
+      |est2 AS (
+      |  SELECT day, k_used, kth_h,
+      |    CASE WHEN k_used < $KmvWinK THEN k_used
+      |         ELSE (CAST(${KmvWinK - 1} AS BIGINT) * $KmvWinM)
+      |           // kth_h END AS mau_est
+      |  FROM est),
+      |exact AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS mau_exact FROM (
+      |    SELECT DISTINCT day + CAST(k AS INTEGER) AS day, user_id
+      |    FROM daily, UNNEST(generate_series(0, 27)) AS t(k))
+      |  GROUP BY 1)
+      |SELECT x.day, x.mau_exact, e.k_used, e.kth_h, e.mau_est,
+      |  (1000000 * ABS(e.mau_est - x.mau_exact)) // x.mau_exact
+      |    AS err_ppm,
+      |  CAST($KmvWinBoundPpm AS BIGINT) AS bound_ppm,
+      |  CAST(CASE WHEN (1000000 * ABS(e.mau_est - x.mau_exact))
+      |      // x.mau_exact <= $KmvWinBoundPpm
+      |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+      |FROM exact x JOIN est2 e USING (day) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q60-ext — weekly cohort retention triangle: users grouped by their
   // FIRST active week, tracked by distinct-active presence in each
   // later week — the retention curve behind every growth dashboard,
@@ -2142,6 +2253,7 @@ object Insights {
     QueryDef("q56_funnel_conversion", Some(q56Sql), q56),
     QueryDef("q59_dau_wau", Some(q59Sql), q59),
     QueryDef("q62_dau_mau", Some(q62Sql), q62),
+    QueryDef("x91_sliding_kmv", Some(x91Sql), x91),
     QueryDef("q60_retention_cohorts", Some(q60Sql), q60),
     QueryDef("q61_seasonality_decompose", Some(q61Sql), q61),
     QueryDef("a18_streaks", Some(a18Sql), a18),

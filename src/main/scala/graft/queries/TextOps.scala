@@ -1242,7 +1242,10 @@ object TextOps {
        |    WHERE g.pos IS NULL))""".stripMargin
   }
 
-  private lazy val x89Sql: String = {
+  /** The full K-round training chain (WITH clause body) — shared by
+    * x89 (reads the chosen_r merge rows) and x90 (reads syms_K), so
+    * train and apply can never derive different tokenizers. */
+  private lazy val bpeChainCtes: String = {
     val base =
       """WITH words AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1258,11 +1261,55 @@ object TextOps {
         |  FROM chars, unnest(generate_series(1, len(c))) AS t(i))"""
         .stripMargin
     val rounds = (1 to BpeTrainRounds).map(bpeRoundCtes).mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private lazy val x89Sql: String = {
     val sel = (1 to BpeTrainRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, ma AS sym_a, " +
         s"mb AS sym_b, cnt FROM chosen_$r").mkString("\nUNION ALL\n")
-    s"$base,\n$rounds\n$sel\nORDER BY merge_rank"
+    s"$bpeChainCtes\n$sel\nORDER BY merge_rank"
   }
+
+  // ---------------------------------------------------------------------
+  // X90 — tokenizer APPLY: the encode-side twin of x89's training loop
+  // (train/apply is the tokenizer family's build/serve split — x79/x88
+  // 's pattern one stage later in the pipeline). The K trained merges
+  // are applied to the corpus vocabulary and the card is the segment-
+  // length census every tokenizer rollout is judged by: per resulting
+  // tokens-per-word count, how many distinct word forms land there,
+  // their occurrence mass, and their token mass — plus the corpus
+  // fertility this induces (x69's proxy metric, now computed from the
+  // REAL trained merges instead of a fixed stride). Both engines
+  // derive the final symbol relation through the identical K-round
+  // chain (the Spark side reuses x89's loop output; the oracle reuses
+  // its generated CTE expansion and reads syms_K), so the census is
+  // cell-exact. Scale: nothing beyond x89's per-round cost; the card
+  // aggregates the vocab-grain symbol relation — ∝ vocab, not corpus.
+  // ---------------------------------------------------------------------
+  private def x90(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.BpeTrain
+    val words = BpeTrain.vocab(Tables.fanout(Tables.documents(s, d)))
+    val (_, finalSyms) = BpeTrain.train(words, BpeTrainRounds)
+    val perWord = finalSyms.groupBy("word")
+      .agg(max("freq").as("freq"), count(lit(1)).as("n_tokens"))
+    val out = perWord.groupBy("n_tokens")
+      .agg(count(lit(1)).as("n_words"),
+        sum("freq").as("word_mass"),
+        sum(expr("freq * n_tokens")).as("token_mass"))
+      .orderBy("n_tokens")
+    out
+  }
+  private lazy val x90Sql: String =
+    s"""$bpeChainCtes,
+       |wtok AS MATERIALIZED (
+       |  SELECT word, MAX(freq) AS freq,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |  FROM syms_$BpeTrainRounds GROUP BY 1)
+       |SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS word_mass,
+       |  CAST(SUM(freq * n_tokens) AS BIGINT) AS token_mass
+       |FROM wtok GROUP BY 1 ORDER BY n_tokens""".stripMargin
 
   // ---------------------------------------------------------------------
   // X65 — quality-score calibration: the reliability diagram for
@@ -1860,11 +1907,10 @@ object TextOps {
   // (one tokenize scan + keyed aggs + one per-term truncation window),
   // amortized over every serve.
   // ---------------------------------------------------------------------
-  private def x88(s: SparkSession, d: String): DataFrame = {
-    import graft.etl.SparseIndex
-    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
-      .cut(false) // consumers: plist truncation, df, dl
-    val idx = SparseIndex.build(tf)
+  /** The per-term build-card census over an index — shared by x88
+    * (inline build) and x92 (append path), so both gates check the
+    * same fingerprint columns. */
+  private def sparseCensus(idx: graft.etl.SparseIndex.Index): DataFrame =
     idx.plist.groupBy("tok")
       .agg(count(lit(1)).as("n_postings"),
         sum("tf").as("tf_sum"),
@@ -1877,6 +1923,12 @@ object TextOps {
         col("doc_sum"), col("doc_min"), col("doc_max"),
         col("n_docs"), col("t_tokens"))
       .orderBy("tok")
+
+  private def x88(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.SparseIndex
+    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // consumers: plist truncation, df, dl
+    sparseCensus(SparseIndex.build(tf))
   }
   private val x88Sql =
     s"""WITH $bm25IndexCtes
@@ -1888,6 +1940,33 @@ object TextOps {
       |  s.n_docs, s.t_tokens
       |FROM plist p JOIN df f USING (tok) CROSS JOIN stats s
       |GROUP BY 1, 2, 8, 9 ORDER BY tok""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X92 — incremental sparse-index append, gated CROSS-ENGINE: the
+  // Spark side splits the corpus into an indexed base (doc_id % 3 ≠ 0)
+  // and an arriving delta shard, builds the base index, folds the
+  // delta in through SparseIndex.append (touched terms re-truncated,
+  // untouched lists untouched), and emits x88's census card over the
+  // RESULT — while the oracle is x88's full-from-scratch build over
+  // the whole corpus. The hash gate therefore proves the append
+  // theorem itself on real data (top-cap(base ∪ delta) ⊆ top-cap(base)
+  // ∪ delta — the cap-monotonicity argument in SparseIndex's scaladoc)
+  // against an engine that never saw the split, not merely Spark-vs-
+  // Spark as the round-trip spec does. x82 is the MinHash family's
+  // version of this card; this is the lexical one. Scale: append cost
+  // = the delta's tf agg + a re-truncation bounded by the delta's
+  // touched terms — the nightly-shard shape; the base corpus is
+  // touched only through its stored tables.
+  // ---------------------------------------------------------------------
+  private def x92(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.SparseIndex
+    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // consumers: base build, delta append
+    val base = SparseIndex.build(tf.filter(col("doc_id") % 3 =!= 0))
+    sparseCensus(
+      SparseIndex.append(base, tf.filter(col("doc_id") % 3 === 0)))
+  }
+  private lazy val x92Sql = x88Sql // append must equal the full rebuild
 
   // ---------------------------------------------------------------------
   // X84 — per-source Gini concentration: how unequally is a source's
@@ -2075,6 +2154,8 @@ object TextOps {
     QueryDef("x08_token_count", Some(x08Sql), x08),
     QueryDef("x09_fingerprint", Some(x09Sql), x09),
     QueryDef("x88_sparse_index_build", Some(x88Sql), x88),
-    QueryDef("x89_bpe_train", Some(x89Sql), x89)
+    QueryDef("x89_bpe_train", Some(x89Sql), x89),
+    QueryDef("x90_bpe_apply", Some(x90Sql), x90),
+    QueryDef("x92_sparse_index_append", Some(x92Sql), x92)
   )
 }

@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast into the scoring projection — never grows"),
     "x88_sparse_index_build" -> ("the same 1-row corpus-stats scalar " +
       "broadcast onto the per-term build card — never grows"),
+    "x92_sparse_index_append" -> ("x88's census card over the appended " +
+      "index — the same 1-row corpus-stats scalar, never grows"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +

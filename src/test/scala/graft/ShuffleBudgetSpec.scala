@@ -165,6 +165,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // q59's shape at the 28-day window: same four stages, the explode
     // is 28x the deduped daily grain (the priced linear-in-W knob)
     "q62_dau_mau" -> 4,
+    // daily dedup + hash dedup + per-day sketch window + the exploded
+    // (days x k) window-merge dedup/window/agg + exact-twin path +
+    // final join/sort — the sketch explode is k rows/day, not |daily|
+    "x91_sliding_kmv" -> 7,
     // (user, week) dedup + per-user min + the activity join-back agg
     // + cohort-size join + final sort
     "q60_retention_cohorts" -> 5,
@@ -253,6 +257,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // constant per round, released when superseded; BpeTrainSpec pins
     // the constant-depth property)
     "x89_bpe_train" -> 1,
+    // x88's build stages on the base split + the delta's tf/df/dl
+    // union aggs + the touched-term re-truncation window + the census
+    // — the append theorem gated against the full-rebuild oracle
+    "x92_sparse_index_append" -> 11,
+    // per-word token census + the n_tokens-bucket agg + sort over the
+    // trained (checkpointed) symbol relation; training cost as x89
+    "x90_bpe_apply" -> 3,
     "x18_knn_ivf" -> 6,
     // the build phase alone (x18 minus serve): 2 Lloyd (cluster, dim)
     // mean aggs + the assignment window + the <= K-row card agg/sort
