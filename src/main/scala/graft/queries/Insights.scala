@@ -1976,12 +1976,12 @@ object Insights {
   // generalized to the trailing-28-day window (the other ratio every
   // growth dashboard carries), registered to PRICE the rewrite's one
   // scale knob: the explode fan-out is W× the DEDUPED (day, user)
-  // grain, so cost is linear in the window length W, and sublinear in
-  // wall time because the shared event scan + (day, user) dedup
-  // dominate and only the exploded dedup/agg grows with W; the
-  // exploded relation stays the deduped DAILY grain × 28, far below
-  // the raw event grain. (Measured q59-vs-q62 steady numbers live in
-  // the round-9 bench log, SURVEY.md §8.)
+  // grain, so cost is linear in the window length W — measured at
+  // bench scale (sf0.1, steady state, r9): q59 (W=7) 0.63 s vs q62
+  // (W=28) 0.65 s, because at this user-day density the shared event
+  // scan + (day, user) dedup dominate and the W×|daily| explode is
+  // noise next to them; the exploded relation stays the deduped DAILY
+  // grain × 28, far below the raw event grain.
   // CROSSOVER: the exploded relation is W·|daily| rows — when W grows
   // past ~100 (quarterly/annual actives) or daily density approaches
   // one row per user-day at 100 TB, the right swap-in is a mergeable
