@@ -29,7 +29,7 @@ package graft
   * | Files/formats | `Engine.Sources.*`, `Engine.Xlsx` | declared-schema scans, ordered/Z-ordered/compacted writes |
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
-  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream`, `Engine.SlidingKmv` | watermark-bounded state; batch ≡ stream parity-tested |
   * | Persisted indexes | `Engine.AnnIndex` (IVF build/serve), `Engine.NearDup.writeIndex/incrementalEdges`, `Engine.SparseIndex` (BM25 build/serve/append) | build once, serve/append forever; round trips + exact append spec-proven |
   * | Tokenizer training | `Engine.BpeTrain.train/applyMerge` | K-merge BPE under iterate-with-cut; constant plan depth in K |
   * | Graph ranking | `Engine.PageRank.runFixed/runConverged` | exact BIGINT ranks; iterate-with-cut keeps plan depth constant |
@@ -83,6 +83,7 @@ object Engine {
   val Changepoint = streaming.Changepoint
   val NearDupStream = streaming.NearDupStream
   val FunnelStream = streaming.FunnelStream
+  val SlidingKmv = streaming.SlidingKmv
   // media
   val MediaPipeline = multimodal.MediaPipeline
 

@@ -51,7 +51,8 @@ object Verify {
     case n if n.startsWith("x92") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") ||
-      n.startsWith("x89") || n.startsWith("x90") => 4
+      n.startsWith("x89") || n.startsWith("x90") ||
+      n.startsWith("x93") => 4
     case _ => 2
   }
 

@@ -1261,6 +1261,70 @@ object DedupSim {
        |FROM ctx ORDER BY q_id, rr_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X93 — funnel recall: the END-TO-END eval of the w07 serving stack
+  // against the exact brute-force truth. x60 grades ONE retriever
+  // (IVF recall vs x05); this grades the whole funnel — sparse ∥ dense
+  // → RRF → MaxSim → packing — per query: how many of the exact
+  // cosine top-10 survive into the fused+reranked top-10 (recall@10),
+  // and how many survive the context-budget cut (the number a RAG
+  // deployment actually ships to the model). Both denominators are the
+  // per-query truth size (COUNT, not a literal 10 — robust to corpora
+  // smaller than k). Composes w07 and x05 verbatim, so every stage
+  // keeps its audited bounded plan; the eval itself is one keyed
+  // left join of two ≤10-rows/query relations + one per-query agg —
+  // candidate-list-sized, never corpus². This is the measurement that
+  // says whether x05b's LSH probes + x80's impact cap (the two places
+  // the funnel trades recall for scale) are costing answer quality.
+  // ---------------------------------------------------------------------
+  private def x93(s: SparkSession, d: String): DataFrame = {
+    val truth = x05(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    val truthN = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val funnel = w07(s, d).filter(col("rr_rank") <= 10)
+      .select(col("q_id"), col("doc_id").as("vec_id"), col("picked"))
+    funnel
+      .join(truth.withColumn("hit", lit(true)), Seq("q_id", "vec_id"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_funnel"),
+        sum(when(col("picked"), 1L).otherwise(0L)).as("n_packed"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("hit") && col("picked"), 1L).otherwise(0L))
+          .as("n_hits_packed"))
+      .join(truthN, "q_id")
+      .select(col("q_id"), col("n_truth"), col("n_funnel"),
+        col("n_packed"), col("n_hits"), col("n_hits_packed"),
+        expr("1000000L * n_hits div n_truth").as("recall_ppm"),
+        expr("1000000L * n_hits_packed div n_truth")
+          .as("packed_recall_ppm"))
+      .orderBy("q_id")
+  }
+  private lazy val x93Sql =
+    s"""WITH fun AS ($w07Sql),
+       |tru AS ($x05Sql),
+       |trun AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+       |         FROM tru GROUP BY 1),
+       |per AS (
+       |  SELECT f.q_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_funnel,
+       |    CAST(SUM(CASE WHEN f.picked THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_packed,
+       |    CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits,
+       |    CAST(SUM(CASE WHEN t.vec_id IS NOT NULL AND f.picked
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_packed
+       |  FROM fun f LEFT JOIN tru t
+       |    ON t.q_id = f.q_id AND t.vec_id = f.doc_id
+       |  WHERE f.rr_rank <= 10
+       |  GROUP BY 1)
+       |SELECT p.q_id, n.n_truth, p.n_funnel, p.n_packed, p.n_hits,
+       |  p.n_hits_packed,
+       |  CAST(1000000 * p.n_hits // n.n_truth AS BIGINT) AS recall_ppm,
+       |  CAST(1000000 * p.n_hits_packed // n.n_truth AS BIGINT)
+       |    AS packed_recall_ppm
+       |FROM per p JOIN trun n USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X87 — centroid drift monitor: the MAINTENANCE leg of the persisted-
   // index lifecycle (x79 builds, x18 serves, AnnIndex.assign appends —
   // this answers "when do I REBUILD?"). The corpus splits into the
@@ -3319,6 +3383,7 @@ object DedupSim {
     QueryDef("x79_ann_index_build", Some(x79Sql), x79),
     QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
     QueryDef("w07_rag_funnel", Some(w07Sql), w07),
+    QueryDef("x93_funnel_recall", Some(x93Sql), x93),
     QueryDef("x86_hubness", Some(x86Sql), x86),
     QueryDef("x87_centroid_drift", Some(x87Sql), x87),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),

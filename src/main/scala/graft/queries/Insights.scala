@@ -2130,6 +2130,84 @@ object Insights {
       |FROM exact x JOIN est2 e USING (day) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST11 — per-day KMV sketch card, the batch twin of
+  // [[graft.streaming.SlidingKmv]] (x91's continuous half): per day,
+  // the bottom-k=128 sketch summary (k_used, h_(k)), the KMV DAU
+  // estimate it implies, and the error contract against the exact
+  // daily distinct. The batch relational form and the streaming fold
+  // share constants and the estimate formula THROUGH the library
+  // object, and SlidingKmvSpec pins stream state ≡ this card's sketch
+  // columns bit-for-bit on the real events table — re-delivered
+  // events can't move a set-union sketch, so the stream needs no
+  // high-water mark to be effectively-once. Scale: one keyed dedup +
+  // one per-day truncation window; the card is |days| rows; the
+  // sketch it certifies is what the deploy checkpoints (k longs/day)
+  // so any trailing window is served without re-scanning events.
+  // ---------------------------------------------------------------------
+  private def st11(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.SlidingKmv.{K => SkK, M => SkM}
+    val wDay = Window.partitionBy("day").orderBy("h")
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().cut(false) // sketch path + exact dau
+    val daySk = daily
+      .withColumn("h", expr(
+        s"(2654435761L * (user_id % $SkM) + 12345L) % $SkM"))
+      .select("day", "h").distinct()
+      .withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= SkK)
+    val est = daySk.groupBy("day")
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_h"))
+      .withColumn("dau_est",
+        when(col("k_used") < SkK, col("k_used"))
+          .otherwise(expr(s"(${SkK - 1}L * ${SkM}L) div kth_h")))
+    daily.groupBy("day").agg(count(lit(1)).as("dau_exact"))
+      .join(est, "day")
+      .withColumn("err_ppm",
+        expr("(1000000L * abs(dau_est - dau_exact)) div dau_exact"))
+      .withColumn("bound_ppm", lit(KmvWinBoundPpm))
+      .withColumn("within_bound",
+        (col("err_ppm") <= col("bound_ppm")).cast("long"))
+      .select("day", "dau_exact", "k_used", "kth_h", "dau_est",
+        "err_ppm", "bound_ppm", "within_bound")
+      .orderBy("day")
+  }
+  private lazy val st11Sql =
+    s"""WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dh AS (
+      |  SELECT DISTINCT day,
+      |    (2654435761 * (user_id % $KmvWinM) + 12345) % $KmvWinM AS h
+      |  FROM daily),
+      |daysk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h,
+      |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+      |    FROM dh)
+      |  WHERE rk <= $KmvWinK),
+      |est AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS k_used,
+      |    MAX(h) AS kth_h
+      |  FROM daysk GROUP BY 1),
+      |est2 AS (
+      |  SELECT day, k_used, kth_h,
+      |    CASE WHEN k_used < $KmvWinK THEN k_used
+      |         ELSE (CAST(${KmvWinK - 1} AS BIGINT) * $KmvWinM)
+      |           // kth_h END AS dau_est
+      |  FROM est),
+      |exact AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau_exact
+      |  FROM daily GROUP BY 1)
+      |SELECT x.day, x.dau_exact, e.k_used, e.kth_h, e.dau_est,
+      |  (1000000 * ABS(e.dau_est - x.dau_exact)) // x.dau_exact
+      |    AS err_ppm,
+      |  CAST($KmvWinBoundPpm AS BIGINT) AS bound_ppm,
+      |  CAST(CASE WHEN (1000000 * ABS(e.dau_est - x.dau_exact))
+      |      // x.dau_exact <= $KmvWinBoundPpm
+      |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+      |FROM exact x JOIN est2 e USING (day) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q60-ext — weekly cohort retention triangle: users grouped by their
   // FIRST active week, tracked by distinct-active presence in each
   // later week — the retention curve behind every growth dashboard,
@@ -2254,6 +2332,7 @@ object Insights {
     QueryDef("q59_dau_wau", Some(q59Sql), q59),
     QueryDef("q62_dau_mau", Some(q62Sql), q62),
     QueryDef("x91_sliding_kmv", Some(x91Sql), x91),
+    QueryDef("st11_daily_kmv", Some(st11Sql), st11),
     QueryDef("q60_retention_cohorts", Some(q60Sql), q60),
     QueryDef("q61_seasonality_decompose", Some(q61Sql), q61),
     QueryDef("a18_streaks", Some(a18Sql), a18),

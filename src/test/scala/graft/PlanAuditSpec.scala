@@ -36,6 +36,10 @@ class PlanAuditSpec extends SparkSpec {
       "and x05b (bounded plane index) verbatim — inherits exactly " +
       "their allowlisted bounded sides; fusion/rerank/packing are " +
       "keyed joins and windows only"),
+    "x93_funnel_recall" -> ("composes w07 and x05's documented " +
+      "brute-force truth slice verbatim — inherits exactly their " +
+      "allowlisted bounded sides; the eval itself is keyed joins " +
+      "over <= 10-rows/query relations"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -169,6 +169,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (days x k) window-merge dedup/window/agg + exact-twin path +
     // final join/sort — the sketch explode is k rows/day, not |daily|
     "x91_sliding_kmv" -> 7,
+    // x91's daily half alone: daily dedup + hash dedup + per-day
+    // sketch window + exact-dau agg + final join/sort
+    "st11_daily_kmv" -> 4,
     // (user, week) dedup + per-user min + the activity join-back agg
     // + cohort-size join + final sort
     "q60_retention_cohorts" -> 5,
@@ -233,6 +236,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // window and final sort — everything after the retrievers is
     // <= 10 rows/query
     "w07_rag_funnel" -> 18,
+    // w07's 18 audited stages + x05's truth slice + the per-query
+    // eval join/agg over two <= 10-rows/query relations + final sort
+    "x93_funnel_recall" -> 22,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
