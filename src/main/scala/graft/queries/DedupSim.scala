@@ -1325,6 +1325,111 @@ object DedupSim {
        |ORDER BY q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X94 — dedup eval: the EMPIRICAL s-curve of the production near-dup
+  // pipeline, completing the eval triptych (x60 grades the ANN index,
+  // x93 the serving funnel, this the dedup stack). On x04's audited
+  // truth slice (doc_id % 50, ≥3 words), exact capped-grain Jaccard
+  // (x04's published truth definition — the df ≤ 20 cap is what keeps
+  // the pair join bounded on this stop-shingle corpus) is banded into
+  // integer deciles (10·inter div union — no float parity risk), and
+  // per band the card reports how many truth pairs the VERIFIED LSH
+  // path (NearDup.edges: 4×4 banding + ≥12/16 agreement — exactly the
+  // kernels x02/w05 deploy) catches: recall per similarity decile,
+  // the measured counterpart of x56's THEORETICAL band curve
+  // 1−(1−s^r)^b, plus the band = −1 row counting verified pairs with
+  // no rare-shingle overlap at all (the false-positive tail). Scale:
+  // composes two audited bounded plans; the eval join is pair-keyed
+  // over their outputs; the card is ≤ 11 rows. MinhashRecallSpec pins
+  // recall on PLANTED dups; this measures it cross-engine on the
+  // corpus's organic similarity spectrum.
+  // ---------------------------------------------------------------------
+  private def x94(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.fanout(Tables.documents(s, d))
+      .filter(col("doc_id") % 50 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .cut(false) // truth shingles + LSH signature path
+    // truth: x04's capped-grain exact jaccard on the slice
+    val raw = slice
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("shingle"))
+    val sample = raw
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= ShingleDfCap)
+      .drop("__df")
+    val sizes = sample.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val truth = sample.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sample.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("least((10 * inter) div (sz_a + sz_b - inter), 9L)")
+          .as("jacc_band"))
+    // predicted: the deployed verified-edge path on the same slice
+    val pred = graft.etl.NearDup.edges(slice)
+      .withColumn("caught", lit(true))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("band", coalesce(col("jacc_band"), lit(-1L)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_ppm",
+        when(col("band") >= 0,
+          expr("1000000L * n_caught div n_pairs")))
+      .select("band", "n_pairs", "n_caught", "recall_ppm")
+      .orderBy("band")
+  }
+  private lazy val x94Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b),
+       |pred AS (
+       |  SELECT doc_a, doc_b FROM sigm WHERE m >= $NeardupMinSig),
+       |raw AS (
+       |  SELECT doc_id, unnest($duckShingles) AS shingle FROM corpus),
+       |sample AS (
+       |  SELECT doc_id, shingle FROM raw
+       |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sample GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sample a JOIN sample b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    LEAST((10 * i.inter) // (za.sz + zb.sz - i.inter),
+       |      CAST(9 AS BIGINT)) AS jacc_band
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b),
+       |joined AS (
+       |  SELECT COALESCE(t.jacc_band, -1) AS band,
+       |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+       |  CASE WHEN band >= 0
+       |    THEN CAST(1000000 * SUM(caught) // COUNT(*) AS BIGINT)
+       |  END AS recall_ppm
+       |FROM joined GROUP BY 1 ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X87 — centroid drift monitor: the MAINTENANCE leg of the persisted-
   // index lifecycle (x79 builds, x18 serves, AnnIndex.assign appends —
   // this answers "when do I REBUILD?"). The corpus splits into the
@@ -3384,6 +3489,7 @@ object DedupSim {
     QueryDef("x82_incremental_dedup", Some(x82Sql), x82),
     QueryDef("w07_rag_funnel", Some(w07Sql), w07),
     QueryDef("x93_funnel_recall", Some(x93Sql), x93),
+    QueryDef("x94_dedup_eval", Some(x94Sql), x94),
     QueryDef("x86_hubness", Some(x86Sql), x86),
     QueryDef("x87_centroid_drift", Some(x87Sql), x87),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),

@@ -239,6 +239,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // w07's 18 audited stages + x05's truth slice + the per-query
     // eval join/agg over two <= 10-rows/query relations + final sort
     "x93_funnel_recall" -> 22,
+    // x04's capped-grain truth join + the library edges path (sig agg,
+    // banded candidate join, verify joins) + the pair-keyed eval
+    // full-outer + band agg/sort — two audited bounded plans composed
+    "x94_dedup_eval" -> 10,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
