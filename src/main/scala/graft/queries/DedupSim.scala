@@ -1325,6 +1325,147 @@ object DedupSim {
        |ORDER BY q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W8 — nightly ingest (flagship): ONE shard, all three persisted
+  // index families folding it through their APPEND paths — the batch
+  // job a 100 TB corpus actually runs every night. The corpus splits
+  // into the indexed base (doc_id % 3 ≠ 0) and tonight's shard
+  // (% 3 = 0); the card is the long-format ops report the job emits:
+  //   sparse  — the shard folded by SparseIndex.append (delta doc/term
+  //             census + the post-append posting and token totals; the
+  //             SPARK side goes THROUGH append while the oracle reads
+  //             the full-rebuild CTEs — x92's append theorem re-gated
+  //             at the summary grain, shared bm25IndexCtes);
+  //   minhash — NearDup.incrementalEdges verdicts (dup-of-base = the
+  //             index hit that saves the recompute, dup-of-earlier-
+  //             delta, genuinely new) on the PLAIN corpus (no planted
+  //             rows — unlike x82, the delta here is not id-ordered,
+  //             so the oracle orients each verified pair by base/delta
+  //             membership rather than id magnitude);
+  //   dense   — the shard assigned against the standing codebook
+  //             (duckIvfPrefix verbatim): vectors landed, cells
+  //             touched, exact membership fingerprint.
+  // Every value is an exact BIGINT; the three families see the SAME
+  // shard definition. Scale: each leg is its family's audited bounded
+  // plan; the base corpus is touched only through its index tables
+  // (sparse/minhash) or its frozen codebook (dense) — the whole point
+  // of the build/serve/append split this round completed.
+  // ---------------------------------------------------------------------
+  private def w08(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{AnnIndex, NearDup, SparseIndex}
+    def rows(fam: String, stacked: org.apache.spark.sql.Column,
+        src: DataFrame): DataFrame =
+      src.select(stacked.as(Seq("metric", "value")))
+        .select(lit(fam).as("family"), col("metric"),
+          col("value").cast("long").as("value"))
+    // sparse: fold the shard through append (≡ rebuild, x92's theorem)
+    val tf = SparseIndex
+      .termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // base build + delta append + delta census
+    val deltaTf = tf.filter(col("doc_id") % 3 === 0)
+    val idx = SparseIndex.append(
+      SparseIndex.build(tf.filter(col("doc_id") % 3 =!= 0)), deltaTf)
+    val sp = deltaTf
+      .agg(countDistinct(col("doc_id")).as("ndd"),
+        countDistinct(col("tok")).as("ntt"))
+      .crossJoin(broadcast(idx.plist.agg(count(lit(1)).as("npa"))))
+      .crossJoin(broadcast(idx.stats.select(col("t_tokens").as("tta"))))
+    val sparseRows = rows("sparse", expr(
+      "stack(4, 'n_delta_docs', ndd, 'n_touched_terms', ntt," +
+        " 'n_postings_after', npa, 't_tokens_after', tta)"), sp)
+    // minhash: the shard deduped against the signature index
+    val corpus = Tables.fanout(Tables.documents(s, d))
+    val baseSigs = NearDup
+      .signatures(corpus.filter(col("doc_id") % 3 =!= 0)).cut(false)
+    val deltaSigs = NearDup
+      .signatures(corpus.filter(col("doc_id") % 3 === 0)).cut(false)
+    val per = NearDup.incrementalEdges(baseSigs, deltaSigs)
+      .groupBy("doc_id")
+      .agg(max(when(col("dup_of") % 3 =!= 0, 1L).otherwise(0L)).as("hb"),
+        max(when(col("dup_of") % 3 === 0, 1L).otherwise(0L)).as("hd"))
+    val mh = deltaSigs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .agg(sum(when(col("hb") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(coalesce(col("hb"), lit(0L)) === 0L &&
+          col("hd") === 1L, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("hb").isNull && col("hd").isNull, 1L)
+          .otherwise(0L)).as("nn"))
+    val mhRows = rows("minhash", expr(
+      "stack(3, 'n_dup_base', nb, 'n_dup_delta', nd, 'n_new', nn)"), mh)
+    // dense: the shard assigned against the standing codebook
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false)
+    val dn = AnnIndex.assign(e, AnnIndex.train(e).cut(false))
+      .filter(col("vec_id") % 3 === 0)
+      .agg(count(lit(1)).as("ndv"),
+        countDistinct(col("cluster")).as("ncl"),
+        sum(col("vec_id")).as("ids"))
+    val denseRows = rows("dense", expr(
+      "stack(3, 'n_delta_vecs', ndv, 'n_cells_touched', ncl," +
+        " 'delta_id_sum', ids)"), dn)
+    sparseRows.unionByName(mhRows).unionByName(denseRows)
+      .orderBy("family", "metric")
+  }
+  private lazy val w08Sql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${TextOps.bm25IndexCtes},
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b),
+       |edges AS (
+       |  SELECT CASE WHEN doc_a % 3 = 0 AND doc_b % 3 <> 0
+       |           THEN doc_a ELSE doc_b END AS doc_id,
+       |         CASE WHEN doc_a % 3 = 0 AND doc_b % 3 <> 0
+       |           THEN doc_b ELSE doc_a END AS dup_of
+       |  FROM sigm
+       |  WHERE m >= $NeardupMinSig
+       |    AND (doc_a % 3 = 0 OR doc_b % 3 = 0)),
+       |per AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN dup_of % 3 <> 0 THEN 1 ELSE 0 END) AS hb,
+       |    MAX(CASE WHEN dup_of % 3 = 0 THEN 1 ELSE 0 END) AS hd
+       |  FROM edges GROUP BY 1),
+       |deltadocs AS (SELECT doc_id FROM sigs WHERE doc_id % 3 = 0),
+       |mh AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN p.hb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nb,
+       |    CAST(SUM(CASE WHEN COALESCE(p.hb, 0) = 0 AND p.hd = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       |    CAST(SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nn
+       |  FROM deltadocs d LEFT JOIN per p USING (doc_id)),
+       |$duckIvfPrefix,
+       |dn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS ndv,
+       |    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS ncl,
+       |    CAST(SUM(vec_id) AS BIGINT) AS ids
+       |  FROM assigned WHERE vec_id % 3 = 0),
+       |sp AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tf
+       |     WHERE doc_id % 3 = 0) AS ndd,
+       |    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tf
+       |     WHERE doc_id % 3 = 0) AS ntt,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM plist) AS npa,
+       |    (SELECT t_tokens FROM stats) AS tta)
+       |SELECT 'sparse' AS family, 'n_delta_docs' AS metric,
+       |  ndd AS value FROM sp
+       |UNION ALL SELECT 'sparse', 'n_touched_terms', ntt FROM sp
+       |UNION ALL SELECT 'sparse', 'n_postings_after', npa FROM sp
+       |UNION ALL SELECT 'sparse', 't_tokens_after', tta FROM sp
+       |UNION ALL SELECT 'minhash', 'n_dup_base', nb FROM mh
+       |UNION ALL SELECT 'minhash', 'n_dup_delta', nd FROM mh
+       |UNION ALL SELECT 'minhash', 'n_new', nn FROM mh
+       |UNION ALL SELECT 'dense', 'n_delta_vecs', ndv FROM dn
+       |UNION ALL SELECT 'dense', 'n_cells_touched', ncl FROM dn
+       |UNION ALL SELECT 'dense', 'delta_id_sum', ids FROM dn
+       |ORDER BY family, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X94 — dedup eval: the EMPIRICAL s-curve of the production near-dup
   // pipeline, completing the eval triptych (x60 grades the ANN index,
   // x93 the serving funnel, this the dedup stack). On x04's audited
@@ -3490,6 +3631,7 @@ object DedupSim {
     QueryDef("w07_rag_funnel", Some(w07Sql), w07),
     QueryDef("x93_funnel_recall", Some(x93Sql), x93),
     QueryDef("x94_dedup_eval", Some(x94Sql), x94),
+    QueryDef("w08_nightly_ingest", Some(w08Sql), w08),
     QueryDef("x86_hubness", Some(x86Sql), x86),
     QueryDef("x87_centroid_drift", Some(x87Sql), x87),
     QueryDef("x83_maxsim_rerank", Some(x83Sql), x83),

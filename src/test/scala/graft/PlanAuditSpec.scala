@@ -40,6 +40,9 @@ class PlanAuditSpec extends SparkSpec {
       "brute-force truth slice verbatim — inherits exactly their " +
       "allowlisted bounded sides; the eval itself is keyed joins " +
       "over <= 10-rows/query relations"),
+    "w08_nightly_ingest" -> ("x18's fixed 16-row codebook broadcasts " +
+      "(train/assign argmins) plus the three 1-row family-card " +
+      "scalars cross-joined into the 10-row report — never grows"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -243,6 +243,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // banded candidate join, verify joins) + the pair-keyed eval
     // full-outer + band agg/sort — two audited bounded plans composed
     "x94_dedup_eval" -> 10,
+    // the nightly-shard flagship: sparse build+append stages + the
+    // minhash incremental band/verify joins + the dense train/assign
+    // aggs + three 1-row family cards unioned — each leg its family's
+    // audited plan over ONE shared shard definition
+    "w08_nightly_ingest" -> 19,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
