@@ -63,7 +63,7 @@ object Bench {
     * ratio was closest to the 3x bar. */
   val WarmPriority: Set[String] = Set(
     "x88_sparse_index_build", "x89_bpe_train", "x90_bpe_apply",
-    "q62_dau_mau", "x91_sliding_kmv", "x93_funnel_recall", "st11_daily_kmv", "x94_dedup_eval", "w08_nightly_ingest",
+    "q62_dau_mau", "x91_sliding_kmv", "x93_funnel_recall", "st11_daily_kmv", "x94_dedup_eval", "w08_nightly_ingest", "x95_pq_adc_serve",
     "x44_ngram_decontam", "q02_pk_uniqueness")
 
   /** Build the single parseable bench line. Pure — spec-driven by

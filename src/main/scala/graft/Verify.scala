@@ -48,7 +48,7 @@ object Verify {
       n.startsWith("x40") || n.startsWith("x41") ||
       n.startsWith("x44") || n.startsWith("x46") => 3
     // double index build + touched-term re-truncation
-    case n if n.startsWith("x92") => 3
+    case n if n.startsWith("x92") || n.startsWith("x95") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") ||
       n.startsWith("x89") || n.startsWith("x90") ||

@@ -2199,51 +2199,198 @@ object DedupSim {
   private val PqDims = 16
   private val PqK = 8
 
+  /** One trained PQ subspace: (codes_i(vec_id, code_i, err_i),
+    * codebook_i(c_id, c_v, c_vv)) — x58's chain verbatim, factored so
+    * x95's ADC serve trains the SAME codebooks the code card gates. */
+  private def pqSubspace(e: DataFrame, i: Int)
+      : (DataFrame, DataFrame) = {
+    val es = e.select(col("vec_id"),
+      expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("v"))
+      .withColumn("vv", DotProduct(col("v"), col("v")))
+      .cut(false) // seeds + Lloyd assign + code assign
+    val seeds = es
+      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
+        % 1000000007L, col("vec_id"))
+      .limit(PqK)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("vv").as("c_vv"))
+    def assign(cb: DataFrame): DataFrame = es.crossJoin(broadcast(cb))
+      .withColumn("dist", col("vv") -
+        lit(2.0) * DotProduct(col("v"), col("c_v")) + col("c_vv"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("v").as("v"), col("c_id").as("c_id"),
+        col("dist").as("dist")),
+        struct(col("dist"), col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"),
+        col("b.c_id").as("cluster"), col("b.dist").as("dist"))
+    val cb1 = assign(seeds)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("coord"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, coord)" +
+        ")), s -> s.coord)").as("c_v"))
+      .select(col("cluster").as("c_id"), col("c_v"))
+      .withColumn("c_vv", DotProduct(col("c_v"), col("c_v")))
+      // ≤8 rows; cut so the trained-codebook subtree plans once per
+      // consumer (x95 reads it twice: code assignment + query LUTs)
+      .cut(false)
+    (assign(cb1)
+      .select(col("vec_id"), col("cluster").as(s"code$i"),
+        col("dist").as(s"err$i")), cb1)
+  }
+
   private def x58(s: SparkSession, d: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .cut(false) // 4 subspace consumers
-    val parts = (0 until PqSub).map { i =>
-      val es = e.select(col("vec_id"),
-        expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("v"))
-        .withColumn("vv", DotProduct(col("v"), col("v")))
-        .cut(false) // seeds + Lloyd assign + code assign
-      val seeds = es
-        .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
-          % 1000000007L, col("vec_id"))
-        .limit(PqK)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"),
-          col("vv").as("c_vv"))
-      def assign(cb: DataFrame): DataFrame = es.crossJoin(broadcast(cb))
-        .withColumn("dist", col("vv") -
-          lit(2.0) * DotProduct(col("v"), col("c_v")) + col("c_vv"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("v").as("v"), col("c_id").as("c_id"),
-          col("dist").as("dist")),
-          struct(col("dist"), col("c_id"))).as("b"))
-        .select(col("vec_id"), col("b.v").as("v"),
-          col("b.c_id").as("cluster"), col("b.dist").as("dist"))
-      val cb1 = assign(seeds)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double")).as("coord"))
-        .groupBy(col("cluster"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, coord)" +
-          ")), s -> s.coord)").as("c_v"))
-        .select(col("cluster").as("c_id"), col("c_v"))
-        .withColumn("c_vv", DotProduct(col("c_v"), col("c_v")))
-      assign(cb1)
-        .select(col("vec_id"), col("cluster").as(s"code$i"),
-          col("dist").as(s"err$i"))
-    }
+    val parts = (0 until PqSub).map(i => pqSubspace(e, i)._1)
     parts.reduce((a, b) => a.join(b, Seq("vec_id")))
       .select(col("vec_id") +:
         (0 until PqSub).map(i => col(s"code$i")) :+
         round((0 until PqSub).map(i => col(s"err$i")).reduce(_ + _), 6)
           .as("recon_err"): _*)
       .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // X95 — PQ ADC serve: the reason PQ codes exist. x58 trains the
+  // 4×8 codebooks and gates the codes; x19 prices reconstruction
+  // error; this SERVES from the compressed domain — per query, the
+  // asymmetric-distance table (per subspace, squared L2 from the
+  // query's slice to each of the 8 centroids — a |q|×8 relation,
+  // broadcast-sized by construction) and the ADC scan: every code row
+  // scored by FOUR table lookups + a fixed left-assoc sum, never
+  // touching the full-precision corpus vectors. The card is the
+  // quantization-loss eval the deploy decision needs: ADC top-10 vs
+  // exact full-precision L2 top-10 (recall@10 + top-1 agreement, the
+  // x60/x93/x94 eval-family shape). All distances are the house
+  // fixed-shape folds (vv − 2·dot + cc through DotProduct /
+  // duckDot), so ADC scores are bit-identical cross-engine and the
+  // ranking gate is exact. Scale: the LUT build is O(|q|·K·dims);
+  // the scan is the documented bounded probe slice (x05's rule —
+  // 1% queries × corpus, and ADC's whole point is that the scanned
+  // row is 4 SMALL ints, not 64 doubles); production composes this
+  // with x18's IVF probes to scan only probed cells — the IVF-ADC
+  // (IVFPQ) layout, both halves now gated.
+  // ---------------------------------------------------------------------
+  private def x95(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .cut(false) // 4 subspace trainers + query LUTs + exact truth
+    val subs = (0 until PqSub).map(i => pqSubspace(e, i))
+    val codes = subs.map(_._1)
+      .reduce((a, b) => a.join(b, Seq("vec_id")))
+      .select(col("vec_id") +:
+        (0 until PqSub).map(i => col(s"code$i")): _*)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val luts = (0 until PqSub).map { i =>
+      q.select(col("vec_id").as("q_id"),
+        expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("qv"))
+        .withColumn("qvv", DotProduct(col("qv"), col("qv")))
+        .crossJoin(broadcast(subs(i)._2))
+        .select(col("q_id"), col("c_id").as(s"code$i"),
+          (col("qvv") - lit(2.0) * DotProduct(col("qv"), col("c_v")) +
+            col("c_vv")).as(s"d$i"))
+    }
+    val wQ = Window.partitionBy("q_id")
+    val adcTop = (1 until PqSub)
+      .foldLeft(codes.join(broadcast(luts(0)), Seq("code0")))((acc, i) =>
+        acc.join(broadcast(luts(i)), Seq("q_id", s"code$i")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        (0 until PqSub).map(i => col(s"d$i")).reduce(_ + _))
+      .withColumn("rk", row_number().over(
+        wQ.orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id", "rk")
+    val truthTop = e
+      .join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("emb").as("qe"))), col("vec_id") =!= col("q_id"))
+      .withColumn("l2", DotProduct(col("emb"), col("emb")) -
+        lit(2.0) * DotProduct(col("emb"), col("qe")) +
+        DotProduct(col("qe"), col("qe")))
+      .withColumn("rk", row_number().over(
+        wQ.orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id", "rk")
+    val hits = adcTop.select("q_id", "vec_id")
+      .join(truthTop.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("nh"))
+    truthTop.filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("exact_top1"))
+      .join(adcTop.filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("adc_top1")), Seq("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("exact_top1"), col("adc_top1"),
+        (col("exact_top1") === col("adc_top1")).cast("long")
+          .as("top1_match"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        expr("1000000L * coalesce(nh, 0L) div 10").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+  private lazy val x95Sql = {
+    val lutJoins = (1 until PqSub).map(i =>
+      s"JOIN lut$i l$i ON l$i.q_id = l0.q_id" +
+        s" AND l$i.c_id = k.code$i").mkString("\n       |  ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |${(0 until PqSub).map(duckPqCtes).mkString(",\n")},
+       |codes AS (
+       |  SELECT vec_id, ${(0 until PqSub).map(i => s"code$i")
+            .mkString(", ")}
+       |  FROM code0
+       |  ${(1 until PqSub).map(i => s"JOIN code$i USING (vec_id)")
+            .mkString("\n       |  ")}),
+       |${(0 until PqSub).map(i =>
+          s"""lut$i AS (
+             |  SELECT s.vec_id AS q_id, c.c_id,
+             |    s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv
+             |      AS d$i
+             |  FROM es$i s CROSS JOIN cb$i c
+             |  WHERE s.vec_id % 100 = 0)""".stripMargin)
+          .mkString(",\n")},
+       |adc AS (
+       |  SELECT l0.q_id, k.vec_id,
+       |    ${(0 until PqSub).map(i => s"l$i.d$i").mkString(" + ")} AS adc
+       |  FROM codes k
+       |  JOIN lut0 l0 ON l0.c_id = k.code0
+       |  $lutJoins
+       |  WHERE k.vec_id <> l0.q_id),
+       |adctop AS (
+       |  SELECT q_id, vec_id, rk FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS rk FROM adc)
+       |  WHERE rk <= 10),
+       |q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % 100 = 0),
+       |truthtop AS (
+       |  SELECT q_id, vec_id, rk FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${duckDot.format("e.emb", "e.emb")}
+       |          - 2.0 * ${duckDot.format("e.emb", "q.emb")}
+       |          + ${duckDot.format("q.emb", "q.emb")}, e.vec_id) AS rk
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+       |  WHERE rk <= 10),
+       |hits AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nh
+       |  FROM adctop JOIN truthtop USING (q_id, vec_id) GROUP BY 1)
+       |SELECT t.q_id, t.vec_id AS exact_top1, a.vec_id AS adc_top1,
+       |  CAST(CASE WHEN t.vec_id = a.vec_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS top1_match,
+       |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+       |  CAST(1000000 * COALESCE(h.nh, 0) // 10 AS BIGINT)
+       |    AS recall_ppm
+       |FROM truthtop t
+       |JOIN adctop a ON a.q_id = t.q_id AND a.rk = 1
+       |LEFT JOIN hits h ON h.q_id = t.q_id
+       |WHERE t.rk = 1
+       |ORDER BY t.q_id""".stripMargin
   }
 
   /** DuckDB twin of one x58 subspace chain, names suffixed `tag`. */
@@ -3638,6 +3785,7 @@ object DedupSim {
     QueryDef("x56_lsh_banding", Some(x56Sql), x56),
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),
+    QueryDef("x95_pq_adc_serve", Some(x95Sql), x95),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
     QueryDef("x62_hard_negatives", Some(x62Sql), x62),

@@ -43,6 +43,11 @@ class PlanAuditSpec extends SparkSpec {
     "w08_nightly_ingest" -> ("x18's fixed 16-row codebook broadcasts " +
       "(train/assign argmins) plus the three 1-row family-card " +
       "scalars cross-joined into the 10-row report — never grows"),
+    "x95_pq_adc_serve" -> ("x58's fixed 8-row PQ codebooks broadcast " +
+      "for training and the |q|x8 ADC lookup tables for the " +
+      "compressed-domain scan, plus x05's documented bounded " +
+      "brute-force truth slice for the recall gate — none grow " +
+      "with the corpus"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -309,7 +309,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x57_contam_spans" -> 5,
     // 4 subspaces × (slice repartition behind a lazy cut + Lloyd mean
     // agg) + the 3 vec_id re-joins; every argmin is broadcast-side
-    "x58_pq_codes" -> 17,
+    // 17 -> 5 (r9): the trained 8-row codebooks are cut, so the four
+    // per-subspace Lloyd chains stop being recounted per consumer;
+    // only the code-join and final sort exchanges remain visible
+    "x58_pq_codes" -> 5,
+    // x58's cut training + the codes joins + the ADC/truth top-10
+    // windows, hits agg and card joins; the LUT and scan joins ride
+    // broadcasts (the |q|x8 tables and 8-row codebooks never shuffle)
+    "x95_pq_adc_serve" -> 16,
     // 3 groupBy-on-dst iteration shuffles + the top-20 sort + one
     // visible join-side exchange; the pairs-distinct and deg aggs sit
     // behind lazy cuts
