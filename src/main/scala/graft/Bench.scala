@@ -55,15 +55,35 @@ object Bench {
 
   /** Hard ceiling (seconds) for TOTAL warm time across both warm scales
     * — enforced on starts AND on the Await (see the warm-pass comment).
-    * BENCH_r08 measured warm_sec 234.6 against the promised 150. */
+    * BENCH_r08 measured warm_sec 234.6 against the promised 150; r9
+    * recorded 155.0 because the Await grace + cancel overhead sat
+    * OUTSIDE the box — [[WarmReserveSec]] now budgets them inside it. */
   val WarmBoxSec = 150.0
 
+  /** Slice of the warm box reserved for the Await grace and the
+    * cancel/shutdown path on expiry: starts gate against
+    * WarmBoxSec − WarmReserveSec, so the RECORDED warm_sec stays ≤
+    * WarmBoxSec even when the box expires under load. */
+  val WarmReserveSec = 8.0
+
   /** Warm these first, at every scale: this round's new registrations
-    * (no steady history yet) plus the rows whose r8 first-run/steady
-    * ratio was closest to the 3x bar. */
+    * (no steady history yet), the composition-tier queries that stack
+    * >= 2 kernel families (the BENCH_r09 postmortem: the warm box
+    * expired before reaching them and their cold first runs landed in
+    * the timed pass at >= 3x steady — m07 6.5 s, x73 6.1 s, x82 4.6 s,
+    * x75 4.3 s), plus the rows whose measured first-run/steady ratio
+    * flirted with the 3x bar (q47 7.96/3.60, x80 7.69/2.72, w08
+    * 14.98/5.48). */
   val WarmPriority: Set[String] = Set(
-    "x88_sparse_index_build", "x89_bpe_train", "x90_bpe_apply",
-    "q62_dau_mau", "x91_sliding_kmv", "x93_funnel_recall", "st11_daily_kmv", "x94_dedup_eval", "w08_nightly_ingest", "x95_pq_adc_serve",
+    // r10 registrations
+    "x96_index_delete", "x97_ivfpq_serve", "x93b_funnel_sweep",
+    // composition tier (>= 2 kernel families) — r9 driver cold spikes
+    "m07_modality_mix", "x73_rrf_fusion", "x75_context_budget",
+    "x82_incremental_dedup", "w06_dedup_cascade", "w07_rag_funnel",
+    // measured near-3x first-run rows from BENCH_r09 insession
+    "w08_nightly_ingest", "q47_bootstrap_ci", "x80_bm25",
+    "x58_pq_codes", "x60_ann_recall", "x95_pq_adc_serve",
+    // r8 carry-overs that stay priority
     "x44_ngram_decontam", "q02_pk_uniqueness")
 
   /** Build the single parseable bench line. Pure — spec-driven by
@@ -196,7 +216,8 @@ object Bench {
     // cold first runs land in the timed pass where the retime phases
     // absorb them, which caps the damage at a few re-run seconds
     // instead of an unbounded warm wall.
-    val warmDeadline = System.nanoTime() + (WarmBoxSec * 1e9).toLong
+    val warmDeadline = System.nanoTime() +
+      ((WarmBoxSec - WarmReserveSec) * 1e9).toLong
     def warmLeft: Double = (warmDeadline - System.nanoTime()) / 1e9
     // Priority-first spend: this round's registrations plus the rows
     // whose r8 first-run/steady ratio flirted with the 3x bar
@@ -224,14 +245,17 @@ object Bench {
           }
         }
       })
-      try Await.result(fut, math.max(5.0, warmLeft + 5.0).seconds)
+      // Grace and shutdown both spend RESERVED budget (WarmReserveSec):
+      // worst case starts gate at box−8, Await returns at +3, cancel +
+      // awaitTermination adds ≤ 4 — recorded warm_sec ≤ the 150 s box.
+      try Await.result(fut, math.max(3.0, warmLeft + 3.0).seconds)
       catch {
         case _: TimeoutException =>
           System.err.println(
             s"[bench] warm($label) box expired — cancelling leftovers")
           spark.sparkContext.cancelAllJobs()
           pool.shutdownNow()
-          pool.awaitTermination(10, TimeUnit.SECONDS)
+          pool.awaitTermination(4, TimeUnit.SECONDS)
       }
       pool.shutdown()
       warmSec += (System.nanoTime() - t0) / 1e9
@@ -311,8 +335,14 @@ object Bench {
         }
       }
     }
-    retime(1.0, 120.0)
-    retime(2.5, 60.0)
+    // Budgets tightened 120/60 -> 80/40 (r10): the driver's window
+    // closed at 621 s on a 604 s r9 wall; the surface grows ~10
+    // queries/round, so the retime phases — the only elastic wall
+    // consumer — give back 60 s worst-case. The warm priority above
+    // keeps the expensive tier's first runs near steady, so fewer rows
+    // cross the retime thresholds in the first place.
+    retime(1.0, 80.0)
+    retime(2.5, 40.0)
     spark.stop()
   }
 }

@@ -47,8 +47,9 @@ object Verify {
       n.startsWith("x37") || n.startsWith("x39") ||
       n.startsWith("x40") || n.startsWith("x41") ||
       n.startsWith("x44") || n.startsWith("x46") => 3
-    // double index build + touched-term re-truncation
-    case n if n.startsWith("x92") || n.startsWith("x95") => 3
+    // double index build + touched-term re-truncation / IVFPQ compose
+    case n if n.startsWith("x92") || n.startsWith("x95") ||
+      n.startsWith("x96") || n.startsWith("x97") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") ||
       n.startsWith("x89") || n.startsWith("x90") ||

@@ -126,6 +126,19 @@ object AnnIndex {
       .select("q_id", "vec_id", "cluster", "rank", "cos")
   }
 
+  /** Remove vectors from the assignments table — the IVF delete path,
+    * mirroring the append contract's frozen-codebook semantics: the
+    * codebook is untouched (cell shapes drift only at the next offline
+    * rebuild — the standard IVF maintenance trade), and because
+    * assignment is per-vector against that frozen codebook, the
+    * anti-join is EXACTLY assign(corpus ∖ deleted, codebook) — x96's
+    * family symmetry with [[graft.etl.SparseIndex.delete]]. A REVISION
+    * is delete + [[assign]] of the revised vector. Deleting an absent
+    * id is a no-op. */
+  def delete(assigned: DataFrame, vecIds: DataFrame): DataFrame =
+    assigned.join(vecIds.select("vec_id").distinct(), Seq("vec_id"),
+      "left_anti")
+
   /** Persist the index: `codebook` (≤ K rows) + `assignments` (the
     * posting lists, vector payload included so serve never rejoins the
     * source table). */

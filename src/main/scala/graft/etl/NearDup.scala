@@ -231,6 +231,18 @@ object NearDup {
   def readIndex(s: org.apache.spark.sql.SparkSession, dir: String)
       : DataFrame = s.read.parquet(s"$dir/minhash_index")
 
+  /** Remove documents from a signature index — EXACT by construction:
+    * signatures are per-doc and row-local, so the anti-join equals
+    * re-signing the corpus without the docs (x96's family symmetry;
+    * the sparse family's [[graft.etl.SparseIndex.delete]] is where the
+    * un-truncation work lives — here there is nothing shared between
+    * docs to repair). A REVISION is delete + re-sign the revised doc
+    * into the index ([[incrementalEdges]]'s disjointness precondition
+    * is restored by the delete). Deleting an absent id is a no-op. */
+  def deleteFromIndex(sigs: DataFrame, docIds: DataFrame): DataFrame =
+    sigs.join(docIds.select("doc_id").distinct(), Seq("doc_id"),
+      "left_anti")
+
   /** Verified near-dup edges of DELTA docs against base ∪ delta:
     * (doc_id ∈ delta, dup_of) where dup_of is a base doc or an
     * earlier (smaller-id) delta doc. Only delta rows are signed by

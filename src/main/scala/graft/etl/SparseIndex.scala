@@ -11,13 +11,18 @@ import graft.etl.Checkpoints.CutOps
   * [[AnnIndex]] (x79) and the MinHash family's `NearDup.writeIndex`
   * (x82). A 100 TB deployment does not re-tokenize the corpus and
   * re-truncate its posting lists inside every query batch: the index is
-  * built once ([[build]]), persisted as four plain tables ([[write]]:
+  * built once ([[build]]), persisted as five plain tables ([[write]]:
   * `plist` — the impact-truncated posting lists, ≤ [[ImpactCap]] rows
   * per term; `df` — FULL document frequency per term, pre-truncation,
   * so idf never drifts as lists are capped; `dl` — document length, one
-  * row per doc; `stats` — the 1-row corpus card (n_docs, t_tokens)),
-  * and query batches are served from the loaded tables ([[serve]]) with
-  * zero index work in the query path.
+  * row per doc; `stats` — the 1-row corpus card (n_docs, t_tokens);
+  * `tf` — the full pre-truncation term frequencies, the un-truncation
+  * source [[delete]] backfills capped lists from), and query batches
+  * are served from the loaded tables ([[serve]]) with zero index work
+  * in the query path. The maintenance lifecycle is complete in-family:
+  * [[append]] folds a disjoint shard in, [[delete]] retracts documents,
+  * and a revision is delete + append — each exact, each touching only
+  * the shard's/deletion's terms.
   *
   * [[append]] is the incremental path and is EXACT, not approximate:
   * for a delta shard whose doc_ids are disjoint from the indexed corpus
@@ -54,10 +59,17 @@ object SparseIndex {
     * (tf desc, doc_id) — impact ordering. */
   val ImpactCap = 1000
 
-  /** The four index tables. `df` is FULL document frequency
-    * (pre-truncation); `plist` is capped; `stats` is 1 row. */
+  /** The five index tables. `df` is FULL document frequency
+    * (pre-truncation); `plist` is capped; `stats` is 1 row; `tf` is the
+    * FULL pre-truncation term-frequency relation — the un-truncation
+    * source that makes [[delete]] exact (a deleted posting inside a
+    * term's top-cap is backfilled from `tf`, which the capped `plist`
+    * alone cannot do). The cap bounds SERVE cost, not storage: `tf` is
+    * the same rows the build already scanned once, kept instead of
+    * discarded — the standard forward-index trade for exact
+    * maintenance. */
   final case class Index(plist: DataFrame, df: DataFrame,
-      dl: DataFrame, stats: DataFrame)
+      dl: DataFrame, stats: DataFrame, tf: DataFrame)
 
   /** (doc_id, tok, tf) term frequencies from a documents table —
     * the tokenizer contract shared by build, append and the query
@@ -85,7 +97,7 @@ object SparseIndex {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("t_tokens"))
-    Index(truncate(tf, cap), df, dl, stats)
+    Index(truncate(tf, cap), df, dl, stats, tf)
   }
 
   /** Score a query-term relation (q_id, tok) against the index:
@@ -144,17 +156,58 @@ object SparseIndex {
       idx.plist.join(touched, Seq("tok"), "left_semi")
         .unionByName(deltaTf.select("doc_id", "tok", "tf")), cap)
     val untouched = idx.plist.join(touched, Seq("tok"), "left_anti")
-    Index(retruncated.unionByName(untouched), df2, dl2, stats2)
+    Index(retruncated.unionByName(untouched), df2, dl2, stats2,
+      idx.tf.unionByName(deltaTf.select("doc_id", "tok", "tf")))
   }
 
-  /** Persist the four index tables under `dir`. */
+  /** Remove a set of documents from the index WITHOUT a rebuild —
+    * EXACT: the result is bit-identical to rebuilding from scratch
+    * over the corpus minus `docIds` (x96 gates this cross-engine).
+    * The interesting half is the capped posting lists: a deleted
+    * posting inside a term's stored top-cap leaves a hole that the
+    * capped list cannot fill from itself — the term's lists are
+    * re-truncated from the FULL kept `tf` relation (the un-truncation
+    * source [[Index.tf]] exists for), while terms the deleted docs
+    * never contained keep their stored lists untouched (same
+    * touched-term split as [[append]]). `df` decrements by the deleted
+    * docs' term incidence (a full recount of the kept tf, restricted
+    * to touched terms, equals the decrement — terms whose df hits 0
+    * drop out); `dl`/`stats` are plain anti-join/re-aggregation.
+    * A document REVISION is delete + [[append]] — the upstream
+    * contract both incremental paths document is now closed in-family.
+    * Cost: ∝ the deleted docs' postings + a re-truncation bounded by
+    * their touched terms — never the rest of the index. Deleting an
+    * id absent from the corpus is a no-op. */
+  def delete(idx: Index, docIds: DataFrame,
+      cap: Int = ImpactCap): Index = {
+    val del = docIds.select("doc_id").distinct()
+    val delTf = idx.tf.join(del, Seq("doc_id"), "left_semi").cut(false)
+    val touched = delTf.select("tok").distinct()
+    val tf2 = idx.tf.join(del, Seq("doc_id"), "left_anti")
+    val df2 = idx.df
+      .join(delTf.groupBy("tok").agg(count(lit(1)).as("ddf")),
+        Seq("tok"), "left")
+      .select(col("tok"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dl2 = idx.dl.join(del, Seq("doc_id"), "left_anti")
+    val stats2 = dl2.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("t_tokens"))
+    val retruncated = truncate(
+      tf2.join(touched, Seq("tok"), "left_semi"), cap)
+    val untouched = idx.plist.join(touched, Seq("tok"), "left_anti")
+    Index(retruncated.unionByName(untouched), df2, dl2, stats2, tf2)
+  }
+
+  /** Persist the five index tables under `dir`. */
   def write(idx: Index, dir: String): Unit =
     graft.sources.Sources.writeOrdered(
       Seq("plist" -> idx.plist, "df" -> idx.df, "dl" -> idx.dl,
-        "stats" -> idx.stats), dir)
+        "stats" -> idx.stats, "tf" -> idx.tf), dir)
 
   /** Load a persisted index. */
   def read(s: SparkSession, dir: String): Index =
     Index(s.read.parquet(s"$dir/plist"), s.read.parquet(s"$dir/df"),
-      s.read.parquet(s"$dir/dl"), s.read.parquet(s"$dir/stats"))
+      s.read.parquet(s"$dir/dl"), s.read.parquet(s"$dir/stats"),
+      s.read.parquet(s"$dir/tf"))
 }

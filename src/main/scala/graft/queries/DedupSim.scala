@@ -1171,18 +1171,26 @@ object DedupSim {
   // integer BM25) ∥ DENSE retrieval (x05b's sign-LSH cosine) →
   // reciprocal-rank FUSION (x73's exact nano-unit RRF, full-outer +
   // COALESCE so single-system candidates survive) → late-interaction
-  // RERANK of the fused top-10 (x83's MaxSim kernel) → CONTEXT
-  // PACKING under a character budget (per query, take reranked docs
-  // while the running total fits — x75's greedy-prefix discipline).
-  // Every stage's arithmetic contract is inherited: integer BM25/RRF,
-  // IEEE-exact MaxSim, exact cumulative chars — so the final packed
-  // context is bit-deterministic across engines. Scale: the two
-  // retrievers are the audited bounded plans; everything downstream
-  // is ≤ 10–20 rows per query (fusion joins, one rerank projection,
-  // one packing window) — serve cost per query is independent of
-  // corpus size, the property a serving funnel exists to have.
+  // RERANK of the fused top-[[W07FuseK]] (x83's MaxSim kernel) →
+  // CONTEXT PACKING under a character budget (per query, take reranked
+  // docs while the running total fits — x75's greedy-prefix
+  // discipline). Every stage's arithmetic contract is inherited:
+  // integer BM25/RRF, IEEE-exact MaxSim, exact cumulative chars — so
+  // the final packed context is bit-deterministic across engines.
+  // Scale: the two retrievers are the audited bounded plans;
+  // everything downstream is ≤ 10–20 rows per query (fusion joins, one
+  // rerank projection, one packing window) — serve cost per query is
+  // independent of corpus size, the property a serving funnel exists
+  // to have.
+  // FuseK = 20, promoted by x93b's measured sweep (r10): the fused
+  // top-10 cutoff — not the LSH probes or the impact cap — was where
+  // half the truth died; letting every candidate from either arm into
+  // the MaxSim rerank lifts funnel recall@10 from 50% to 90% at sf1
+  // for +36% rerank rows and ZERO extra retrieval cost (the rerank is
+  // candidate-list-sized, so the price is ~10 more MaxSim rows/query).
   // ---------------------------------------------------------------------
   private val W07CtxBudgetChars = 2000L
+  private val W07FuseK = 20
 
   private def w07(s: SparkSession, d: String): DataFrame = {
     val sparse = TextOps.x80(s, d)
@@ -1198,7 +1206,7 @@ object DedupSim {
       .withColumn("fused_rank", row_number().over(
         Window.partitionBy("q_id")
           .orderBy(col("rrf_score").desc, col("vec_id"))).cast("long"))
-      .filter(col("fused_rank") <= 10)
+      .filter(col("fused_rank") <= W07FuseK)
     val reranked = withMaxsim(s, d, fused)
       .withColumn("rr_rank", row_number().over(
         Window.partitionBy("q_id")
@@ -1234,7 +1242,7 @@ object DedupSim {
        |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY rrf_score DESC, vec_id) AS BIGINT) AS fused_rank
        |    FROM rrf_f)
-       |  WHERE fused_rank <= 10),
+       |  WHERE fused_rank <= $W07FuseK),
        |$duckMaxsimCtes,
        |rr_scored AS (
        |  SELECT f.*, $duckMaxsimExpr AS maxsim
@@ -1325,6 +1333,251 @@ object DedupSim {
        |ORDER BY q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X93b — funnel knob sweep: x93 measured the w07 serving funnel at
+  // 50% recall@10 and said WHERE the loss comes from (x05b's exact-
+  // bucket LSH probes + x80's impact cap, the two recall-for-scale
+  // trades); this query PRICES the knobs, cross-engine, in one card —
+  // the tuning run a deployment does before promoting a default:
+  //   base       — the pre-r10 default (exact-bucket dense probe,
+  //                fused top-10 into rerank);
+  //   widefuse   — fused top-20 into the MaxSim rerank (a larger
+  //                candidate k costs 2x rerank rows, recovers truth
+  //                that RRF ranked 11..20) — PROMOTED into w07 as the
+  //                shipping default on this sweep's sf1 measurement:
+  //                90% vs 50% mean recall@10 at +36% rerank rows and
+  //                zero extra retrieval cost (multiprobe bought
+  //                nothing at sf1: +47% dense pairs, flat recall);
+  //   multiprobe — the dense arm probes its own bucket PLUS every
+  //                1-bit-flip neighbor (standard multi-probe LSH: the
+  //                nearest buckets differ in one hyperplane sign), a
+  //                ~(planes+1)x candidate-volume price for the recall
+  //                LSH loses at bucket boundaries.
+  // Per config: mean recall@10 / packed recall (ppm, per-query truth
+  // denominators — x93's rule), and the two EXACT cost columns the
+  // trade is measured in: n_rerank_rows (candidates entering MaxSim)
+  // and n_dense_pairs (bucket-join candidate volume). Every stage
+  // reuses the audited kernels (x80 sparse, x05b buckets, x73 RRF,
+  // x83 MaxSim, x75 packing, x05 truth); the shared arms (truth,
+  // sparse, bucketed corpus) are cut once across configs. Scale: the
+  // sweep is 3 funnel plans over candidate-list-sized relations —
+  // multiprobe's fan-out is planes+1 ≈ log2(n) buckets/query at ~1
+  // expected occupancy each, still linear in queries.
+  // ---------------------------------------------------------------------
+  private def x93b(s: SparkSession, d: String): DataFrame = {
+    val truth = x05(s, d).select(col("q_id"), col("vec_id")).cut(false)
+    val truthCnt = truth.groupBy("q_id").agg(count(lit(1)).as("nt"))
+    val sparse = TextOps.x80(s, d)
+      .select(col("q_id"), col("doc_id").as("vec_id"),
+        col("rank").as("r_sparse"))
+      .cut(false) // one sparse arm, three fuse consumers
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .withColumn("norm",
+        sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val nplanes = adaptivePlanes(Tables.embeddings(s, d).count())
+    val vecs = signBucketsCapped(e, "embedding", nplanes)
+      .cut(false) // corpus side of both dense arms + the query slice
+    val q0 = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val docChars = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+
+    // dense arm: top-10 per query + the exact candidate-volume count
+    def denseArm(multi: Boolean): (DataFrame, DataFrame) = {
+      val qp = if (!multi) q0 else {
+        val flips = q0
+          .crossJoin(broadcast(s.range(nplanes).toDF("p")))
+          .withColumn("bucket", expr(
+            "bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+          .drop("p")
+        q0.unionByName(flips)
+      }
+      val pairs = vecs.join(qp, Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", DotProduct(col("embedding"), col("q_emb")) /
+          (col("norm") * col("q_norm")))
+        .cut(false) // volume census + the top-10 window
+      val top = pairs
+        .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast("long").as("r_dense"))
+      (top, pairs.agg(count(lit(1)).as("n_dense_pairs")))
+    }
+    def fuse(dense: DataFrame, fuseK: Int): DataFrame =
+      sparse.join(dense, Seq("q_id", "vec_id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(expr("1000000000L div (60L + r_sparse)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60L + r_dense)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("rrf_score").desc, col("vec_id"))).cast("long"))
+        .filter(col("fused_rank") <= fuseK)
+        .select("q_id", "vec_id")
+    def rerankPack(fused: DataFrame): DataFrame = {
+      val reranked = withMaxsim(s, d, fused)
+        .withColumn("rr_rank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
+      val wCum = Window.partitionBy("q_id").orderBy("rr_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      reranked.join(docChars, "vec_id")
+        .withColumn("cum_chars", sum("n_chars").over(wCum))
+        .withColumn("picked", col("cum_chars") <= W07CtxBudgetChars)
+        .select("q_id", "vec_id", "rr_rank", "picked")
+    }
+    def gradeCfg(cfg: String, fused: DataFrame, nDense: DataFrame)
+        : DataFrame = {
+      val fusedC = fused.cut(false) // rerank input + the cost census
+      val per = rerankPack(fusedC).filter(col("rr_rank") <= 10)
+        .join(truth.withColumn("hit", lit(true)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("nh"),
+          sum(when(col("hit") && col("picked"), 1L).otherwise(0L))
+            .as("nhp"))
+        .join(truthCnt, "q_id")
+        .select(expr("1000000L * nh div nt").as("r_ppm"),
+          expr("1000000L * nhp div nt").as("p_ppm"))
+      per.agg(count(lit(1)).as("n_q"),
+          expr("sum(r_ppm) div count(1)").as("mean_recall_ppm"),
+          expr("sum(p_ppm) div count(1)").as("mean_packed_ppm"))
+        .crossJoin(fusedC.agg(count(lit(1)).as("n_rerank_rows")))
+        .crossJoin(nDense)
+        .select(lit(cfg).as("config"), col("n_q"),
+          col("mean_recall_ppm"), col("mean_packed_ppm"),
+          col("n_rerank_rows"), col("n_dense_pairs"))
+    }
+    val (denseB, ndpB) = denseArm(multi = false)
+    val denseBC = denseB.cut(false) // base + widefuse consumers
+    val ndpBC = ndpB.cut(false)
+    val (denseM, ndpM) = denseArm(multi = true)
+    gradeCfg("1_base", fuse(denseBC, 10), ndpBC)
+      .unionByName(gradeCfg("2_widefuse", fuse(denseBC, 20), ndpBC))
+      .unionByName(gradeCfg("3_multiprobe", fuse(denseM, 10), ndpM))
+      .orderBy("config")
+  }
+
+  /** One x93b config chain: fuse at `fuseK` over `dense_$denseTag`,
+    * MaxSim rerank, pack, grade vs truth, 1-row summary. MATERIALIZED
+    * on every multiply-referenced relation (DuckDB re-inlines CTEs —
+    * the x89 lesson). */
+  private def x93bCfgSql(tag: String, cfgName: String, denseTag: String,
+      fuseK: Int): String =
+    s"""fused_$tag AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, vec_id) AS frk
+       |    FROM (
+       |      SELECT COALESCE(sp.q_id, de.q_id) AS q_id,
+       |        COALESCE(sp.doc_id, de.vec_id) AS vec_id,
+       |        COALESCE(1000000000 // (60 + sp.rank), 0)
+       |          + COALESCE(1000000000 // (60 + de.rank), 0) AS rrf_score
+       |      FROM sparse sp FULL OUTER JOIN dense_$denseTag de
+       |        ON sp.q_id = de.q_id AND sp.doc_id = de.vec_id))
+       |  WHERE frk <= $fuseK),
+       |rrs_$tag AS (
+       |  SELECT f.q_id, f.vec_id, $duckMaxsimExpr AS maxsim
+       |  FROM fused_$tag f
+       |  JOIN subnm q ON q.vec_id = f.q_id
+       |  JOIN subnm d ON d.vec_id = f.vec_id),
+       |rr_$tag AS MATERIALIZED (
+       |  SELECT q_id, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rr_rank
+       |  FROM rrs_$tag),
+       |ctx_$tag AS (
+       |  SELECT r.q_id, r.vec_id, r.rr_rank,
+       |    SUM(doc.n_chars) OVER (PARTITION BY r.q_id ORDER BY r.rr_rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      <= $W07CtxBudgetChars AS picked
+       |  FROM rr_$tag r JOIN documents doc ON doc.doc_id = r.vec_id),
+       |per_$tag AS (
+       |  SELECT c.q_id,
+       |    1000000 * CAST(SUM(CASE WHEN t.vec_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) // n.nt AS r_ppm,
+       |    1000000 * CAST(SUM(CASE WHEN t.vec_id IS NOT NULL AND
+       |      c.picked THEN 1 ELSE 0 END) AS BIGINT) // n.nt AS p_ppm
+       |  FROM ctx_$tag c
+       |  LEFT JOIN tru t ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+       |  JOIN trun n ON n.q_id = c.q_id
+       |  WHERE c.rr_rank <= 10
+       |  GROUP BY c.q_id, n.nt),
+       |sum_$tag AS (
+       |  SELECT '$cfgName' AS config,
+       |    CAST(COUNT(*) AS BIGINT) AS n_q,
+       |    CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+       |    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_packed_ppm,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fused_$tag)
+       |      AS n_rerank_rows,
+       |    (SELECT nd FROM ndp_$denseTag) AS n_dense_pairs
+       |  FROM per_$tag)""".stripMargin
+
+  private lazy val x93bSql =
+    s"""WITH sparse AS MATERIALIZED (${TextOps.x80Sql}),
+       |tru AS MATERIALIZED ($x05Sql),
+       |trun AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nt
+       |         FROM tru GROUP BY 1),
+       |e5 AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot.format("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |planes5 AS (
+       |  SELECT unnest(generate_series(0, ${duckPlanes("embeddings")} - 1))
+       |    AS p),
+       |buckets5 AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN ${planeDot("embedding", "p.p", 64,
+              spark = false)} > 0
+       |        THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+       |  FROM e5 CROSS JOIN planes5 p
+       |  GROUP BY 1),
+       |vecs5 AS MATERIALIZED (
+       |  SELECT e5.*, b.bucket FROM e5 JOIN buckets5 b USING (vec_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b.bucket) <= $BucketCap),
+       |q05 AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+       |    bucket FROM vecs5 WHERE vec_id % 100 = 0),
+       |pairs_b AS MATERIALIZED (
+       |  SELECT q_id, vec_id,
+       |    ${duckDot.format("embedding", "q_emb")} / (norm * q_norm)
+       |      AS cos
+       |  FROM vecs5 JOIN q05 USING (bucket) WHERE vec_id <> q_id),
+       |ndp_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM pairs_b),
+       |dense_b AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rank FROM pairs_b)
+       |  WHERE rank <= 10),
+       |qp_m AS (
+       |  SELECT q_id, q_emb, q_norm, bucket FROM q05
+       |  UNION ALL
+       |  SELECT q_id, q_emb, q_norm,
+       |    xor(bucket, CAST(1 AS BIGINT) << fp.p) AS bucket
+       |  FROM q05 CROSS JOIN planes5 fp),
+       |pairs_m AS MATERIALIZED (
+       |  SELECT q.q_id, v.vec_id,
+       |    ${duckDot.format("v.embedding", "q.q_emb")}
+       |      / (v.norm * q.q_norm) AS cos
+       |  FROM vecs5 v JOIN qp_m q USING (bucket)
+       |  WHERE v.vec_id <> q.q_id),
+       |ndp_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM pairs_m),
+       |dense_m AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rank FROM pairs_m)
+       |  WHERE rank <= 10),
+       |$duckMaxsimCtes,
+       |subnm AS MATERIALIZED (SELECT * FROM subn),
+       |${x93bCfgSql("b1", "1_base", "b", 10)},
+       |${x93bCfgSql("w", "2_widefuse", "b", 20)},
+       |${x93bCfgSql("m", "3_multiprobe", "m", 10)}
+       |SELECT * FROM sum_b1
+       |UNION ALL SELECT * FROM sum_w
+       |UNION ALL SELECT * FROM sum_m
+       |ORDER BY config""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W8 — nightly ingest (flagship): ONE shard, all three persisted
   // index families folding it through their APPEND paths — the batch
   // job a 100 TB corpus actually runs every night. The corpus splits
@@ -1344,11 +1597,21 @@ object DedupSim {
   //   dense   — the shard assigned against the standing codebook
   //             (duckIvfPrefix verbatim): vectors landed, cells
   //             touched, exact membership fingerprint.
+  // r10 adds the RETRACTION leg the lifecycle was missing (VERDICT r9
+  // #1): after the appends, tonight's revision set (doc_id % 10 = 4)
+  // is retracted from all three indexes through each family's delete
+  // path — SparseIndex.delete (touched terms re-truncated from the
+  // kept tf — the un-truncation x96 gates per-term), NearDup
+  // .deleteFromIndex and AnnIndex.delete (keyed anti-joins, exact by
+  // row-locality) — and the card carries post-retraction censuses
+  // while the oracle computes them from scratch over the corpus
+  // WITHOUT the retracted docs: the delete theorem re-gated at the
+  // nightly-job grain.
   // Every value is an exact BIGINT; the three families see the SAME
   // shard definition. Scale: each leg is its family's audited bounded
   // plan; the base corpus is touched only through its index tables
   // (sparse/minhash) or its frozen codebook (dense) — the whole point
-  // of the build/serve/append split this round completed.
+  // of the build/serve/append/delete split now complete.
   // ---------------------------------------------------------------------
   private def w08(s: SparkSession, d: String): DataFrame = {
     import graft.etl.{AnnIndex, NearDup, SparseIndex}
@@ -1362,8 +1625,12 @@ object DedupSim {
       .termFreqs(Tables.fanout(Tables.documents(s, d)))
       .cut(false) // base build + delta append + delta census
     val deltaTf = tf.filter(col("doc_id") % 3 === 0)
-    val idx = SparseIndex.append(
+    val idx0 = SparseIndex.append(
       SparseIndex.build(tf.filter(col("doc_id") % 3 =!= 0)), deltaTf)
+    // the appended posting lists gained consumers in r10 (append census
+    // + the delete's touched/untouched split) — cut so the append
+    // subtree plans once, not per consumer (the x58 lesson)
+    val idx = idx0.copy(plist = idx0.plist.cut(false))
     val sp = deltaTf
       .agg(countDistinct(col("doc_id")).as("ndd"),
         countDistinct(col("tok")).as("ntt"))
@@ -1372,6 +1639,17 @@ object DedupSim {
     val sparseRows = rows("sparse", expr(
       "stack(4, 'n_delta_docs', ndd, 'n_touched_terms', ntt," +
         " 'n_postings_after', npa, 't_tokens_after', tta)"), sp)
+    // retraction: tonight's revision set out of the appended index
+    val retractIds = tf.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 4)
+    val idxR = SparseIndex.delete(idx, retractIds)
+    val spr = idxR.stats
+      .select(col("n_docs").as("ndr"), col("t_tokens").as("ttr"))
+      .crossJoin(broadcast(idxR.plist.agg(count(lit(1)).as("npr"))))
+    val sparseRetractRows = rows("sparse", expr(
+      "stack(3, 'n_docs_after_retract', ndr," +
+        " 'n_postings_after_retract', npr," +
+        " 't_tokens_after_retract', ttr)"), spr)
     // minhash: the shard deduped against the signature index
     val corpus = Tables.fanout(Tables.documents(s, d))
     val baseSigs = NearDup
@@ -1390,10 +1668,21 @@ object DedupSim {
           .otherwise(0L)).as("nn"))
     val mhRows = rows("minhash", expr(
       "stack(3, 'n_dup_base', nb, 'n_dup_delta', nd, 'n_new', nn)"), mh)
+    // minhash retraction: anti-join the revision set out of the
+    // combined signature index (exact — signatures are per-doc)
+    val mhr = NearDup.deleteFromIndex(
+      baseSigs.unionByName(deltaSigs),
+      corpus.filter(col("doc_id") % 10 === 4).select("doc_id"))
+      .agg(count(lit(1)).as("nsr"), sum(col("doc_id")).as("sds"))
+    val mhRetractRows = rows("minhash", expr(
+      "stack(2, 'n_sigs_after_retract', nsr," +
+        " 'sig_doc_sum_after_retract', sds)"), mhr)
     // dense: the shard assigned against the standing codebook
     val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
       .cut(false)
-    val dn = AnnIndex.assign(e, AnnIndex.train(e).cut(false))
+    val assigned = AnnIndex.assign(e, AnnIndex.train(e).cut(false))
+      .cut(false) // delta census + retraction census
+    val dn = assigned
       .filter(col("vec_id") % 3 === 0)
       .agg(count(lit(1)).as("ndv"),
         countDistinct(col("cluster")).as("ncl"),
@@ -1401,7 +1690,16 @@ object DedupSim {
     val denseRows = rows("dense", expr(
       "stack(3, 'n_delta_vecs', ndv, 'n_cells_touched', ncl," +
         " 'delta_id_sum', ids)"), dn)
-    sparseRows.unionByName(mhRows).unionByName(denseRows)
+    // dense retraction: frozen-codebook anti-join (AnnIndex.delete)
+    val dnr = AnnIndex.delete(assigned,
+      e.select("vec_id").filter(col("vec_id") % 10 === 4))
+      .agg(count(lit(1)).as("nvr"), sum(col("vec_id")).as("vis"))
+    val denseRetractRows = rows("dense", expr(
+      "stack(2, 'n_vecs_after_retract', nvr," +
+        " 'vec_id_sum_after_retract', vis)"), dnr)
+    sparseRows.unionByName(sparseRetractRows)
+      .unionByName(mhRows).unionByName(mhRetractRows)
+      .unionByName(denseRows).unionByName(denseRetractRows)
       .orderBy("family", "metric")
   }
   private lazy val w08Sql =
@@ -1451,18 +1749,47 @@ object DedupSim {
        |    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tf
        |     WHERE doc_id % 3 = 0) AS ntt,
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM plist) AS npa,
-       |    (SELECT t_tokens FROM stats) AS tta)
+       |    (SELECT t_tokens FROM stats) AS tta),
+       |spr AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tf
+       |     WHERE doc_id % 10 <> 4) AS ndr,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |       SELECT ROW_NUMBER() OVER (PARTITION BY tok
+       |         ORDER BY tf DESC, doc_id) AS prk
+       |       FROM tf WHERE doc_id % 10 <> 4)
+       |     WHERE prk <= ${graft.etl.SparseIndex.ImpactCap}) AS npr,
+       |    (SELECT CAST(SUM(tf) AS BIGINT) FROM tf
+       |     WHERE doc_id % 10 <> 4) AS ttr),
+       |mhr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nsr,
+       |    CAST(SUM(doc_id) AS BIGINT) AS sds
+       |  FROM sigs WHERE doc_id % 10 <> 4),
+       |dnr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nvr,
+       |    CAST(SUM(vec_id) AS BIGINT) AS vis
+       |  FROM assigned WHERE vec_id % 10 <> 4)
        |SELECT 'sparse' AS family, 'n_delta_docs' AS metric,
        |  ndd AS value FROM sp
        |UNION ALL SELECT 'sparse', 'n_touched_terms', ntt FROM sp
        |UNION ALL SELECT 'sparse', 'n_postings_after', npa FROM sp
        |UNION ALL SELECT 'sparse', 't_tokens_after', tta FROM sp
+       |UNION ALL SELECT 'sparse', 'n_docs_after_retract', ndr FROM spr
+       |UNION ALL SELECT 'sparse', 'n_postings_after_retract', npr
+       |  FROM spr
+       |UNION ALL SELECT 'sparse', 't_tokens_after_retract', ttr FROM spr
        |UNION ALL SELECT 'minhash', 'n_dup_base', nb FROM mh
        |UNION ALL SELECT 'minhash', 'n_dup_delta', nd FROM mh
        |UNION ALL SELECT 'minhash', 'n_new', nn FROM mh
+       |UNION ALL SELECT 'minhash', 'n_sigs_after_retract', nsr FROM mhr
+       |UNION ALL SELECT 'minhash', 'sig_doc_sum_after_retract', sds
+       |  FROM mhr
        |UNION ALL SELECT 'dense', 'n_delta_vecs', ndv FROM dn
        |UNION ALL SELECT 'dense', 'n_cells_touched', ncl FROM dn
        |UNION ALL SELECT 'dense', 'delta_id_sum', ids FROM dn
+       |UNION ALL SELECT 'dense', 'n_vecs_after_retract', nvr FROM dnr
+       |UNION ALL SELECT 'dense', 'vec_id_sum_after_retract', vis
+       |  FROM dnr
        |ORDER BY family, metric""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2261,7 +2588,8 @@ object DedupSim {
   // error; this SERVES from the compressed domain — per query, the
   // asymmetric-distance table (per subspace, squared L2 from the
   // query's slice to each of the 8 centroids — a |q|×8 relation,
-  // broadcast-sized by construction) and the ADC scan: every code row
+  // joined UNHINTED because |q| = corpus/100 grows with the corpus;
+  // AQE broadcasts it while small, x05's rule) and the ADC scan: every code row
   // scored by FOUR table lookups + a fixed left-assoc sum, never
   // touching the full-precision corpus vectors. The card is the
   // quantization-loss eval the deploy decision needs: ADC top-10 vs
@@ -2297,9 +2625,12 @@ object DedupSim {
             col("c_vv")).as(s"d$i"))
     }
     val wQ = Window.partitionBy("q_id")
+    // LUT joins unhinted: the LUT side is |q|x8 where |q| = corpus/100 —
+    // it GROWS with the corpus (x05's rule), so no broadcast pin; AQE
+    // broadcasts while genuinely small, shuffles once it is not.
     val adcTop = (1 until PqSub)
-      .foldLeft(codes.join(broadcast(luts(0)), Seq("code0")))((acc, i) =>
-        acc.join(broadcast(luts(i)), Seq("q_id", s"code$i")))
+      .foldLeft(codes.join(luts(0), Seq("code0")))((acc, i) =>
+        acc.join(luts(i), Seq("q_id", s"code$i")))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc",
         (0 until PqSub).map(i => col(s"d$i")).reduce(_ + _))
@@ -2307,9 +2638,11 @@ object DedupSim {
         wQ.orderBy(col("adc"), col("vec_id"))))
       .filter(col("rk") <= 10)
       .select("q_id", "vec_id", "rk")
+    // Unhinted cross join, x05's documented truth-slice shape: the
+    // query side grows with the corpus, so no driver-side pin.
     val truthTop = e
-      .join(broadcast(q.select(col("vec_id").as("q_id"),
-        col("emb").as("qe"))), col("vec_id") =!= col("q_id"))
+      .crossJoin(q.select(col("vec_id").as("q_id"), col("emb").as("qe")))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("l2", DotProduct(col("emb"), col("emb")) -
         lit(2.0) * DotProduct(col("emb"), col("qe")) +
         DotProduct(col("qe"), col("qe")))
@@ -2320,16 +2653,20 @@ object DedupSim {
     val hits = adcTop.select("q_id", "vec_id")
       .join(truthTop.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("nh"))
+    // Denominator = the per-query TRUTH-list size, not the literal 10:
+    // x93's rule — robust to corpora smaller than k.
+    val truthCnt = truthTop.groupBy("q_id").agg(count(lit(1)).as("nt"))
     truthTop.filter(col("rk") === 1)
       .select(col("q_id"), col("vec_id").as("exact_top1"))
       .join(adcTop.filter(col("rk") === 1)
         .select(col("q_id"), col("vec_id").as("adc_top1")), Seq("q_id"))
       .join(hits, Seq("q_id"), "left")
+      .join(truthCnt, Seq("q_id"))
       .select(col("q_id"), col("exact_top1"), col("adc_top1"),
         (col("exact_top1") === col("adc_top1")).cast("long")
           .as("top1_match"),
         coalesce(col("nh"), lit(0L)).as("n_hits"),
-        expr("1000000L * coalesce(nh, 0L) div 10").as("recall_ppm"))
+        expr("1000000L * coalesce(nh, 0L) div nt").as("recall_ppm"))
       .orderBy("q_id")
   }
   private lazy val x95Sql = {
@@ -2379,16 +2716,200 @@ object DedupSim {
        |  WHERE rk <= 10),
        |hits AS (
        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nh
-       |  FROM adctop JOIN truthtop USING (q_id, vec_id) GROUP BY 1)
+       |  FROM adctop JOIN truthtop USING (q_id, vec_id) GROUP BY 1),
+       |tcnt AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nt
+       |  FROM truthtop GROUP BY 1)
        |SELECT t.q_id, t.vec_id AS exact_top1, a.vec_id AS adc_top1,
        |  CAST(CASE WHEN t.vec_id = a.vec_id THEN 1 ELSE 0 END
        |    AS BIGINT) AS top1_match,
        |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
-       |  CAST(1000000 * COALESCE(h.nh, 0) // 10 AS BIGINT)
+       |  CAST(1000000 * COALESCE(h.nh, 0) // tc.nt AS BIGINT)
        |    AS recall_ppm
        |FROM truthtop t
        |JOIN adctop a ON a.q_id = t.q_id AND a.rk = 1
        |LEFT JOIN hits h ON h.q_id = t.q_id
+       |JOIN tcnt tc ON tc.q_id = t.q_id
+       |WHERE t.rk = 1
+       |ORDER BY t.q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X97 — IVFPQ serve: the composition x95 documented as "the natural
+  // next step" and VERDICT r9 named — x18's trained IVF prunes WHICH
+  // rows to score (each query scans only its nprobe=4 probed cells'
+  // postings) while x58's PQ codes shrink WHAT each row costs (four
+  // LUT lookups instead of 64 doubles) — the memory layout every
+  // 100 TB ANN index actually ships. Both halves reuse their gated
+  // kernels verbatim: the coarse codebook/probe ranking is x18's
+  // (duckIvfPrefix), the subspace codebooks/ADC tables are x58/x95's
+  // (duckPqCtes), so the gate composes two proven trainers rather than
+  // introducing a third. The card extends x95's quality eval with the
+  // price column that makes the trade measurable: per query, ADC
+  // recall@10 / top-1 agreement vs exact full-precision L2 AND
+  // n_scanned — the exact BIGINT count of code rows the query actually
+  // scored (flat x95 scans ALL rows; IVFPQ scans ~nprobe/K of them —
+  // AnnScalingSpec pins the floor). Scale: the scan relation is the
+  // probed-cell join (cluster-keyed, never all-rows); LUTs/truth
+  // follow x05's unhinted rule (query side grows with the corpus).
+  // ---------------------------------------------------------------------
+  private def x97(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.AnnIndex
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false) // consumers: IVF train/assign/probes, 4 PQ subspaces,
+                  // query LUTs, exact truth
+    val subs = (0 until PqSub).map(i => pqSubspace(e, i))
+    val codes = subs.map(_._1)
+      .reduce((a, b) => a.join(b, Seq("vec_id")))
+      .select(col("vec_id") +:
+        (0 until PqSub).map(i => col(s"code$i")): _*)
+    val cents = AnnIndex.train(e).cut(false) // probes + cell assignment
+    val cells = AnnIndex.assign(e, cents).select("vec_id", "cluster")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val probes = q
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", lit(1.0) -
+        DotProduct(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist").asc, col("c_id"))))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("q_id"), col("c_id").as("cluster"))
+    // ADC lookup tables — unhinted, x05's rule (|q| grows with corpus)
+    val luts = (0 until PqSub).map { i =>
+      q.select(col("vec_id").as("q_id"),
+        expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("qv"))
+        .withColumn("qvv", DotProduct(col("qv"), col("qv")))
+        .crossJoin(broadcast(subs(i)._2))
+        .select(col("q_id"), col("c_id").as(s"code$i"),
+          (col("qvv") - lit(2.0) * DotProduct(col("qv"), col("c_v")) +
+            col("c_vv")).as(s"d$i"))
+    }
+    // THE IVFPQ scan: only probed cells' code rows reach the ADC sum
+    val scan = codes.join(cells, Seq("vec_id"))
+      .join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .cut(false) // consumers: n_scanned census + the ADC ranking
+    val nScanned = scan.groupBy("q_id")
+      .agg(count(lit(1)).as("n_scanned"))
+    val wQ = Window.partitionBy("q_id")
+    val adcTop = (1 until PqSub)
+      .foldLeft(scan.join(luts(0), Seq("q_id", "code0")))((acc, i) =>
+        acc.join(luts(i), Seq("q_id", s"code$i")))
+      .withColumn("adc",
+        (0 until PqSub).map(i => col(s"d$i")).reduce(_ + _))
+      .withColumn("rk", row_number().over(
+        wQ.orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id", "rk")
+    val truthTop = e.select(col("vec_id"), col("emb"))
+      .crossJoin(q.select(col("vec_id").as("q_id"), col("emb").as("qe")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2", DotProduct(col("emb"), col("emb")) -
+        lit(2.0) * DotProduct(col("emb"), col("qe")) +
+        DotProduct(col("qe"), col("qe")))
+      .withColumn("rk", row_number().over(
+        wQ.orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id", "rk")
+    val hits = adcTop.select("q_id", "vec_id")
+      .join(truthTop.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("nh"))
+    val truthCnt = truthTop.groupBy("q_id").agg(count(lit(1)).as("nt"))
+    truthTop.filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("exact_top1"))
+      .join(adcTop.filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("ivfpq_top1")), Seq("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .join(truthCnt, Seq("q_id"))
+      .join(nScanned, Seq("q_id"))
+      .select(col("q_id"), col("exact_top1"), col("ivfpq_top1"),
+        (col("exact_top1") === col("ivfpq_top1")).cast("long")
+          .as("top1_match"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        expr("1000000L * coalesce(nh, 0L) div nt").as("recall_ppm"),
+        col("n_scanned"))
+      .orderBy("q_id")
+  }
+  private lazy val x97Sql = {
+    val lutJoins = (1 until PqSub).map(i =>
+      s"JOIN lut$i l$i ON l$i.q_id = s.q_id" +
+        s" AND l$i.c_id = s.code$i").mkString("\n       |  ")
+    s"""WITH $duckIvfPrefix,
+       |${(0 until PqSub).map(duckPqCtes).mkString(",\n")},
+       |codes AS (
+       |  SELECT vec_id, ${(0 until PqSub).map(i => s"code$i")
+            .mkString(", ")}
+       |  FROM code0
+       |  ${(1 until PqSub).map(i => s"JOIN code$i USING (vec_id)")
+            .mkString("\n       |  ")}),
+       |probes AS (
+       |  SELECT q_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 100 = 0)
+       |  WHERE rk <= $IvfProbes),
+       |${(0 until PqSub).map(i =>
+          s"""lut$i AS (
+             |  SELECT s.vec_id AS q_id, c.c_id,
+             |    s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv
+             |      AS d$i
+             |  FROM es$i s CROSS JOIN cb$i c
+             |  WHERE s.vec_id % 100 = 0)""".stripMargin)
+          .mkString(",\n")},
+       |scan AS (
+       |  SELECT p.q_id, k.vec_id,
+       |    ${(0 until PqSub).map(i => s"k.code$i").mkString(", ")}
+       |  FROM codes k
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN probes p ON p.cluster = a.cluster
+       |  WHERE k.vec_id <> p.q_id),
+       |nsc AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_scanned
+       |  FROM scan GROUP BY 1),
+       |adc AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${(0 until PqSub).map(i => s"l$i.d$i").mkString(" + ")} AS adc
+       |  FROM scan s
+       |  JOIN lut0 l0 ON l0.q_id = s.q_id AND l0.c_id = s.code0
+       |  $lutJoins),
+       |adctop AS (
+       |  SELECT q_id, vec_id, rk FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS rk FROM adc)
+       |  WHERE rk <= 10),
+       |q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id % 100 = 0),
+       |truthtop AS (
+       |  SELECT q_id, vec_id, rk FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${duckDot.format("e.emb", "e.emb")}
+       |          - 2.0 * ${duckDot.format("e.emb", "q.emb")}
+       |          + ${duckDot.format("q.emb", "q.emb")}, e.vec_id) AS rk
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+       |  WHERE rk <= 10),
+       |hits AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nh
+       |  FROM adctop JOIN truthtop USING (q_id, vec_id) GROUP BY 1),
+       |tcnt AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS nt
+       |  FROM truthtop GROUP BY 1)
+       |SELECT t.q_id, t.vec_id AS exact_top1, a.vec_id AS ivfpq_top1,
+       |  CAST(CASE WHEN t.vec_id = a.vec_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS top1_match,
+       |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+       |  CAST(1000000 * COALESCE(h.nh, 0) // tc.nt AS BIGINT)
+       |    AS recall_ppm,
+       |  n.n_scanned
+       |FROM truthtop t
+       |JOIN adctop a ON a.q_id = t.q_id AND a.rk = 1
+       |LEFT JOIN hits h ON h.q_id = t.q_id
+       |JOIN tcnt tc ON tc.q_id = t.q_id
+       |JOIN nsc n ON n.q_id = t.q_id
        |WHERE t.rk = 1
        |ORDER BY t.q_id""".stripMargin
   }
@@ -2405,23 +2926,23 @@ object DedupSim {
        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007,
        |    vec_id
        |  LIMIT $PqK),
-       |a$i AS (
+       |pqa$i AS (
        |  SELECT vec_id, v, c_id AS cluster FROM (
        |    SELECT s.vec_id, s.v, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
        |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
        |        c.c_id) AS rk
        |    FROM es$i s CROSS JOIN seeds$i c) WHERE rk = 1),
-       |m$i AS (
+       |pqm$i AS (
        |  SELECT cluster, j,
        |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(18,6))) AS VARCHAR)
        |        AS DOUBLE)
        |      / CAST(COUNT(*) AS DOUBLE) AS coord
-       |  FROM a$i, unnest(generate_series(1, len(v))) AS t(j)
+       |  FROM pqa$i, unnest(generate_series(1, len(v))) AS t(j)
        |  GROUP BY 1, 2),
        |vv$i AS (
        |  SELECT cluster AS c_id, list(coord ORDER BY j) AS c_v
-       |  FROM m$i GROUP BY 1),
+       |  FROM pqm$i GROUP BY 1),
        |cb$i AS (
        |  SELECT c_id, c_v, ${duckDot.format("c_v", "c_v")} AS c_vv
        |  FROM vv$i),
@@ -3786,6 +4307,8 @@ object DedupSim {
     QueryDef("x57_contam_spans", Some(x57Sql), x57),
     QueryDef("x58_pq_codes", Some(x58Sql), x58),
     QueryDef("x95_pq_adc_serve", Some(x95Sql), x95),
+    QueryDef("x97_ivfpq_serve", Some(x97Sql), x97),
+    QueryDef("x93b_funnel_sweep", Some(x93bSql), x93b),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),
     QueryDef("x62_hard_negatives", Some(x62Sql), x62),

@@ -2040,10 +2040,23 @@ object Insights {
   // dedup — the W·|daily| explode that q62 pays survives here only on
   // the days×k sketch relation, which is the crossover's entire point.
   // ---------------------------------------------------------------------
-  private val KmvWinK = 128
-  private val KmvWinM = 1000000007L
+  // Constants come THROUGH the library object (graft.streaming
+  // .SlidingKmv) — a change there changes these SQL twins at compile
+  // time, not as a later oracle-gate surprise.
+  private val KmvWinK = graft.streaming.SlidingKmv.K
+  private val KmvWinM = graft.streaming.SlidingKmv.M
+  private val KmvHashA = graft.streaming.SlidingKmv.HashA
+  private val KmvHashB = graft.streaming.SlidingKmv.HashB
   private val KmvWinBoundPpm: Long =
     math.ceil(2e6 / math.sqrt((KmvWinK - 2).toDouble)).toLong
+  /** Spark-side floored-mod hash, ≡ SlidingKmv.hash for ALL ids
+    * (pmod mirrors Math.floorMod; plain % would diverge on negatives). */
+  private def kmvHashSpark(c: String): String =
+    s"pmod(${KmvHashA}L * pmod($c, ${KmvWinM}L) + ${KmvHashB}L, ${KmvWinM}L)"
+  /** DuckDB twin of the same floored-mod hash (DuckDB % follows the
+    * dividend sign, so wrap with the ((x%m)+m)%m identity). */
+  private def kmvHashDuck(c: String): String =
+    s"((($KmvHashA * ((($c % $KmvWinM) + $KmvWinM) % $KmvWinM) + $KmvHashB) % $KmvWinM) + $KmvWinM) % $KmvWinM"
 
   private def x91(s: SparkSession, d: String): DataFrame = {
     val wDay = Window.partitionBy("day").orderBy("h")
@@ -2051,8 +2064,7 @@ object Insights {
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct().cut(false) // sketch path + exact path
     val dh = daily
-      .withColumn("h", expr(
-        s"(2654435761L * (user_id % $KmvWinM) + 12345L) % $KmvWinM"))
+      .withColumn("h", expr(kmvHashSpark("user_id")))
       .select("day", "h").distinct()
     val daySk = dh
       .withColumn("rk", row_number().over(wDay))
@@ -2089,7 +2101,7 @@ object Insights {
       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
       |dh AS (
       |  SELECT DISTINCT day,
-      |    (2654435761 * (user_id % $KmvWinM) + 12345) % $KmvWinM AS h
+      |    ${kmvHashDuck("user_id")} AS h
       |  FROM daily),
       |daysk AS (
       |  SELECT day, h FROM (
@@ -2151,8 +2163,7 @@ object Insights {
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct().cut(false) // sketch path + exact dau
     val daySk = daily
-      .withColumn("h", expr(
-        s"(2654435761L * (user_id % $SkM) + 12345L) % $SkM"))
+      .withColumn("h", expr(kmvHashSpark("user_id")))
       .select("day", "h").distinct()
       .withColumn("rk", row_number().over(wDay))
       .filter(col("rk") <= SkK)
@@ -2177,7 +2188,7 @@ object Insights {
       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
       |dh AS (
       |  SELECT DISTINCT day,
-      |    (2654435761 * (user_id % $KmvWinM) + 12345) % $KmvWinM AS h
+      |    ${kmvHashDuck("user_id")} AS h
       |  FROM daily),
       |daysk AS (
       |  SELECT day, h FROM (

@@ -1201,6 +1201,12 @@ object TextOps {
     s.createDataFrame(merges).orderBy("merge_rank")
   }
 
+  // chosen_r is LEFT-joined ON TRUE (not CROSS) so a DRY round — pair
+  // stats exhausted before K merges on a tiny corpus — passes prev
+  // through unchanged (ma/mb NULL → no position matches → identity
+  // renumber), matching BpeTrain.train's early-exhaustion grace of
+  // returning the last non-empty symbol relation. With the normal
+  // 1-row chosen_r the two joins are identical.
   private def bpeRoundCtes(r: Int): String = {
     val prev = s"syms_${r - 1}"
     s"""pre_$r AS MATERIALIZED (
@@ -1215,7 +1221,7 @@ object TextOps {
        |flagged_$r AS MATERIALIZED (
        |  SELECT s.word, s.freq, s.pos, s.sym, c.ma, c.mb,
        |    LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
-       |  FROM $prev s CROSS JOIN chosen_$r c),
+       |  FROM $prev s LEFT JOIN chosen_$r c ON TRUE),
        |mpos_$r AS MATERIALIZED (
        |  SELECT word, pos,
        |    pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
@@ -1830,14 +1836,18 @@ object TextOps {
       .select("q_id", "tok")
     SparseIndex.serve(qterms, idx)
   }
-  /** The oracle's index-build CTE chain — shared verbatim by x80 (the
-    * serve path) and x88 (the build card), so the persisted index and
-    * the query path can never be built apart (duckIvfPrefix's trick). */
-  private[queries] val bm25IndexCtes =
+  /** The oracle's index-build CTE chain over `documents` rows passing
+    * `docWhere` ("" = all), truncated at `cap` — shared verbatim by
+    * x80 (the serve path), x88 (the build card), x92 (append ≡
+    * rebuild) and x96 (delete ≡ rebuild-without-the-docs), so the
+    * persisted index and every maintenance path are gated against ONE
+    * build definition (duckIvfPrefix's trick). */
+  private[queries] def bm25IndexCtesFor(docWhere: String,
+      cap: Int): String =
     s"""toks AS (
       |  SELECT doc_id,
       |    UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS tok
-      |  FROM documents),
+      |  FROM documents $docWhere),
       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
       |       FROM toks WHERE tok <> '' GROUP BY 1, 2),
       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
@@ -1851,7 +1861,8 @@ object TextOps {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tok
       |      ORDER BY tf DESC, doc_id) AS prk
       |    FROM tf)
-      |  WHERE prk <= $BmImpactCap)""".stripMargin
+      |  WHERE prk <= $cap)""".stripMargin
+  private[queries] val bm25IndexCtes = bm25IndexCtesFor("", BmImpactCap)
   private[queries] val x80Sql =
     s"""WITH $bm25IndexCtes,
       |qterms AS (
@@ -1930,9 +1941,10 @@ object TextOps {
       .cut(false) // consumers: plist truncation, df, dl
     sparseCensus(SparseIndex.build(tf))
   }
-  private val x88Sql =
-    s"""WITH $bm25IndexCtes
-      |SELECT p.tok, f.df,
+  /** The census SELECT over a built index's CTEs — shared by x88/x92/
+    * x96 so all three maintenance gates check identical columns. */
+  private val sparseCensusSelect =
+    """SELECT p.tok, f.df,
       |  CAST(COUNT(*) AS BIGINT) AS n_postings,
       |  CAST(SUM(p.tf) AS BIGINT) AS tf_sum,
       |  CAST(SUM(p.doc_id) AS BIGINT) AS doc_sum,
@@ -1940,6 +1952,7 @@ object TextOps {
       |  s.n_docs, s.t_tokens
       |FROM plist p JOIN df f USING (tok) CROSS JOIN stats s
       |GROUP BY 1, 2, 8, 9 ORDER BY tok""".stripMargin
+  private val x88Sql = s"WITH $bm25IndexCtes\n$sparseCensusSelect"
 
   // ---------------------------------------------------------------------
   // X92 — incremental sparse-index append, gated CROSS-ENGINE: the
@@ -1967,6 +1980,42 @@ object TextOps {
       SparseIndex.append(base, tf.filter(col("doc_id") % 3 === 0)))
   }
   private lazy val x92Sql = x88Sql // append must equal the full rebuild
+
+  // ---------------------------------------------------------------------
+  // X96 — index DELETE, gated CROSS-ENGINE: the retraction half of the
+  // maintenance lifecycle x92 opened (append), closing the gap VERDICT
+  // r9 named — a nightly-ingest deployment must be able to RETRACT or
+  // REVISE a document, and until now no persisted family could. The
+  // Spark side builds the full index, retracts every doc_id % 10 = 3
+  // through SparseIndex.delete — the interesting path is the
+  // UN-TRUNCATION: a deleted posting inside a term's stored top-cap
+  // leaves a hole the capped list cannot fill from itself, so touched
+  // terms re-truncate from the kept full-tf relation (the fifth stored
+  // table, kept for exactly this) — and emits x88's census card over
+  // the RESULT, while the oracle is the full-from-scratch build over
+  // the corpus WITHOUT the deleted docs. Hash equality therefore
+  // proves delete ≡ rebuild-without-the-docs on every term's list,
+  // df decrement, and the corpus stats, against an engine that never
+  // saw a delete. The cap here is LOW (8, both engines) so every
+  // term's list overflows at every gated scale and the backfill path
+  // is exercised corpus-wide, not incidentally. Scale: delete cost ∝
+  // the deleted docs' postings + a re-truncation bounded by their
+  // touched terms — the rest of the index is never read.
+  // ---------------------------------------------------------------------
+  private val X96Cap = 8
+
+  private def x96(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.SparseIndex
+    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // consumers: full build (plist/df/dl), delete's kept-tf
+    val del = tf.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 3)
+    sparseCensus(SparseIndex.delete(SparseIndex.build(tf, X96Cap), del,
+      X96Cap))
+  }
+  private lazy val x96Sql =
+    s"WITH ${bm25IndexCtesFor("WHERE doc_id % 10 <> 3", X96Cap)}\n" +
+      sparseCensusSelect
 
   // ---------------------------------------------------------------------
   // X84 — per-source Gini concentration: how unequally is a source's
@@ -2156,6 +2205,7 @@ object TextOps {
     QueryDef("x88_sparse_index_build", Some(x88Sql), x88),
     QueryDef("x89_bpe_train", Some(x89Sql), x89),
     QueryDef("x90_bpe_apply", Some(x90Sql), x90),
-    QueryDef("x92_sparse_index_append", Some(x92Sql), x92)
+    QueryDef("x92_sparse_index_append", Some(x92Sql), x92),
+    QueryDef("x96_index_delete", Some(x96Sql), x96)
   )
 }

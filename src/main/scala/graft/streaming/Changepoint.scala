@@ -23,21 +23,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ChangepointSpec pins. An alarm fires when either side exceeds
   * 3·ref_ppm (three average days of cumulative excess/deficit).
   *
-  * State-schema compatibility (ADVICE r8): r8 added `lastDay` to
-  * [[CusumState]] — a BREAKING change for checkpoints written by the
-  * r7 schema (flatMapGroupsWithState state restore fails on encoder
-  * mismatch; Spark does not migrate case-class state). Fresh runs are
-  * unaffected. A long-running st09 monitor upgrading across that
-  * boundary must restart from a new checkpoint and re-seed via the
-  * batch twin q52 (the repair path for the prefix statistic) — the
-  * same discipline any state-schema evolution of this operator needs
-  * until it serializes an explicitly versioned state row.
+  * State-schema compatibility: state rows are VERSION-TAGGED
+  * ([[StateVer]]) — r8's silent break (adding `lastDay` to
+  * [[CusumState]] made r7 checkpoints fail on encoder mismatch, or
+  * worse, a same-shape change would have misdecoded) now fails loud:
+  * any future layout/semantics change bumps the tag, and a restore
+  * under a mismatched tag throws with the repair path in the message
+  * (restart from a fresh checkpoint, re-seed via the batch twin q52 —
+  * the prefix statistic's recompute path).
   */
 object Changepoint {
 
+  /** State-layout version. Bump on ANY [[CusumState]] shape or
+    * semantics change; restore under a mismatched tag throws. */
+  val StateVer = 3 // v1 = r7 (no lastDay), v2 = r8 (+lastDay), v3 = +ver
+
   final case class DayCount(event_type: String, day: Date, c: Long,
       ref_ppm: Long)
-  final case class CusumState(p: Long, minP: Long, maxP: Long,
+  final case class CusumState(ver: Int, p: Long, minP: Long, maxP: Long,
       nDays: Long, maxSPos: Long, maxSNeg: Long, nAlarms: Long,
       firstAlarmDays: Long, // epoch days of first alarm; -1 = none
       lastDay: Long) // high-water mark: last folded epoch day; -1 = none
@@ -60,8 +63,11 @@ object Changepoint {
   def step(tpe: String, rows: Iterator[DayCount],
       state: GroupState[CusumState]): Iterator[Summary] = {
     val sorted = rows.toSeq.sortBy(_.day.toLocalDate.toEpochDay)
+    state.getOption.foreach(x => require(x.ver == StateVer,
+      s"Changepoint state version ${x.ver} != $StateVer — restart from " +
+        "a fresh checkpoint and re-seed via the batch twin q52"))
     var s = state.getOption.getOrElse(
-      CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L))
+      CusumState(StateVer, 0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L))
     sorted.foreach { r =>
       val epochDay = r.day.toLocalDate.toEpochDay
       if (epochDay > s.lastDay) {
@@ -71,7 +77,7 @@ object Changepoint {
       val sPos = p - minP
       val sNeg = maxP - p
       val alarm = sPos > 3L * r.ref_ppm || sNeg > 3L * r.ref_ppm
-      s = CusumState(p, minP, maxP, s.nDays + 1,
+      s = CusumState(StateVer, p, minP, maxP, s.nDays + 1,
         math.max(s.maxSPos, sPos), math.max(s.maxSNeg, sNeg),
         s.nAlarms + (if (alarm) 1L else 0L),
         if (alarm && s.firstAlarmDays < 0) epochDay else s.firstAlarmDays,

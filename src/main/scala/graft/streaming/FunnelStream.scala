@@ -34,8 +34,12 @@ object FunnelStream {
   /** One event with its time already in exact epoch µs (converted
     * relationally via unix_micros, the q56 contract). */
   final case class Ev(user_id: Long, event_type: String, us: Long)
+  /** State-layout version. Bump on ANY [[FunnelState]] shape or
+    * semantics change; restore under a mismatched tag throws. */
+  val StateVer = 2 // v1 = untagged r8 layout
+
   /** Step times in epoch µs; -1 = step not reached. */
-  final case class FunnelState(t0: Long, t1: Long, t2: Long)
+  final case class FunnelState(ver: Int, t0: Long, t1: Long, t2: Long)
   final case class UserFunnel(user_id: Long, t0: Long, t1: Long,
       t2: Long)
 
@@ -44,7 +48,10 @@ object FunnelStream {
   /** Fold new events into the user's funnel state. Pure. */
   def step(windowUs: Long)(userId: Long, rows: Iterator[Ev],
       state: GroupState[FunnelState]): Iterator[UserFunnel] = {
-    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    state.getOption.foreach(x => require(x.ver == StateVer,
+      s"FunnelStream state version ${x.ver} != $StateVer — restart " +
+        "from a fresh checkpoint and re-seed via the batch twin q56"))
+    var s = state.getOption.getOrElse(FunnelState(StateVer, -1L, -1L, -1L))
     // event-time order within the batch: minima advance correctly
     rows.toSeq.sortBy(_.us).foreach { r =>
       val us = r.us

@@ -74,6 +74,36 @@ class AnnScalingSpec extends SparkSpec {
         s"baseline ($untrainedRecall)")
   }
 
+  test("IVFPQ scans a strict subset of the flat ADC scan at bounded recall cost") {
+    // x95 (flat ADC) scores ALL code rows per query: |corpus|-1 each.
+    // x97 (IVFPQ) scores only the nprobe=4-of-16 probed cells' rows —
+    // the n_scanned column the card carries must sit well under the
+    // flat count, and the quantization+pruning recall must not fall
+    // off a cliff vs flat ADC (pruning can only remove candidates).
+    val n = Tables.fanout(Tables.embeddings(spark, sf)).count()
+    val ivfpq = graft.SparkEntry.queries("x97_ivfpq_serve")(spark, sf)
+      .select("q_id", "n_hits", "n_scanned").collect()
+    assert(ivfpq.nonEmpty)
+    val scanned = ivfpq.map(_.getLong(2))
+    val flatPerQuery = n - 1
+    // every query must scan < half the flat cost; the mean should be
+    // near nprobe/K = 1/4 (allow slack for uneven trained cells)
+    assert(scanned.max < flatPerQuery / 2,
+      s"max scanned ${scanned.max} vs flat $flatPerQuery")
+    val meanFrac = scanned.sum.toDouble / scanned.length / flatPerQuery
+    assert(meanFrac < 0.45, s"mean scan fraction $meanFrac")
+    // recall floor: flat ADC at sf0.001 measures ~0.55; pruning costs
+    // some hits but a working composition stays above a third of the
+    // truth list on average (an empty/broken scan join fails here)
+    val flat = graft.SparkEntry.queries("x95_pq_adc_serve")(spark, sf)
+      .select("q_id", "n_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanIvfpqHits = ivfpq.map(_.getLong(1)).sum.toDouble / ivfpq.length
+    val meanFlatHits = flat.values.sum.toDouble / flat.size
+    assert(meanIvfpqHits >= meanFlatHits * 0.5,
+      s"IVFPQ hits $meanIvfpqHits collapsed vs flat $meanFlatHits")
+  }
+
   test("over-full buckets are dropped by the skew cap") {
     val hot = (1 to 120).map(i => (i.toLong, Array.fill(64)(1.0)))
     val cold = (200 to 240).map { i =>

@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast onto the per-term build card — never grows"),
     "x92_sparse_index_append" -> ("x88's census card over the appended " +
       "index — the same 1-row corpus-stats scalar, never grows"),
+    "x96_index_delete" -> ("x88's census card over the deleted " +
+      "index — the same 1-row corpus-stats scalar, never grows"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +
@@ -36,18 +38,29 @@ class PlanAuditSpec extends SparkSpec {
       "and x05b (bounded plane index) verbatim — inherits exactly " +
       "their allowlisted bounded sides; fusion/rerank/packing are " +
       "keyed joins and windows only"),
+    "x93b_funnel_sweep" -> ("composes x80/x05b/x05's documented " +
+      "bounded arms; the 1-row cost censuses (n_dense_pairs, " +
+      "n_rerank_rows) cross-join into 1-row config summaries — " +
+      "never grow; the flips fan-out is the constant plane count"),
     "x93_funnel_recall" -> ("composes w07 and x05's documented " +
       "brute-force truth slice verbatim — inherits exactly their " +
       "allowlisted bounded sides; the eval itself is keyed joins " +
       "over <= 10-rows/query relations"),
     "w08_nightly_ingest" -> ("x18's fixed 16-row codebook broadcasts " +
-      "(train/assign argmins) plus the three 1-row family-card " +
-      "scalars cross-joined into the 10-row report — never grows"),
+      "(train/assign argmins) plus the 1-row family-card scalars " +
+      "(append + retraction censuses) cross-joined into the 17-row " +
+      "report — never grows"),
     "x95_pq_adc_serve" -> ("x58's fixed 8-row PQ codebooks broadcast " +
-      "for training and the |q|x8 ADC lookup tables for the " +
-      "compressed-domain scan, plus x05's documented bounded " +
-      "brute-force truth slice for the recall gate — none grow " +
-      "with the corpus"),
+      "for training (never grow); the |q|x8 ADC lookup tables and " +
+      "the truth slice are UNHINTED — the query side grows with the " +
+      "corpus (x05's rule), so AQE decides; the cartesian is x05's " +
+      "documented brute-force truth slice, joined unkeyed on purpose"),
+    "x97_ivfpq_serve" -> ("x18's fixed 16-row coarse codebook and " +
+      "x58's fixed 8-row PQ codebooks broadcast for training/probing " +
+      "(never grow); LUTs and the truth slice are UNHINTED (query " +
+      "side grows with the corpus — x05's rule); the cartesian is " +
+      "x05's documented brute-force truth slice, joined unkeyed on " +
+      "purpose"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -239,15 +239,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     // w07's 18 audited stages + x05's truth slice + the per-query
     // eval join/agg over two <= 10-rows/query relations + final sort
     "x93_funnel_recall" -> 22,
+    // three funnel configs over shared cut arms (truth, sparse, the
+    // bucketed corpus): per config one fuse window + rerank window +
+    // pack window + grade agg; the two dense arms add a pair census
+    // and top-10 window each — everything candidate-list-sized
+    "x93b_funnel_sweep" -> 22,
     // x04's capped-grain truth join + the library edges path (sig agg,
     // banded candidate join, verify joins) + the pair-keyed eval
     // full-outer + band agg/sort — two audited bounded plans composed
     "x94_dedup_eval" -> 10,
     // the nightly-shard flagship: sparse build+append stages + the
     // minhash incremental band/verify joins + the dense train/assign
-    // aggs + three 1-row family cards unioned — each leg its family's
-    // audited plan over ONE shared shard definition
-    "w08_nightly_ingest" -> 19,
+    // aggs + 1-row family cards unioned — each leg its family's
+    // audited plan over ONE shared shard definition.
+    // 19 -> 32 (r10): the retraction legs landed (SparseIndex.delete's
+    // touched-term split + re-truncation window + dl/df/stats re-aggs,
+    // the minhash/dense anti-join censuses); the appended plist is cut
+    // so its three consumers stop re-planning the append subtree
+    // (43 -> 32); steady sf0.1 cost measured flat (5.6 s vs 5.5 r9)
+    "w08_nightly_ingest" -> 32,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
@@ -276,6 +286,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // union aggs + the touched-term re-truncation window + the census
     // — the append theorem gated against the full-rebuild oracle
     "x92_sparse_index_append" -> 11,
+    // full build stages (tf agg + df/dl/stats + truncation window) +
+    // the delete's touched-term split and re-truncation window + the
+    // census agg/sort; the deleted-doc tf and the 1-row stats ride
+    // broadcasts
+    "x96_index_delete" -> 10,
     // per-word token census + the n_tokens-bucket agg + sort over the
     // trained (checkpointed) symbol relation; training cost as x89
     "x90_bpe_apply" -> 3,
@@ -313,10 +328,19 @@ class ShuffleBudgetSpec extends SparkSpec {
     // per-subspace Lloyd chains stop being recounted per consumer;
     // only the code-join and final sort exchanges remain visible
     "x58_pq_codes" -> 5,
-    // x58's cut training + the codes joins + the ADC/truth top-10
-    // windows, hits agg and card joins; the LUT and scan joins ride
-    // broadcasts (the |q|x8 tables and 8-row codebooks never shuffle)
-    "x95_pq_adc_serve" -> 16,
+    // 16 -> 33 (r10, ADVICE): the LUT and truth joins lost their
+    // broadcast() pins because the query side GROWS with the corpus
+    // (x05's rule) — statically they now plan as shuffle joins (4 LUT
+    // joins + truth-slice + recall-denominator agg), and AQE converts
+    // them back to broadcasts at runtime while the sides are genuinely
+    // small (measured steady 3.4s at sf0.1 vs 4.9s hinted)
+    "x95_pq_adc_serve" -> 33,
+    // x18's cut IVF train + cell assignment + x58's cut PQ trainers +
+    // the probe window, the cluster-keyed scan join (cut: census + ADC
+    // ranking), 4 unhinted LUT joins, ADC/truth top-10 windows and the
+    // card joins — two audited trainers composed, nothing all-pairs
+    // except x05's documented truth slice
+    "x97_ivfpq_serve" -> 26,
     // 3 groupBy-on-dst iteration shuffles + the top-20 sort + one
     // visible join-side exchange; the pairs-distinct and deg aggs sit
     // behind lazy cuts

@@ -48,6 +48,7 @@ class SparseIndexSpec extends SparkSpec {
     assert(tableKey(loaded.plist) == tableKey(idx.plist))
     assert(tableKey(loaded.df) == tableKey(idx.df))
     assert(tableKey(loaded.stats) == tableKey(idx.stats))
+    assert(tableKey(loaded.tf) == tableKey(idx.tf))
     val served = servedKey(SparseIndex.serve(q, loaded))
     assert(served == inline,
       s"persisted-index serve drifted: ${(inline -- served).take(3)}")
@@ -68,6 +69,54 @@ class SparseIndexSpec extends SparkSpec {
     assert(tableKey(appended.df) == tableKey(rebuilt.df))
     assert(tableKey(appended.dl) == tableKey(rebuilt.dl))
     assert(tableKey(appended.stats) == tableKey(rebuilt.stats))
+  }
+
+  test("delete is bit-identical to a rebuild without the docs (backfill exercised)") {
+    val t = tf
+    // LOW cap: every term's list overflows at sf0.001, so deleting docs
+    // inside the top-cap forces the un-truncation backfill path
+    val cap = 5
+    val del = t.filter(col("doc_id") % 4 === 1).select("doc_id").distinct()
+    assert(del.count() > 0)
+    val deleted = SparseIndex.delete(SparseIndex.build(t, cap), del, cap)
+    val rebuilt = SparseIndex.build(
+      t.join(del, Seq("doc_id"), "left_anti"), cap)
+    assert(tableKey(deleted.plist) == tableKey(rebuilt.plist),
+      "posting lists drifted under delete (backfill wrong)")
+    assert(tableKey(deleted.df) == tableKey(rebuilt.df),
+      "df decrement drifted from a recount")
+    assert(tableKey(deleted.dl) == tableKey(rebuilt.dl))
+    assert(tableKey(deleted.stats) == tableKey(rebuilt.stats))
+    assert(tableKey(deleted.tf) == tableKey(rebuilt.tf))
+  }
+
+  test("revise = delete + append round-trips to the revised rebuild") {
+    val t = tf
+    val cap = 5
+    val revisedIds = t.filter(col("doc_id") % 7 === 2)
+      .select("doc_id").distinct()
+    // the revision: the same docs with every tf bumped by 1
+    val revisedTf = t.join(revisedIds, Seq("doc_id"), "left_semi")
+      .withColumn("tf", col("tf") + 1L)
+    val viaLifecycle = SparseIndex.append(
+      SparseIndex.delete(SparseIndex.build(t, cap), revisedIds, cap),
+      revisedTf, cap)
+    val rebuilt = SparseIndex.build(
+      t.join(revisedIds, Seq("doc_id"), "left_anti")
+        .unionByName(revisedTf), cap)
+    assert(tableKey(viaLifecycle.plist) == tableKey(rebuilt.plist))
+    assert(tableKey(viaLifecycle.df) == tableKey(rebuilt.df))
+    assert(tableKey(viaLifecycle.stats) == tableKey(rebuilt.stats))
+  }
+
+  test("deleting ids absent from the corpus is a no-op") {
+    import spark.implicits._
+    val t = tf
+    val idx = SparseIndex.build(t)
+    val ghost = Seq(-999999L).toDF("doc_id")
+    val after = SparseIndex.delete(idx, ghost)
+    assert(tableKey(after.plist) == tableKey(idx.plist))
+    assert(tableKey(after.stats) == tableKey(idx.stats))
   }
 
   test("append rejects overlapping doc_ids (revise = delete + append)") {

@@ -97,4 +97,21 @@ class ChangepointSpec extends SparkSpec {
       assert(v == batch(k), s"$k: stream $v != batch ${batch(k)}")
     }
   }
+
+  test("restore under a mismatched state version fails loud") {
+    val ref = 100L * 1000000L
+    val stale = org.apache.spark.sql.streaming.TestGroupState.create[
+      Changepoint.CusumState](
+      org.apache.spark.api.java.Optional.of(Changepoint.CusumState(
+        Changepoint.StateVer - 1, 0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val rows = Seq(Changepoint.DayCount("t",
+      Date.valueOf(java.time.LocalDate.ofEpochDay(19000L)), 100L, ref))
+    val e = intercept[IllegalArgumentException] {
+      Changepoint.step("t", rows.iterator, stale)
+    }
+    assert(e.getMessage.contains("state version"))
+  }
 }
