@@ -30,7 +30,7 @@ package graft
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
   * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream`, `Engine.SlidingKmv` | watermark-bounded state; batch ≡ stream parity-tested |
-  * | Persisted indexes | `Engine.AnnIndex` (IVF build/serve), `Engine.NearDup.writeIndex/incrementalEdges`, `Engine.SparseIndex` (BM25 build/serve/append) | build once, serve/append forever; round trips + exact append spec-proven |
+  * | Persisted indexes | `Engine.AnnIndex` (IVF), `Engine.PqIndex` (IVFPQ compressed layout), `Engine.NearDup.writeIndex/incrementalEdges/deleteFromIndex`, `Engine.SparseIndex` (BM25) | build once, serve/append/DELETE forever; round trips + exact append/delete spec-proven in all four families |
   * | Tokenizer training | `Engine.BpeTrain.train/applyMerge` | K-merge BPE under iterate-with-cut; constant plan depth in K |
   * | Graph ranking | `Engine.PageRank.runFixed/runConverged` | exact BIGINT ranks; iterate-with-cut keeps plan depth constant |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
@@ -57,6 +57,7 @@ object Engine {
   val Bucketing = etl.Bucketing
   // persisted retrieval indexes + graph ranking + tokenizer training
   val AnnIndex = etl.AnnIndex
+  val PqIndex = etl.PqIndex
   val SparseIndex = etl.SparseIndex
   val BpeTrain = etl.BpeTrain
   val PageRank = etl.PageRank

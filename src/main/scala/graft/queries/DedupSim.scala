@@ -2522,51 +2522,23 @@ object DedupSim {
   // pairwise, codebooks O(1) at any sf. The 4 subspace outputs join
   // back on vec_id (keyed).
   // ---------------------------------------------------------------------
-  private val PqSub = 4
-  private val PqDims = 16
-  private val PqK = 8
+  // The PQ kernels (subspace slicing, hash-spread seeds + one exact
+  // Lloyd step, frozen-book encode) moved to the library module
+  // [[graft.etl.PqIndex]] in r10 — the compressed build/serve split a
+  // deployment needs (coarse + cells + books + codes persisted once;
+  // PqIndexSpec proves write→read→serve ≡ the inline x97 path). The
+  // queries here compose them inline so the x58/x95/x97 oracles stay
+  // the single gate for the whole family.
+  private val PqSub = graft.etl.PqIndex.Sub
+  private val PqDims = graft.etl.PqIndex.Dims
+  private val PqK = graft.etl.PqIndex.K
 
   /** One trained PQ subspace: (codes_i(vec_id, code_i, err_i),
-    * codebook_i(c_id, c_v, c_vv)) — x58's chain verbatim, factored so
-    * x95's ADC serve trains the SAME codebooks the code card gates. */
-  private def pqSubspace(e: DataFrame, i: Int)
-      : (DataFrame, DataFrame) = {
-    val es = e.select(col("vec_id"),
-      expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("v"))
-      .withColumn("vv", DotProduct(col("v"), col("v")))
-      .cut(false) // seeds + Lloyd assign + code assign
-    val seeds = es
-      .orderBy(((col("vec_id") % 2147483648L) * 2654435761L)
-        % 1000000007L, col("vec_id"))
-      .limit(PqK)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
-        col("vv").as("c_vv"))
-    def assign(cb: DataFrame): DataFrame = es.crossJoin(broadcast(cb))
-      .withColumn("dist", col("vv") -
-        lit(2.0) * DotProduct(col("v"), col("c_v")) + col("c_vv"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("v").as("v"), col("c_id").as("c_id"),
-        col("dist").as("dist")),
-        struct(col("dist"), col("c_id"))).as("b"))
-      .select(col("vec_id"), col("b.v").as("v"),
-        col("b.c_id").as("cluster"), col("b.dist").as("dist"))
-    val cb1 = assign(seeds)
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
-        count(lit(1)).cast("double")).as("coord"))
-      .groupBy(col("cluster"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, coord)" +
-        ")), s -> s.coord)").as("c_v"))
-      .select(col("cluster").as("c_id"), col("c_v"))
-      .withColumn("c_vv", DotProduct(col("c_v"), col("c_v")))
-      // ≤8 rows; cut so the trained-codebook subtree plans once per
-      // consumer (x95 reads it twice: code assignment + query LUTs)
-      .cut(false)
-    (assign(cb1)
-      .select(col("vec_id"), col("cluster").as(s"code$i"),
-        col("dist").as(s"err$i")), cb1)
-  }
+    * codebook_i(c_id, c_v, c_vv)) — x58's chain through the library,
+    * so x95/x97's ADC serve trains the SAME codebooks the code card
+    * gates. */
+  private def pqSubspace(e: DataFrame, i: Int): (DataFrame, DataFrame) =
+    graft.etl.PqIndex.subspace(e, i)
 
   private def x58(s: SparkSession, d: String): DataFrame = {
     val e = Tables.fanout(Tables.embeddings(s, d))
@@ -2754,56 +2726,21 @@ object DedupSim {
   // follow x05's unhinted rule (query side grows with the corpus).
   // ---------------------------------------------------------------------
   private def x97(s: SparkSession, d: String): DataFrame = {
-    import graft.etl.AnnIndex
+    import graft.etl.{AnnIndex, PqIndex}
     val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
-      .cut(false) // consumers: IVF train/assign/probes, 4 PQ subspaces,
-                  // query LUTs, exact truth
-    val subs = (0 until PqSub).map(i => pqSubspace(e, i))
-    val codes = subs.map(_._1)
-      .reduce((a, b) => a.join(b, Seq("vec_id")))
-      .select(col("vec_id") +:
-        (0 until PqSub).map(i => col(s"code$i")): _*)
-    val cents = AnnIndex.train(e).cut(false) // probes + cell assignment
-    val cells = AnnIndex.assign(e, cents).select("vec_id", "cluster")
+      .cut(false) // consumers: IVF train/assign, 4 PQ subspaces,
+                  // query side, exact truth
+    // the library build/serve split — write→read parity held by
+    // PqIndexSpec; this inline composition is what the oracle gates
+    val idx = PqIndex.build(e)
     val q = e.filter(col("vec_id") % 100 === 0)
-    val probes = q
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", lit(1.0) -
-        DotProduct(col("q_emb"), col("c_emb")) /
-          (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-        .orderBy(col("dist").asc, col("c_id"))))
-      .filter(col("rk") <= IvfProbes)
-      .select(col("q_id"), col("c_id").as("cluster"))
-    // ADC lookup tables — unhinted, x05's rule (|q| grows with corpus)
-    val luts = (0 until PqSub).map { i =>
-      q.select(col("vec_id").as("q_id"),
-        expr(s"slice(emb, ${PqDims * i + 1}, $PqDims)").as("qv"))
-        .withColumn("qvv", DotProduct(col("qv"), col("qv")))
-        .crossJoin(broadcast(subs(i)._2))
-        .select(col("q_id"), col("c_id").as(s"code$i"),
-          (col("qvv") - lit(2.0) * DotProduct(col("qv"), col("c_v")) +
-            col("c_vv")).as(s"d$i"))
-    }
-    // THE IVFPQ scan: only probed cells' code rows reach the ADC sum
-    val scan = codes.join(cells, Seq("vec_id"))
-      .join(probes, Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .cut(false) // consumers: n_scanned census + the ADC ranking
-    val nScanned = scan.groupBy("q_id")
-      .agg(count(lit(1)).as("n_scanned"))
+    val served = PqIndex.serve(
+      q.select(col("vec_id").as("q_id"), col("emb"), col("norm")), idx)
+    val adcTop = served
+      .select(col("q_id"), col("vec_id"), col("rank").as("rk"))
+    val nScanned = served.groupBy("q_id")
+      .agg(max("n_scanned").as("n_scanned"))
     val wQ = Window.partitionBy("q_id")
-    val adcTop = (1 until PqSub)
-      .foldLeft(scan.join(luts(0), Seq("q_id", "code0")))((acc, i) =>
-        acc.join(luts(i), Seq("q_id", s"code$i")))
-      .withColumn("adc",
-        (0 until PqSub).map(i => col(s"d$i")).reduce(_ + _))
-      .withColumn("rk", row_number().over(
-        wQ.orderBy(col("adc"), col("vec_id"))))
-      .filter(col("rk") <= 10)
-      .select("q_id", "vec_id", "rk")
     val truthTop = e.select(col("vec_id"), col("emb"))
       .crossJoin(q.select(col("vec_id").as("q_id"), col("emb").as("qe")))
       .filter(col("vec_id") =!= col("q_id"))

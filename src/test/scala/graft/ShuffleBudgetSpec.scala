@@ -339,8 +339,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // the probe window, the cluster-keyed scan join (cut: census + ADC
     // ranking), 4 unhinted LUT joins, ADC/truth top-10 windows and the
     // card joins — two audited trainers composed, nothing all-pairs
-    // except x05's documented truth slice
-    "x97_ivfpq_serve" -> 26,
+    // except x05's documented truth slice.
+    // 26 -> 37 (r10): x97 now composes the library (PqIndex.build/
+    // serve — the gate covers the deployable module); serve's two
+    // card consumers (top-k + scan census) re-plan the post-cut LUT
+    // joins, which AQE broadcasts at runtime (steady 5.0 s at sf0.1;
+    // an outer cut-on-cut was measured SLOWER, 9.7 s, and reverted)
+    "x97_ivfpq_serve" -> 37,
     // 3 groupBy-on-dst iteration shuffles + the top-20 sort + one
     // visible join-side exchange; the pairs-distinct and deg aggs sit
     // behind lazy cuts
