@@ -178,7 +178,10 @@ object PqIndex {
     * shard's vec_ids are disjoint from the indexed corpus — the
     * family-wide ingest contract; a revision is [[delete]] + append. */
   def append(idx: Index, eNew: DataFrame): Index = {
-    val clash = idx.cells.select("vec_id")
+    // the check reads `codes` (same vec_id set as `cells` by
+    // construction) so a codes-only consumer never forces the coarse
+    // training/assignment subtree just to assert disjointness
+    val clash = idx.codes.select("vec_id")
       .join(eNew.select("vec_id").distinct(), "vec_id")
       .limit(1).count()
     require(clash == 0L,

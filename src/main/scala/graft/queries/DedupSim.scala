@@ -1599,14 +1599,18 @@ object DedupSim {
   //             touched, exact membership fingerprint.
   // r10 adds the RETRACTION leg the lifecycle was missing (VERDICT r9
   // #1): after the appends, tonight's revision set (doc_id % 10 = 4)
-  // is retracted from all three indexes through each family's delete
+  // is retracted from all the indexes through each family's delete
   // path — SparseIndex.delete (touched terms re-truncated from the
   // kept tf — the un-truncation x96 gates per-term), NearDup
   // .deleteFromIndex and AnnIndex.delete (keyed anti-joins, exact by
   // row-locality) — and the card carries post-retraction censuses
   // while the oracle computes them from scratch over the corpus
   // WITHOUT the retracted docs: the delete theorem re-gated at the
-  // nightly-job grain.
+  // nightly-job grain. r10 also adds the FOURTH family: the shard
+  // through the compressed PqIndex's build(base)/append/delete with
+  // frozen base-trained books — the oracle re-trains the books on the
+  // base slice and encodes the kept rows from scratch, so the frozen-
+  // codebook lifecycle is itself cross-engine-gated.
   // Every value is an exact BIGINT; the three families see the SAME
   // shard definition. Scale: each leg is its family's audited bounded
   // plan; the base corpus is touched only through its index tables
@@ -1614,7 +1618,7 @@ object DedupSim {
   // of the build/serve/append/delete split now complete.
   // ---------------------------------------------------------------------
   private def w08(s: SparkSession, d: String): DataFrame = {
-    import graft.etl.{AnnIndex, NearDup, SparseIndex}
+    import graft.etl.{AnnIndex, NearDup, PqIndex, SparseIndex}
     def rows(fam: String, stacked: org.apache.spark.sql.Column,
         src: DataFrame): DataFrame =
       src.select(stacked.as(Seq("metric", "value")))
@@ -1697,11 +1701,78 @@ object DedupSim {
     val denseRetractRows = rows("dense", expr(
       "stack(2, 'n_vecs_after_retract', nvr," +
         " 'vec_id_sum_after_retract', vis)"), dnr)
+    // pq: the FOURTH family — the shard through the compressed index's
+    // full lifecycle (build on the base, append the shard against the
+    // FROZEN base-trained books, retract the revision set); the census
+    // reads only the codes table, so the coarse/cells subtrees the
+    // dense leg already covers stay lazy and never execute here
+    val pqBase = PqIndex.build(e.filter(col("vec_id") % 3 =!= 0))
+    val pqApp = PqIndex.append(pqBase, e.filter(col("vec_id") % 3 === 0))
+    val pqRet = PqIndex.delete(pqApp,
+      e.select("vec_id").filter(col("vec_id") % 10 === 4))
+    val pqc = pqRet.codes.agg(
+      count(lit(1)).as("nca"),
+      sum(expr("vec_id * 31 + code0 + code1 + code2 + code3"))
+        .as("cfp"))
+    val pqRows = rows("pq", expr(
+      "stack(2, 'n_codes_after_retract', nca," +
+        " 'code_fingerprint', cfp)"), pqc)
     sparseRows.unionByName(sparseRetractRows)
       .unionByName(mhRows).unionByName(mhRetractRows)
       .unionByName(denseRows).unionByName(denseRetractRows)
+      .unionByName(pqRows)
       .orderBy("family", "metric")
   }
+  /** w08's pq-leg oracle chain for subspace `i`: books trained on the
+    * BASE slices only (the frozen-codebook contract the library's
+    * append holds), kept post-retraction rows encoded against them —
+    * fresh `w`-prefixed names so the shared duckPqCtes text (and with
+    * it the x58/x95/x97 oracles) stays byte-stable. */
+  private def w08PqCtes(i: Int): String = {
+    val lo = PqDims * i + 1
+    val hi = PqDims * (i + 1)
+    s"""wst$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
+       |  WHERE vec_id % 3 <> 0),
+       |wet$i AS (SELECT vec_id, v,
+       |  ${duckDot.format("v", "v")} AS vv FROM wst$i),
+       |wseeds$i AS (
+       |  SELECT vec_id AS c_id, v AS c_v, vv AS c_vv FROM wet$i
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007,
+       |    vec_id
+       |  LIMIT $PqK),
+       |wpa$i AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT s.vec_id, s.v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM wet$i s CROSS JOIN wseeds$i c) WHERE rk = 1),
+       |wpm$i AS (
+       |  SELECT cluster, j,
+       |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(18,6))) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS coord
+       |  FROM wpa$i, unnest(generate_series(1, len(v))) AS t(j)
+       |  GROUP BY 1, 2),
+       |wvl$i AS (
+       |  SELECT cluster AS c_id, list(coord ORDER BY j) AS c_v
+       |  FROM wpm$i GROUP BY 1),
+       |wcb$i AS (
+       |  SELECT c_id, c_v, ${duckDot.format("c_v", "c_v")} AS c_vv
+       |  FROM wvl$i),
+       |wsk$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
+       |  WHERE vec_id % 10 <> 4),
+       |wek$i AS (SELECT vec_id, v,
+       |  ${duckDot.format("v", "v")} AS vv FROM wsk$i),
+       |wcode$i AS (
+       |  SELECT vec_id, c_id AS code$i FROM (
+       |    SELECT s.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM wek$i s CROSS JOIN wcb$i c) WHERE rk = 1)""".stripMargin
+  }
+
   private lazy val w08Sql =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
        |${TextOps.bm25IndexCtes},
@@ -1768,7 +1839,14 @@ object DedupSim {
        |dnr AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS nvr,
        |    CAST(SUM(vec_id) AS BIGINT) AS vis
-       |  FROM assigned WHERE vec_id % 10 <> 4)
+       |  FROM assigned WHERE vec_id % 10 <> 4),
+       |${(0 until PqSub).map(w08PqCtes).mkString(",\n")},
+       |wpq AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nca,
+       |    CAST(SUM(c0.vec_id * 31 + c0.code0 + c1.code1 + c2.code2
+       |      + c3.code3) AS BIGINT) AS cfp
+       |  FROM wcode0 c0 JOIN wcode1 c1 USING (vec_id)
+       |  JOIN wcode2 c2 USING (vec_id) JOIN wcode3 c3 USING (vec_id))
        |SELECT 'sparse' AS family, 'n_delta_docs' AS metric,
        |  ndd AS value FROM sp
        |UNION ALL SELECT 'sparse', 'n_touched_terms', ntt FROM sp
@@ -1790,6 +1868,8 @@ object DedupSim {
        |UNION ALL SELECT 'dense', 'n_vecs_after_retract', nvr FROM dnr
        |UNION ALL SELECT 'dense', 'vec_id_sum_after_retract', vis
        |  FROM dnr
+       |UNION ALL SELECT 'pq', 'n_codes_after_retract', nca FROM wpq
+       |UNION ALL SELECT 'pq', 'code_fingerprint', cfp FROM wpq
        |ORDER BY family, metric""".stripMargin
 
   // ---------------------------------------------------------------------

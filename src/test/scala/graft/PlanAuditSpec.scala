@@ -46,10 +46,10 @@ class PlanAuditSpec extends SparkSpec {
       "brute-force truth slice verbatim — inherits exactly their " +
       "allowlisted bounded sides; the eval itself is keyed joins " +
       "over <= 10-rows/query relations"),
-    "w08_nightly_ingest" -> ("x18's fixed 16-row codebook broadcasts " +
-      "(train/assign argmins) plus the 1-row family-card scalars " +
-      "(append + retraction censuses) cross-joined into the 17-row " +
-      "report — never grows"),
+    "w08_nightly_ingest" -> ("x18's fixed 16-row coarse codebook and " +
+      "the 8-row PQ books broadcast (train/assign/encode argmins) " +
+      "plus the 1-row family-card scalars (append + retraction " +
+      "censuses) cross-joined into the 19-row report — never grows"),
     "x95_pq_adc_serve" -> ("x58's fixed 8-row PQ codebooks broadcast " +
       "for training (never grow); the |q|x8 ADC lookup tables and " +
       "the truth slice are UNHINTED — the query side grows with the " +

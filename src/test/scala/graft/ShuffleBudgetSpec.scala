@@ -256,8 +256,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // touched-term split + re-truncation window + dl/df/stats re-aggs,
     // the minhash/dense anti-join censuses); the appended plist is cut
     // so its three consumers stop re-planning the append subtree
-    // (43 -> 32); steady sf0.1 cost measured flat (5.6 s vs 5.5 r9)
-    "w08_nightly_ingest" -> 32,
+    // (43 -> 32); steady sf0.1 cost measured flat (5.6 s vs 5.5 r9).
+    // 32 -> 43 (r10b): the FOURTH family landed — the shard through
+    // PqIndex build(base)/append/delete with frozen base-trained books
+    // (4 subspace Lloyd aggs + the code-census agg; the coarse/cells
+    // subtrees stay lazy — the census reads codes only); steady 9.9 s
+    // at sf0.1, the full four-family nightly
+    "w08_nightly_ingest" -> 43,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,
