@@ -1,0 +1,129 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.PqIndex
+import graft.functions.DotProduct
+
+/** Streaming ANN serving against a persisted [[graft.etl.PqIndex]] —
+  * the "serve a STREAM of queries" completion of the compressed
+  * index's build/serve/append/delete lifecycle (x97 gates the batch
+  * serve; this is the online form a retrieval endpoint actually runs:
+  * queries arrive continuously, the index is loaded once).
+  *
+  * Shape, chosen so the whole plan is streaming-legal with ONE
+  * stateful operator:
+  *  - probe selection is ROW-LOCAL: the coarse codebook is ≤
+  *    [[graft.etl.AnnIndex.K]] rows by construction, so it is
+  *    collected ONCE at query start and baked into literal
+  *    expressions — each query row ranks its 16 cell distances in an
+  *    array sort and explodes its nprobe probes with zero shuffle
+  *    (exactly how a serving process caches a codebook in memory);
+  *  - the candidate join is a stream-static equi join on `cluster`
+  *    against the stored cells⋈codes relation — only probed cells'
+  *    CODE rows flow, never full-precision vectors (the IVFADC
+  *    contract);
+  *  - ADC scoring is expression-only: per candidate, each subspace
+  *    contributes qvv − 2·dot(qv, c_v(code)) + c_vv(code) with the
+  *    code's centroid looked up in a literal 8-entry map — the SAME
+  *    arithmetic, on the same inputs, as the batch LUT join, so
+  *    scores are bit-identical to [[graft.etl.PqIndex.serve]];
+  *  - top-k per query is a bounded-heap fold in ONE
+  *    flatMapGroupsWithState (O(k) memory per group, single pass over
+  *    the candidate iterator — never a collect_list buffer), emitting
+  *    rank/adc/n_scanned exactly like the batch card. State is never
+  *    stored (a query's candidates arrive entirely within its own
+  *    micro-batch, because they all derive from its single input
+  *    row), so the store stays empty — no eviction needed.
+  *
+  * PqServeStreamSpec pins stream ≡ batch: the same query slice fed as
+  * a file stream in arbitrary chunks serves bit-identically to
+  * PqIndex.serve, rank for rank.
+  */
+object PqServeStream {
+
+  final case class Cand(q_id: Long, vec_id: Long, adc: Double)
+  final case class Served(q_id: Long, vec_id: Long, rank: Long,
+      adc: Double, n_scanned: Long)
+
+  /** Bounded top-k fold over one query's candidate iterator: keep the
+    * k smallest (adc, vec_id) in a max-heap, count everything scanned.
+    * Pure — unit-testable without a streaming query; state unused. */
+  def step(k: Int)(qId: Long, rows: Iterator[Cand],
+      state: GroupState[Int]): Iterator[Served] = {
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)](identity)
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    var n = 0L
+    rows.foreach { r =>
+      n += 1
+      heap.enqueue((r.adc, r.vec_id))
+      if (heap.size > k) heap.dequeue()
+    }
+    val worstToBest: Seq[(Double, Long)] = heap.dequeueAll
+    worstToBest.reverse.iterator.zipWithIndex.map {
+      case ((adc, vid), idx) =>
+        Served(qId, vid, (idx + 1).toLong, adc, n)
+    }
+  }
+
+  /** Serve top-`k` ADC neighbors for a (possibly streaming) query
+    * frame (q_id, emb, norm) from a loaded index. The coarse codebook
+    * and PQ books are collected at CALL time (≤ 16 and 4×8 rows by
+    * construction — the explicit driver-side cache every serving
+    * process keeps); cells/codes stay distributed. */
+  def serve(queries: DataFrame, idx: PqIndex.Index,
+      nprobe: Int = graft.etl.AnnIndex.Probes, k: Int = 10)
+      : Dataset[Served] = {
+    import queries.sparkSession.implicits._
+    // driver-side snapshots of the bounded trained artifacts
+    val coarse = idx.coarse
+      .select("c_id", "c_emb", "c_norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(coarse.nonEmpty && coarse.length <= graft.etl.AnnIndex.K,
+      s"coarse codebook must be 1..${graft.etl.AnnIndex.K} rows")
+    val books = idx.books.map(_.select("c_id", "c_v", "c_vv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
+    // row-local probe selection: rank the literal centroids, explode
+    // the nprobe nearest (struct field order (dist, c_id) gives the
+    // batch serve's exact (dist asc, c_id) ordering)
+    val distStructs = coarse.map { case (cid, cemb, cnorm) =>
+      struct(
+        (lit(1.0) - DotProduct(col("emb"), typedLit(cemb)) /
+          (col("norm") * lit(cnorm))).as("dist"),
+        lit(cid).as("c_id"))
+    }
+    val probed = queries
+      .withColumn("probe", explode(slice(
+        sort_array(array(distStructs: _*)), 1, nprobe)))
+      .select(col("q_id"), col("emb"), col("probe.c_id").as("cluster"))
+    // stream-static candidate join: probed cells' code rows only
+    val cand0 = probed
+      .join(idx.codes.join(idx.cells, Seq("vec_id")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+    // expression-only ADC: same formula/inputs as the batch LUT join
+    val adcCols: Seq[Column] = books.zipWithIndex.map { case (book, i) =>
+      val lo = PqIndex.Dims * i + 1
+      val qv = expr(s"slice(emb, $lo, ${PqIndex.Dims})")
+      val cvMap = typedLit(book.map(b => b._1 -> b._2).toMap)
+      val cvvMap = typedLit(book.map(b => b._1 -> b._3).toMap)
+      DotProduct(qv, qv) -
+        lit(2.0) * DotProduct(qv, element_at(cvMap, col(s"code$i"))) +
+        element_at(cvvMap, col(s"code$i"))
+    }
+    val cand = cand0
+      .select(col("q_id"), col("vec_id"),
+        adcCols.reduce(_ + _).as("adc"))
+      .as[Cand]
+    if (queries.isStreaming)
+      cand.groupByKey(_.q_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(step(k))
+    else
+      cand.groupByKey(_.q_id).flatMapGroups((q, rows) =>
+        step(k)(q, rows, null))
+  }
+}
