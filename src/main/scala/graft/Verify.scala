@@ -49,7 +49,8 @@ object Verify {
       n.startsWith("x44") || n.startsWith("x46") => 3
     // double index build + touched-term re-truncation / IVFPQ compose
     case n if n.startsWith("x92") || n.startsWith("x95") ||
-      n.startsWith("x96") || n.startsWith("x97") => 3
+      n.startsWith("x96") || n.startsWith("x97") ||
+      n.startsWith("x98") => 3
     // tier 4: iterative + full-pipeline
     case n if n.startsWith("x11") || n.startsWith("w0") ||
       n.startsWith("x89") || n.startsWith("x90") ||

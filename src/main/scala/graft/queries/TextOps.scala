@@ -1863,8 +1863,12 @@ object TextOps {
       |    FROM tf)
       |  WHERE prk <= $cap)""".stripMargin
   private[queries] val bm25IndexCtes = bm25IndexCtesFor("", BmImpactCap)
-  private[queries] val x80Sql =
-    s"""WITH $bm25IndexCtes,
+  /** The full BM25 serve oracle over `documents` rows passing
+    * `docWhere`, index truncated at `cap` — x80's chain verbatim,
+    * parameterized so x98 can gate the SERVE path of a deleted index
+    * against the rebuild-without-the-docs serve. */
+  private[queries] def bm25ServeSql(docWhere: String, cap: Int): String =
+    s"""WITH ${bm25IndexCtesFor(docWhere, cap)},
       |qterms AS (
       |  SELECT q_id, tok FROM (
       |    SELECT tf.doc_id AS q_id, tf.tok,
@@ -1898,6 +1902,7 @@ object TextOps {
       |    ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  private[queries] val x80Sql = bm25ServeSql("", BmImpactCap)
 
   // ---------------------------------------------------------------------
   // X88 — sparse-index build card: the PERSISTED-index half of the x80
@@ -2016,6 +2021,43 @@ object TextOps {
   private lazy val x96Sql =
     s"WITH ${bm25IndexCtesFor("WHERE doc_id % 10 <> 3", X96Cap)}\n" +
       sparseCensusSelect
+
+  // ---------------------------------------------------------------------
+  // X98 — delete→SERVE ≡ rebuild→serve, gated cross-engine: x96 proves
+  // the deleted index's TABLES equal the rebuild's; this proves the
+  // number a user actually sees — the BM25 top-10 — is identical too,
+  // end to end through the serve path. The Spark side deletes every
+  // doc_id % 10 = 3 from the full index (same retraction set and LOW
+  // cap as x96, so the backfilled lists are what get SCORED), then
+  // serves the kept corpus probes from the deleted index; the oracle
+  // is x80's serve chain verbatim over the corpus WITHOUT the deleted
+  // docs. Every score is x80's exact integer BM25, so the gate is
+  // hash-exact — a wrong df decrement, a missed backfill, or a stale
+  // dl row each moves some score_ppm and fails the hash. Scale: the
+  // delete's bounded maintenance cost + one serve (≤ cap rows per
+  // query term at any corpus size).
+  // ---------------------------------------------------------------------
+  private def x98(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.SparseIndex
+    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // consumers: full build, delete's kept-tf, query terms
+    val del = tf.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 3)
+    val idx = SparseIndex.delete(SparseIndex.build(tf, X96Cap), del,
+      X96Cap)
+    // kept corpus probes only — a deleted doc no longer issues queries
+    val qterms = tf
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") % 10 =!= 3)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(idx.df, "tok").filter(col("df") >= 2)
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("df").asc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "tok")
+    SparseIndex.serve(qterms, idx)
+  }
+  private lazy val x98Sql =
+    bm25ServeSql("WHERE doc_id % 10 <> 3", X96Cap)
 
   // ---------------------------------------------------------------------
   // X84 — per-source Gini concentration: how unequally is a source's
@@ -2206,6 +2248,7 @@ object TextOps {
     QueryDef("x89_bpe_train", Some(x89Sql), x89),
     QueryDef("x90_bpe_apply", Some(x90Sql), x90),
     QueryDef("x92_sparse_index_append", Some(x92Sql), x92),
-    QueryDef("x96_index_delete", Some(x96Sql), x96)
+    QueryDef("x96_index_delete", Some(x96Sql), x96),
+    QueryDef("x98_delete_serve", Some(x98Sql), x98)
   )
 }

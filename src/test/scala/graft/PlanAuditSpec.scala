@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
       "index — the same 1-row corpus-stats scalar, never grows"),
     "x96_index_delete" -> ("x88's census card over the deleted " +
       "index — the same 1-row corpus-stats scalar, never grows"),
+    "x98_delete_serve" -> ("x80's serve over the deleted index — the " +
+      "same 1-row corpus-stats scalar broadcast into the scoring " +
+      "projection, never grows"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +

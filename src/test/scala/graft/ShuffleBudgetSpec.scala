@@ -296,6 +296,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // census agg/sort; the deleted-doc tf and the 1-row stats ride
     // broadcasts
     "x96_index_delete" -> 10,
+    // x96's build+delete stages + the rare-term query selection window
+    // + the serve's candidate join, (q,doc) sum agg and top-10 window
+    "x98_delete_serve" -> 14,
     // per-word token census + the n_tokens-bucket agg + sort over the
     // trained (checkpointed) symbol relation; training cost as x89
     "x90_bpe_apply" -> 3,
