@@ -70,14 +70,11 @@ object PqServeStream {
     }
   }
 
-  /** Serve top-`k` ADC neighbors for a (possibly streaming) query
-    * frame (q_id, emb, norm) from a loaded index. The coarse codebook
-    * and PQ books are collected at CALL time (≤ 16 and 4×8 rows by
-    * construction — the explicit driver-side cache every serving
-    * process keeps); cells/codes stay distributed. */
-  def serve(queries: DataFrame, idx: PqIndex.Index,
-      nprobe: Int = graft.etl.AnnIndex.Probes, k: Int = 10)
-      : Dataset[Served] = {
+  /** The per-(query, candidate) ADC stage — everything before the
+    * stateful fold, all streaming-legal stateless ops. Shared with
+    * [[FusedServeStream]] (the hybrid funnel's dense leg). */
+  def candidates(queries: DataFrame, idx: PqIndex.Index,
+      nprobe: Int = graft.etl.AnnIndex.Probes): Dataset[Cand] = {
     import queries.sparkSession.implicits._
     // driver-side snapshots of the bounded trained artifacts
     val coarse = idx.coarse
@@ -114,10 +111,22 @@ object PqServeStream {
         lit(2.0) * DotProduct(qv, element_at(cvMap, col(s"code$i"))) +
         element_at(cvvMap, col(s"code$i"))
     }
-    val cand = cand0
+    cand0
       .select(col("q_id"), col("vec_id"),
         adcCols.reduce(_ + _).as("adc"))
       .as[Cand]
+  }
+
+  /** Serve top-`k` ADC neighbors for a (possibly streaming) query
+    * frame (q_id, emb, norm) from a loaded index. The coarse codebook
+    * and PQ books are collected at CALL time (≤ 16 and 4×8 rows by
+    * construction — the explicit driver-side cache every serving
+    * process keeps); cells/codes stay distributed. */
+  def serve(queries: DataFrame, idx: PqIndex.Index,
+      nprobe: Int = graft.etl.AnnIndex.Probes, k: Int = 10)
+      : Dataset[Served] = {
+    import queries.sparkSession.implicits._
+    val cand = candidates(queries, idx, nprobe)
     if (queries.isStreaming)
       cand.groupByKey(_.q_id)
         .flatMapGroupsWithState(OutputMode.Append,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.etl.{AnnIndex, PqIndex, SparseIndex}
+import org.apache.spark.sql.functions._
+
+/** Stream ≡ batch contract for the online hybrid (sparse + dense)
+  * serving path: the same multimodal query slice fused through
+  * FusedServeStream's single stateful fold must agree rank for rank —
+  * rrf_score, leg ranks and tiebreaks bit-identical — with
+  * [[FusedServeStream.fuseBatch]] over the two batch serves the
+  * oracles gate (SparseIndex.serve via x80/x98, PqIndex.serve via
+  * x97), no matter how the query stream is chunked.
+  */
+class FusedServeStreamSpec extends SparkSpec {
+
+  private def key(rows: Array[org.apache.spark.sql.Row])
+      : Set[(Long, Long, Long, Long, Long, Long)] =
+    rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("fused_rank"), r.getAs[Long]("rrf_score"),
+      r.getAs[Long]("r_sparse"), r.getAs[Long]("r_dense"))).toSet
+
+  test("stream fold == fuseBatch over the two gated serves") {
+    val spIdx = SparseIndex.build(
+      SparseIndex.termFreqs(Tables.documents(spark, sf)))
+    val e = AnnIndex.prep(Tables.embeddings(spark, sf)).cache()
+    val pqIdx = PqIndex.build(e)
+    val spDir = java.nio.file.Files.createTempDirectory("fu_sp").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("fu_pq").toString
+    SparseIndex.write(spIdx, spDir)
+    PqIndex.write(pqIdx, pqDir)
+    val spL = SparseIndex.read(spark, spDir)
+    val pqL = PqIndex.read(spark, pqDir)
+
+    val q = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(e.select(col("vec_id").as("q_id"), col("emb"), col("norm")),
+        "q_id")
+      .cache()
+
+    val batch = key(FusedServeStream.fuseBatch(
+      SparseIndex.serve(SparseServeStream.queryTerms(
+        q.select("q_id", "text")), spL, FusedServeStream.FuseK),
+      PqIndex.serve(q.select("q_id", "emb", "norm"), pqL,
+        k = FusedServeStream.FuseK)).collect())
+    assert(batch.nonEmpty)
+
+    val fold = key(FusedServeStream.serve(q, spL, pqL).toDF().collect())
+    assert(fold == batch,
+      s"batch fold drifted: missing=${(batch -- fold).take(3)} " +
+        s"extra=${(fold -- batch).take(3)}")
+
+    val qdir = java.nio.file.Files.createTempDirectory("fu_q")
+    val in = s"$qdir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val stream = spark.readStream.schema(q.schema).parquet(in)
+    val out = FusedServeStream.serve(stream, spL, pqL)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fused_serve_stream").start()
+    try {
+      q.filter(col("q_id") % 200 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      out.processAllAvailable()
+      q.filter(col("q_id") % 200 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      out.processAllAvailable()
+      val streamed = key(spark.table("fused_serve_stream").collect())
+      assert(streamed == batch,
+        s"stream drifted: missing=${(batch -- streamed).take(3)} " +
+          s"extra=${(streamed -- batch).take(3)}")
+    } finally out.stop()
+  }
+}
