@@ -83,7 +83,7 @@ object SparseIndex {
 
   /** Truncate a tf relation to the top-[[ImpactCap]] postings per term
     * in impact order (tf desc, doc_id). */
-  private def truncate(tf: DataFrame, cap: Int): DataFrame =
+  private[etl] def truncate(tf: DataFrame, cap: Int): DataFrame =
     tf.withColumn("prk", row_number().over(Window.partitionBy("tok")
         .orderBy(col("tf").desc, col("doc_id"))))
       .filter(col("prk") <= cap)

@@ -1,0 +1,252 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Checkpoints.CutOps
+
+/** LOG-STRUCTURED persistence for [[SparseIndex]] — the piece that
+  * makes nightly maintenance O(delta) on DISK, not just in compute.
+  *
+  * [[SparseIndex.append]]/[[SparseIndex.delete]] already bound the
+  * COMPUTE of a nightly fold-in to the delta's touched terms, but
+  * persisting their result still rewrites all five tables — at 100 TB
+  * the full-tf relation alone makes that an O(corpus) write every
+  * night. The standard fix (Lucene segments / LSM) is to never rewrite
+  * the base: each maintenance operation appends one SEGMENT — a small
+  * bundle of delta tables — and readers compose base ∪ segments into a
+  * live view; a periodic [[compact]] folds accumulated segments into a
+  * fresh base.
+  *
+  * A segment carries exactly what its operation knew, each O(delta):
+  *  - `tfAdd` — an appended shard's term frequencies (empty for a
+  *    delete);
+  *  - `dfd` — SIGNED document-frequency deltas per term (+ for an
+  *    append, − for a delete, computed against the live view at write
+  *    time, so unioning all deltas telescopes to the live df);
+  *  - `dlAdd` — the shard's doc lengths;
+  *  - `statsd` — a signed 1-row corpus-card delta;
+  *  - `tombs` — deleted doc_ids (empty for an append).
+  *
+  * The live [[view]] (same code for the in-memory composition x99
+  * gates and the on-disk layout):
+  *  - tombstones are SCOPED: a segment's tombs apply to the base and
+  *    to EARLIER segments only, so deleting a doc and re-appending its
+  *    revision in a later segment works (revise = deleteSeg +
+  *    appendSeg, the family contract);
+  *  - `df` = base ∪ signed deltas, summed per term, zero rows dropped;
+  *  - `dl`/`tf` = scoped anti-joins + unions;
+  *  - `stats` = the 1-row sum of base ∪ deltas;
+  *  - `plist`: terms no segment touched keep the base's stored lists
+  *    VERBATIM (never re-read, never rewritten); dirty terms — the
+  *    union of the segments' dfd term sets, which covers both appended
+  *    and deleted postings — re-truncate from the live tf at read
+  *    time, bounded by the segments' churn, exactly the lazy
+  *    re-truncation [[SparseIndex.delete]] does eagerly.
+  *
+  * Plan depth grows with the segment count (one scoped anti-join per
+  * segment) — the deliberate LSM trade; [[compact]] resets it and is
+  * proven serve-equivalent. On disk the base tf is partitioned by a
+  * 64-way token-hash bucket (`tbk`), so the dirty-term re-truncation's
+  * semi-join carries the bucket key and partition pruning (static or
+  * DPP) skips the untouched buckets of the dominant relation.
+  *
+  * x99_segmented_serve gates the whole composition cross-engine
+  * (Spark serves THROUGH a base+append-seg+delete-seg view; DuckDB
+  * rebuilds the surviving corpus from scratch — hash-exact at low cap
+  * so dirty-term re-truncation is exercised corpus-wide);
+  * SparseSegmentsSpec pins the disk layout: segment writes leave base
+  * files untouched (the O(delta) claim as an mtime assertion),
+  * read ≡ in-memory view, compact ≡ segmented serve, and the
+  * delete-then-revise chain.
+  */
+object SparseSegments {
+
+  /** Token-hash partition fan-out of the base tf relation. */
+  val TokBuckets = 64
+
+  /** One maintenance operation's delta bundle — see the class doc. */
+  final case class Seg(tfAdd: DataFrame, dfd: DataFrame,
+      dlAdd: DataFrame, statsd: DataFrame, tombs: DataFrame)
+
+  /** Build an APPEND segment against the live view: the shard's tf,
+    * +df deltas, doc lengths, +stats delta, no tombstones.
+    * Precondition (asserted): the shard's doc_ids are disjoint from
+    * the LIVE corpus — a previously deleted id may be re-appended
+    * (that is the revise path; tombstone scoping makes it correct). */
+  def appendSegOf(live: SparseIndex.Index, deltaTf: DataFrame): Seg = {
+    val clash = live.dl.select("doc_id")
+      .join(deltaTf.select("doc_id").distinct(), "doc_id")
+      .limit(1).count()
+    require(clash == 0L,
+      "SparseSegments.appendSegOf: delta doc_ids overlap the live " +
+        "corpus — append segments are for disjoint shards (revise = " +
+        "deleteSeg + appendSeg)")
+    val dlAdd = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .cut(false) // consumers: the segment write + statsd
+    Seg(
+      tfAdd = deltaTf.select("doc_id", "tok", "tf"),
+      dfd = deltaTf.groupBy("tok").agg(count(lit(1)).as("dfd")),
+      dlAdd = dlAdd,
+      statsd = dlAdd.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("t_tokens")),
+      tombs = deltaTf.select("doc_id").limit(0))
+  }
+
+  /** Build a DELETE segment against the live view: −df deltas from the
+    * deleted docs' live postings, a −stats delta, and the tombstones.
+    * Deleting an id absent from the live corpus is a no-op (zero
+    * deltas, a tombstone that anti-joins nothing). */
+  def deleteSegOf(live: SparseIndex.Index, docIds: DataFrame): Seg = {
+    val del = docIds.select("doc_id").distinct().cut(false)
+    val delTf = live.tf.join(del, Seq("doc_id"), "left_semi").cut(false)
+    val delDl = live.dl.join(del, Seq("doc_id"), "left_semi")
+      .cut(false)
+    Seg(
+      tfAdd = delTf.limit(0),
+      dfd = delTf.groupBy("tok").agg((-count(lit(1))).as("dfd")),
+      dlAdd = delDl.limit(0),
+      statsd = delDl.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("t_tokens")),
+      tombs = del)
+  }
+
+  /** Compose base + segments into the LIVE index view. `cap` must be
+    * the cap the base was built with. */
+  def view(base: SparseIndex.Index, segs: Seq[Seg], cap: Int)
+      : SparseIndex.Index = {
+    // tombstones scoped: segs(i) is masked by tombs of segs j > i,
+    // the base by all of them
+    def tombsAfter(i: Int): Seq[DataFrame] =
+      segs.drop(i + 1).map(_.tombs)
+    def masked(df: DataFrame, tombs: Seq[DataFrame]): DataFrame =
+      tombs.foldLeft(df)((acc, t) =>
+        acc.join(t, Seq("doc_id"), "left_anti"))
+    val maskedSegTfs = segs.zipWithIndex
+      .map { case (sg, i) =>
+        masked(sg.tfAdd.select("doc_id", "tok", "tf"), tombsAfter(i))
+      }
+    val tfLive = maskedSegTfs
+      .foldLeft(masked(baseTf(base), segs.map(_.tombs)))(_ unionByName _)
+    val dfLive = segs.map(_.dfd)
+      .foldLeft(base.df.select(col("tok"), col("df").as("dfd")))(
+        _ unionByName _)
+      .groupBy("tok").agg(sum("dfd").as("df"))
+      .filter(col("df") > 0)
+    val dlLive = segs.zipWithIndex
+      .map { case (sg, i) => masked(sg.dlAdd, tombsAfter(i)) }
+      .foldLeft(masked(base.dl, segs.map(_.tombs)))(_ unionByName _)
+    val statsLive = segs.map(_.statsd)
+      .foldLeft(base.stats)(_ unionByName _)
+      .agg(sum("n_docs").as("n_docs"), sum("t_tokens").as("t_tokens"))
+    val dirty = segs.map(_.dfd.select("tok"))
+      .reduce(_ unionByName _).distinct()
+    val clean = base.plist.join(dirty, Seq("tok"), "left_anti")
+      .select("doc_id", "tok", "tf")
+    // live tf restricted to dirty terms, built from PRUNED components:
+    // when the base tf carries the on-disk `tbk` partition column, the
+    // base-side semi-join includes the bucket key so partition pruning
+    // (static or DPP) skips untouched buckets of the dominant relation
+    val baseDirty =
+      if (base.tf.columns.contains("tbk")) {
+        val dirtyB = dirty.withColumn("tbk",
+          pmod(hash(col("tok")), lit(TokBuckets)))
+        base.tf.join(dirtyB, Seq("tbk", "tok"), "left_semi")
+          .select("doc_id", "tok", "tf")
+      } else baseTf(base).join(dirty, Seq("tok"), "left_semi")
+    val tfDirty = maskedSegTfs
+      .map(_.join(dirty, Seq("tok"), "left_semi"))
+      .foldLeft(masked(baseDirty, segs.map(_.tombs)))(_ unionByName _)
+    val redone = SparseIndex.truncate(tfDirty, cap)
+    SparseIndex.Index(clean.unionByName(redone), dfLive, dlLive,
+      statsLive, tfLive)
+  }
+
+  /** The base tf without the storage-layout bucket column. */
+  private def baseTf(base: SparseIndex.Index): DataFrame =
+    if (base.tf.columns.contains("tbk"))
+      base.tf.select("doc_id", "tok", "tf")
+    else base.tf
+
+  // ------------------------------------------------------------------
+  // Disk layout: root/base/{plist,df,dl,stats,tf(tbk-partitioned)},
+  // root/segs/seg=<n>/{tf,dfd,dl,statsd,tombs}
+  // ------------------------------------------------------------------
+
+  /** Write `idx` as the base generation of a segmented layout. The tf
+    * relation is partitioned by the 64-way token-hash bucket — the
+    * partition key the dirty-term re-truncation prunes on. */
+  def init(idx: SparseIndex.Index, root: String): Unit = {
+    graft.sources.Sources.writeOrdered(
+      Seq("plist" -> idx.plist, "df" -> idx.df, "dl" -> idx.dl,
+        "stats" -> idx.stats,
+        "tf" -> idx.tf.withColumn("tbk",
+          pmod(hash(col("tok")), lit(TokBuckets)))),
+      s"$root/base", partitions = Map("tf" -> Seq("tbk")))
+  }
+
+  /** Segment numbers present under `root`, ascending. */
+  def listSegs(s: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/segs")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg=") =>
+        n.stripPrefix("seg=").toInt }
+      .sorted
+  }
+
+  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
+    graft.sources.Sources.writeOrdered(
+      Seq("tf" -> seg.tfAdd, "dfd" -> seg.dfd, "dl" -> seg.dlAdd,
+        "statsd" -> seg.statsd, "tombs" -> seg.tombs),
+      s"$root/segs/seg=$n")
+
+  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
+    Seg(s.read.parquet(s"$root/segs/seg=$n/tf"),
+      s.read.parquet(s"$root/segs/seg=$n/dfd"),
+      s.read.parquet(s"$root/segs/seg=$n/dl"),
+      s.read.parquet(s"$root/segs/seg=$n/statsd"),
+      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+
+  /** Load the live view of a segmented layout. */
+  def read(s: SparkSession, root: String,
+      cap: Int = SparseIndex.ImpactCap): SparseIndex.Index = {
+    val base = SparseIndex.Index(
+      s.read.parquet(s"$root/base/plist"),
+      s.read.parquet(s"$root/base/df"),
+      s.read.parquet(s"$root/base/dl"),
+      s.read.parquet(s"$root/base/stats"),
+      s.read.parquet(s"$root/base/tf"))
+    val segs = listSegs(s, root).map(readSeg(s, root, _))
+    if (segs.isEmpty)
+      base.copy(tf = baseTf(base))
+    else view(base, segs, cap)
+  }
+
+  /** Append a disjoint shard as a new segment — an O(delta) write;
+    * base files are never touched (SparseSegmentsSpec asserts it). */
+  def appendSeg(s: SparkSession, root: String, deltaTf: DataFrame,
+      cap: Int = SparseIndex.ImpactCap): Unit = {
+    val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(appendSegOf(read(s, root, cap), deltaTf), root, n)
+  }
+
+  /** Retract documents as a new segment — an O(delta) write. */
+  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame,
+      cap: Int = SparseIndex.ImpactCap): Unit = {
+    val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(deleteSegOf(read(s, root, cap), docIds), root, n)
+  }
+
+  /** Fold the segments into a fresh base at `outRoot` — the periodic
+    * maintenance that resets the view's per-segment plan depth. The
+    * compacted layout serves exactly like the segmented one
+    * (SparseSegmentsSpec pins it); swapping `outRoot` in for `root`
+    * is the caller's pointer flip (a manifest update on an object
+    * store). */
+  def compact(s: SparkSession, root: String, outRoot: String,
+      cap: Int = SparseIndex.ImpactCap): Unit =
+    init(read(s, root, cap), outRoot)
+}

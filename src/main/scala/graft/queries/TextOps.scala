@@ -2060,6 +2060,56 @@ object TextOps {
     bm25ServeSql("WHERE doc_id % 10 <> 3", X96Cap)
 
   // ---------------------------------------------------------------------
+  // X99 — segmented (log-structured) maintenance, gated at the SERVE
+  // grain: x92/x96/x98 prove the FOLD-IN append/delete equal a rebuild,
+  // but persisting a fold-in still rewrites every table — at 100 TB the
+  // nightly write must be O(delta), so graft.etl.SparseSegments keeps
+  // the base immutable and stacks each night's operation as a segment
+  // (delta tf, SIGNED df deltas, tombstones), composing the live view
+  // at read time: scoped tombstone anti-joins, telescoping df sums,
+  // and lazy re-truncation of ONLY the segments' dirty terms (clean
+  // terms keep the base's stored lists verbatim — never re-read). The
+  // Spark side serves THROUGH a base(⅔ corpus) + append-segment(⅓) +
+  // delete-segment(doc_id%10=3) view at x96's LOW cap (every list
+  // overflows, so the dirty-term re-truncation is exercised
+  // corpus-wide); the oracle is x80's serve chain verbatim over the
+  // surviving corpus, built from scratch by an engine that has no
+  // segments at all. Hash equality proves the whole LSM composition —
+  // scoping, telescoping, lazy re-truncation — END TO END at the
+  // number a user sees. SparseSegmentsSpec pins the disk half (O(delta)
+  // segment writes leave base files untouched; compact ≡ segmented).
+  // Scale: view cost = base plist for clean terms + a re-truncation
+  // bounded by segment churn; plan depth grows with the segment count
+  // (the LSM trade) and compact() resets it.
+  // ---------------------------------------------------------------------
+  private def x99(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{SparseIndex, SparseSegments}
+    val tf = SparseIndex.termFreqs(Tables.fanout(Tables.documents(s, d)))
+      .cut(false) // consumers: base build, the delta shard, query terms
+    val base = SparseIndex.build(tf.filter(col("doc_id") % 3 =!= 0),
+      X96Cap)
+    val seg1 = SparseSegments.appendSegOf(base,
+      tf.filter(col("doc_id") % 3 === 0))
+    val live1 = SparseSegments.view(base, Seq(seg1), X96Cap)
+    val del = tf.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 3)
+    val seg2 = SparseSegments.deleteSegOf(live1, del)
+    val idx = SparseSegments.view(base, Seq(seg1, seg2), X96Cap)
+    // kept corpus probes only (doc_id % 100 = 0 never hits the
+    // tombstoned %10=3 class)
+    val qterms = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(idx.df, "tok").filter(col("df") >= 2)
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("df").asc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "tok")
+    SparseIndex.serve(qterms, idx)
+  }
+  private lazy val x99Sql =
+    bm25ServeSql("WHERE doc_id % 10 <> 3", X96Cap)
+
+  // ---------------------------------------------------------------------
   // X84 — per-source Gini concentration: how unequally is a source's
   // character mass distributed over its documents? The curation
   // question behind it: a source whose mass sits in a few huge docs
@@ -2249,6 +2299,7 @@ object TextOps {
     QueryDef("x90_bpe_apply", Some(x90Sql), x90),
     QueryDef("x92_sparse_index_append", Some(x92Sql), x92),
     QueryDef("x96_index_delete", Some(x96Sql), x96),
-    QueryDef("x98_delete_serve", Some(x98Sql), x98)
+    QueryDef("x98_delete_serve", Some(x98Sql), x98),
+    QueryDef("x99_segmented_serve", Some(x99Sql), x99)
   )
 }

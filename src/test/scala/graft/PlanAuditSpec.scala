@@ -22,6 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     "x98_delete_serve" -> ("x80's serve over the deleted index — the " +
       "same 1-row corpus-stats scalar broadcast into the scoring " +
       "projection, never grows"),
+    "x99_segmented_serve" -> ("x80's serve over the segmented live " +
+      "view — the same 1-row corpus-stats scalar (here the summed " +
+      "base+segment deltas card) broadcast into the scoring " +
+      "projection, never grows"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +

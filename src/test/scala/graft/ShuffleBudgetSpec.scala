@@ -299,6 +299,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // x96's build+delete stages + the rare-term query selection window
     // + the serve's candidate join, (q,doc) sum agg and top-10 window
     "x98_delete_serve" -> 14,
+    // base build + the append/delete segment derivations (df deltas,
+    // doc lengths), the scoped tombstone anti-joins and telescoping
+    // df sum of the LIVE VIEW, the dirty-term re-truncation window,
+    // then x80's serve tail — structural count over one base + two
+    // segments (plan depth grows with segment count by design;
+    // compact() resets it)
+    "x99_segmented_serve" -> 23,
     // per-word token census + the n_tokens-bucket agg + sort over the
     // trained (checkpointed) symbol relation; training cost as x89
     "x90_bpe_apply" -> 3,
