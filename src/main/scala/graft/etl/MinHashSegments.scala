@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LOG-STRUCTURED persistence for the MinHash family's signature
+  * index ([[NearDup.writeIndex]]) — the third leg of the O(delta)
+  * maintenance-write symmetry ([[SparseSegments]], [[PqSegments]]).
+  * The stored form is one row-local signature row per document and
+  * banding is a read-time projection, so a segment is just the
+  * delta's signatures or a tombstone set and the live view is
+  * [[SegmentOps.scopedUnion]] alone. The signature kernel it persists
+  * is the one x02/x82's oracles gate; MinHashSegmentsSpec pins
+  * view ≡ re-signing the surviving corpus, delete-then-revise
+  * scoping, O(delta) disk writes, and compact ≡ segmented.
+  */
+object MinHashSegments {
+
+  /** One maintenance operation's delta bundle. */
+  final case class Seg(sigsAdd: DataFrame, tombs: DataFrame)
+
+  /** Build an APPEND segment: the delta docs' signatures.
+    * Precondition (asserted): delta doc_ids are disjoint from the
+    * LIVE index — a previously deleted id may be re-appended (the
+    * revise path; tombstone scoping makes it correct). */
+  def appendSegOf(liveSigs: DataFrame, deltaDocs: DataFrame,
+      k: Int = NearDup.DefaultConfig.k): Seg = {
+    val deltaSigs = NearDup.signatures(deltaDocs, k)
+    val clash = liveSigs.select("doc_id")
+      .join(deltaSigs.select("doc_id"), "doc_id").limit(1).count()
+    require(clash == 0L,
+      "MinHashSegments.appendSegOf: delta doc_ids overlap the live " +
+        "index — append segments are for disjoint shards (revise = " +
+        "deleteSeg + appendSeg)")
+    Seg(deltaSigs, deltaSigs.select("doc_id").limit(0))
+  }
+
+  /** Build a DELETE segment: tombstones only. Deleting an absent id
+    * is a no-op. */
+  def deleteSegOf(liveSigs: DataFrame, docIds: DataFrame): Seg =
+    Seg(liveSigs.limit(0), docIds.select("doc_id").distinct())
+
+  /** Compose base + segments into the LIVE signature index. */
+  def view(baseSigs: DataFrame, segs: Seq[Seg]): DataFrame =
+    SegmentOps.scopedUnion(baseSigs, segs.map(_.sigsAdd),
+      segs.map(_.tombs), "doc_id")
+
+  // ------------------------------------------------------------------
+  // Disk layout: root/base/minhash_index,
+  // root/segs/seg=<n>/{sigs,tombs}
+  // ------------------------------------------------------------------
+
+  /** Write a signature relation as the base generation. */
+  def init(sigs: DataFrame, root: String): Unit =
+    graft.sources.Sources.writeOrdered(
+      Seq("minhash_index" -> sigs), s"$root/base")
+
+  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
+    graft.sources.Sources.writeOrdered(
+      Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs),
+      s"$root/segs/seg=$n")
+
+  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
+    Seg(s.read.parquet(s"$root/segs/seg=$n/sigs"),
+      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+
+  /** Load the live signature index of a segmented layout. */
+  def read(s: SparkSession, root: String): DataFrame = {
+    val base = s.read.parquet(s"$root/base/minhash_index")
+    val segs = SegmentOps.listSegs(s, root).map(readSeg(s, root, _))
+    if (segs.isEmpty) base else view(base, segs)
+  }
+
+  /** Append a disjoint shard as a new segment — an O(delta) write;
+    * base files are never touched (MinHashSegmentsSpec asserts it). */
+  def appendSeg(s: SparkSession, root: String, deltaDocs: DataFrame,
+      k: Int = NearDup.DefaultConfig.k): Unit = {
+    val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(appendSegOf(read(s, root), deltaDocs, k), root, n)
+  }
+
+  /** Retract documents as a new segment — an O(delta) write. */
+  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
+      : Unit = {
+    val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(deleteSegOf(read(s, root), docIds), root, n)
+  }
+
+  /** Fold the segments into a fresh base at `outRoot`. */
+  def compact(s: SparkSession, root: String, outRoot: String): Unit =
+    init(read(s, root), outRoot)
+}

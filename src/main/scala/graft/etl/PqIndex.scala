@@ -187,14 +187,23 @@ object PqIndex {
     require(clash == 0L,
       "PqIndex.append: shard vec_ids overlap the indexed corpus — " +
         "append is defined for disjoint shards (revise = delete + append)")
-    val cells2 = idx.cells.unionByName(
-      AnnIndex.assign(eNew, idx.coarse).select("vec_id", "cluster"))
-    val newCodes = (0 until Sub)
+    val (cellsNew, codesNew) = encodeShard(idx, eNew)
+    Index(idx.coarse, idx.cells.unionByName(cellsNew), idx.books,
+      idx.codes.unionByName(codesNew))
+  }
+
+  /** Frozen-codebook (cells, codes) encode of a shard — the per-row
+    * kernel [[append]] folds in and [[graft.etl.PqSegments]] persists
+    * as an O(delta) segment. */
+  def encodeShard(idx: Index, eNew: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cellsNew = AnnIndex.assign(eNew, idx.coarse)
+      .select("vec_id", "cluster")
+    val codesNew = (0 until Sub)
       .map(i => encode(slice(eNew, i), idx.books(i))
         .select(col("vec_id"), col("cluster").as(s"code$i")))
       .reduce((a, b) => a.join(b, Seq("vec_id")))
-    Index(idx.coarse, cells2, idx.books,
-      idx.codes.unionByName(newCodes))
+    (cellsNew, codesNew)
   }
 
   /** Retract vectors — keyed anti-joins on `cells` and `codes`, exact

@@ -1,0 +1,107 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LOG-STRUCTURED persistence for [[PqIndex]] — the dense family's
+  * O(delta) maintenance write, symmetric with [[SparseSegments]]
+  * (sparse) and [[MinHashSegments]] (MinHash). The trained artifacts
+  * (coarse codebook + PQ books) are FROZEN at build time — the
+  * family's whole lifecycle contract — so a segment is just the
+  * frozen-book encode of the shard ([[PqIndex.encodeShard]]: cell
+  * assignments + code rows, both per-row) or a tombstone set; the
+  * live view is [[SegmentOps.scopedUnion]] on `cells` and `codes`
+  * with the base's books passed through. No term/posting repair
+  * exists in this family (nothing is shared between vectors), which
+  * is why the whole module is composition: the per-row kernels it
+  * persists are exactly the ones PqIndexSpec pins (append = frozen
+  * encode, delete = anti-join) and x97's oracle gates through
+  * `PqIndex.serve`. PqSegmentsSpec pins view ≡ fold-in
+  * append/delete, delete-then-revise scoping, O(delta) disk writes,
+  * and compact ≡ segmented.
+  */
+object PqSegments {
+
+  /** One maintenance operation's delta bundle: an append segment's
+    * frozen-book encode (cells + codes), or a delete segment's
+    * tombstones. */
+  final case class Seg(cellsAdd: DataFrame, codesAdd: DataFrame,
+      tombs: DataFrame)
+
+  /** Build an APPEND segment: the shard's frozen-book encode.
+    * Precondition (asserted): shard vec_ids are disjoint from the
+    * LIVE corpus — a previously deleted id may be re-appended (the
+    * revise path; tombstone scoping makes it correct). */
+  def appendSegOf(live: PqIndex.Index, eNew: DataFrame): Seg = {
+    val clash = live.codes.select("vec_id")
+      .join(eNew.select("vec_id").distinct(), "vec_id")
+      .limit(1).count()
+    require(clash == 0L,
+      "PqSegments.appendSegOf: shard vec_ids overlap the live corpus " +
+        "— append segments are for disjoint shards (revise = " +
+        "deleteSeg + appendSeg)")
+    val (cellsNew, codesNew) = PqIndex.encodeShard(live, eNew)
+    Seg(cellsNew, codesNew, eNew.select("vec_id").limit(0))
+  }
+
+  /** Build a DELETE segment: tombstones only. Deleting an absent id
+    * is a no-op. */
+  def deleteSegOf(live: PqIndex.Index, vecIds: DataFrame): Seg =
+    Seg(live.cells.limit(0), live.codes.limit(0),
+      vecIds.select("vec_id").distinct())
+
+  /** Compose base + segments into the LIVE index view. */
+  def view(base: PqIndex.Index, segs: Seq[Seg]): PqIndex.Index =
+    PqIndex.Index(base.coarse,
+      SegmentOps.scopedUnion(base.cells, segs.map(_.cellsAdd),
+        segs.map(_.tombs), "vec_id"),
+      base.books,
+      SegmentOps.scopedUnion(base.codes, segs.map(_.codesAdd),
+        segs.map(_.tombs), "vec_id"))
+
+  // ------------------------------------------------------------------
+  // Disk layout: root/base/<PqIndex.write tables>,
+  // root/segs/seg=<n>/{cells,codes,tombs}
+  // ------------------------------------------------------------------
+
+  /** Write `idx` as the base generation of a segmented layout. */
+  def init(idx: PqIndex.Index, root: String): Unit =
+    PqIndex.write(idx, s"$root/base")
+
+  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
+    graft.sources.Sources.writeOrdered(
+      Seq("cells" -> seg.cellsAdd, "codes" -> seg.codesAdd,
+        "tombs" -> seg.tombs),
+      s"$root/segs/seg=$n")
+
+  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
+    Seg(s.read.parquet(s"$root/segs/seg=$n/cells"),
+      s.read.parquet(s"$root/segs/seg=$n/codes"),
+      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+
+  /** Load the live view of a segmented layout. */
+  def read(s: SparkSession, root: String): PqIndex.Index = {
+    val base = PqIndex.read(s, s"$root/base")
+    val segs = SegmentOps.listSegs(s, root).map(readSeg(s, root, _))
+    if (segs.isEmpty) base else view(base, segs)
+  }
+
+  /** Append a disjoint shard as a new segment — an O(delta) write;
+    * base files are never touched (PqSegmentsSpec asserts it). */
+  def appendSeg(s: SparkSession, root: String, eNew: DataFrame): Unit = {
+    val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(appendSegOf(read(s, root), eNew), root, n)
+  }
+
+  /** Retract vectors as a new segment — an O(delta) write. */
+  def deleteSeg(s: SparkSession, root: String, vecIds: DataFrame)
+      : Unit = {
+    val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
+    writeSeg(deleteSegOf(read(s, root), vecIds), root, n)
+  }
+
+  /** Fold the segments into a fresh base at `outRoot` (the books and
+    * coarse codebook pass through FROZEN — compaction never retrains).
+    * Swapping `outRoot` in for `root` is the caller's pointer flip. */
+  def compact(s: SparkSession, root: String, outRoot: String): Unit =
+    init(read(s, root), outRoot)
+}

@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** The one composition rule every log-structured index family shares:
+  * base ∪ segment additions under SCOPED tombstones — segment i's
+  * tombstones mask the base and additions j < i, never later ones, so
+  * deleting a document and re-appending its revision in a later
+  * segment is correct by construction (the delete-then-revise chain
+  * each family's spec pins). [[SparseSegments]] layers term-level
+  * repair on top; the dense ([[PqSegments]]) and MinHash
+  * ([[MinHashSegments]]) families' stored rows are per-document, so
+  * this rule alone IS their live view.
+  */
+object SegmentOps {
+
+  /** base ∪ adds(i), with tombs(i) masking base and adds(j < i) on
+    * `key`. `adds` and `tombs` are parallel per-segment sequences (an
+    * append segment has empty tombs; a delete segment an empty add). */
+  def scopedUnion(base: DataFrame, adds: Seq[DataFrame],
+      tombs: Seq[DataFrame], key: String): DataFrame = {
+    require(adds.size == tombs.size,
+      "scopedUnion: adds/tombs must be parallel per-segment sequences")
+    def masked(df: DataFrame, ts: Seq[DataFrame]): DataFrame =
+      ts.foldLeft(df)((acc, t) =>
+        acc.join(t.select(key), Seq(key), "left_anti"))
+    adds.zipWithIndex
+      .map { case (a, i) => masked(a, tombs.drop(i + 1)) }
+      .foldLeft(masked(base, tombs))(_ unionByName _)
+  }
+
+  /** Segment numbers present under `root/segs`, ascending — the
+    * shared on-disk convention (`segs/seg=<n>/<table>`). */
+  def listSegs(s: org.apache.spark.sql.SparkSession, root: String)
+      : Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/segs")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg=") =>
+        n.stripPrefix("seg=").toInt }
+      .sorted
+  }
+}

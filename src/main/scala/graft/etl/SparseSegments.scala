@@ -115,27 +115,19 @@ object SparseSegments {
     * the cap the base was built with. */
   def view(base: SparseIndex.Index, segs: Seq[Seg], cap: Int)
       : SparseIndex.Index = {
-    // tombstones scoped: segs(i) is masked by tombs of segs j > i,
-    // the base by all of them
-    def tombsAfter(i: Int): Seq[DataFrame] =
-      segs.drop(i + 1).map(_.tombs)
-    def masked(df: DataFrame, tombs: Seq[DataFrame]): DataFrame =
-      tombs.foldLeft(df)((acc, t) =>
-        acc.join(t, Seq("doc_id"), "left_anti"))
-    val maskedSegTfs = segs.zipWithIndex
-      .map { case (sg, i) =>
-        masked(sg.tfAdd.select("doc_id", "tok", "tf"), tombsAfter(i))
-      }
-    val tfLive = maskedSegTfs
-      .foldLeft(masked(baseTf(base), segs.map(_.tombs)))(_ unionByName _)
+    // tombstones scoped per SegmentOps.scopedUnion: segs(i) is masked
+    // by tombs of segs j > i, the base by all of them
+    val adds = segs.map(_.tfAdd.select("doc_id", "tok", "tf"))
+    val tombs = segs.map(_.tombs)
+    val tfLive = SegmentOps.scopedUnion(baseTf(base), adds, tombs,
+      "doc_id")
     val dfLive = segs.map(_.dfd)
       .foldLeft(base.df.select(col("tok"), col("df").as("dfd")))(
         _ unionByName _)
       .groupBy("tok").agg(sum("dfd").as("df"))
       .filter(col("df") > 0)
-    val dlLive = segs.zipWithIndex
-      .map { case (sg, i) => masked(sg.dlAdd, tombsAfter(i)) }
-      .foldLeft(masked(base.dl, segs.map(_.tombs)))(_ unionByName _)
+    val dlLive = SegmentOps.scopedUnion(base.dl, segs.map(_.dlAdd),
+      tombs, "doc_id")
     val statsLive = segs.map(_.statsd)
       .foldLeft(base.stats)(_ unionByName _)
       .agg(sum("n_docs").as("n_docs"), sum("t_tokens").as("t_tokens"))
@@ -154,9 +146,10 @@ object SparseSegments {
         base.tf.join(dirtyB, Seq("tbk", "tok"), "left_semi")
           .select("doc_id", "tok", "tf")
       } else baseTf(base).join(dirty, Seq("tok"), "left_semi")
-    val tfDirty = maskedSegTfs
-      .map(_.join(dirty, Seq("tok"), "left_semi"))
-      .foldLeft(masked(baseDirty, segs.map(_.tombs)))(_ unionByName _)
+    val tfDirty = SegmentOps.scopedUnion(baseDirty,
+      adds.map(_.join(dirty, Seq("tok"), "left_semi")
+        .select("doc_id", "tok", "tf")),
+      tombs, "doc_id")
     val redone = SparseIndex.truncate(tfDirty, cap)
     SparseIndex.Index(clean.unionByName(redone), dfLive, dlLive,
       statsLive, tfLive)
@@ -186,16 +179,8 @@ object SparseSegments {
   }
 
   /** Segment numbers present under `root`, ascending. */
-  def listSegs(s: SparkSession, root: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/segs")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("seg=") =>
-        n.stripPrefix("seg=").toInt }
-      .sorted
-  }
+  def listSegs(s: SparkSession, root: String): Seq[Int] =
+    SegmentOps.listSegs(s, root)
 
   private def writeSeg(seg: Seg, root: String, n: Int): Unit =
     graft.sources.Sources.writeOrdered(

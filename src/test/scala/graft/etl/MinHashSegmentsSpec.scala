@@ -1,0 +1,95 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deploy contract for the MinHash family's log-structured signature
+  * index: the segmented live view must equal re-signing the surviving
+  * corpus (signatures are row-local, so scoped union IS the whole
+  * composition), segment writes must leave base files untouched,
+  * tombstone scoping must make delete-then-revise correct, and
+  * compaction must be view-equivalent.
+  */
+class MinHashSegmentsSpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables.documents(spark, sf).cache()
+
+  private def sigKey(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("append-seg + delete-seg view == re-signing the surviving corpus") {
+    val d = docs
+    val base = NearDup.signatures(d.filter(col("doc_id") % 3 =!= 0))
+    val seg1 = MinHashSegments.appendSegOf(base,
+      d.filter(col("doc_id") % 3 === 0))
+    val live1 = MinHashSegments.view(base, Seq(seg1))
+    val del = d.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 3)
+    val seg2 = MinHashSegments.deleteSegOf(live1, del)
+    val live2 = MinHashSegments.view(base, Seq(seg1, seg2))
+    val resigned = NearDup.signatures(d.filter(col("doc_id") % 10 =!= 3))
+    assert(sigKey(live2) == sigKey(resigned))
+    assert(sigKey(live2).nonEmpty)
+  }
+
+  test("delete-then-revise across segments == re-signing the revised corpus") {
+    val d = docs
+    val base = NearDup.signatures(d)
+    val ids = d.filter(col("doc_id") % 7 === 2)
+      .select("doc_id").distinct()
+    assert(ids.count() > 0)
+    val revisedDocs = d.join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("text", concat(col("text"), lit(" revised edition")))
+    val seg1 = MinHashSegments.deleteSegOf(base, ids)
+    val live1 = MinHashSegments.view(base, Seq(seg1))
+    val seg2 = MinHashSegments.appendSegOf(live1, revisedDocs)
+    val live2 = MinHashSegments.view(base, Seq(seg1, seg2))
+    val resigned = NearDup.signatures(
+      d.join(ids, Seq("doc_id"), "left_anti")
+        .unionByName(revisedDocs))
+    assert(sigKey(live2) == sigKey(resigned))
+  }
+
+  test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
+    val d = docs
+    val root = java.nio.file.Files
+      .createTempDirectory("mh_segs").toString
+    MinHashSegments.init(
+      NearDup.signatures(d.filter(col("doc_id") % 3 =!= 0)), root)
+
+    def baseFiles(): Map[String, Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/base"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = baseFiles()
+    assert(before.nonEmpty)
+
+    MinHashSegments.appendSeg(spark, root,
+      d.filter(col("doc_id") % 3 === 0))
+    MinHashSegments.deleteSeg(spark, root,
+      d.select("doc_id").distinct().filter(col("doc_id") % 10 === 3))
+    assert(baseFiles() == before,
+      "segment maintenance rewrote base files — the O(delta) claim")
+    assert(SegmentOps.listSegs(spark, root) == Seq(0, 1))
+
+    val live = MinHashSegments.read(spark, root)
+    val resigned = NearDup.signatures(d.filter(col("doc_id") % 10 =!= 3))
+    assert(sigKey(live) == sigKey(resigned))
+
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("mh_segs_c").toString
+    MinHashSegments.compact(spark, root, outRoot)
+    assert(SegmentOps.listSegs(spark, outRoot).isEmpty)
+    assert(sigKey(MinHashSegments.read(spark, outRoot))
+      == sigKey(resigned))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deploy contract for the dense family's log-structured layout: the
+  * segmented live view must equal the fold-in append/delete chain
+  * (whose kernels PqIndexSpec pins and x97's oracle gates) on the
+  * stored tables AND through serve; segment writes must leave base
+  * files untouched; tombstone scoping must make delete-then-revise
+  * correct; compaction must be view-equivalent and never retrain the
+  * frozen books.
+  */
+class PqSegmentsSpec extends SparkSpec {
+
+  private def e: DataFrame =
+    AnnIndex.prep(Tables.embeddings(spark, sf)).cache()
+
+  private def tableKey(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def assertSameIndex(a: PqIndex.Index,
+      b: PqIndex.Index): Unit = {
+    assert(tableKey(a.cells) == tableKey(b.cells), "cells drifted")
+    assert(tableKey(a.codes) == tableKey(b.codes), "codes drifted")
+    assert(tableKey(a.coarse) == tableKey(b.coarse), "coarse drifted")
+    (0 until PqIndex.Sub).foreach(i =>
+      assert(tableKey(a.books(i)) == tableKey(b.books(i)),
+        s"book$i drifted"))
+  }
+
+  test("append-seg + delete-seg view == fold-in append/delete, serve included") {
+    val ee = e
+    val base = PqIndex.build(ee.filter(col("vec_id") % 3 =!= 0))
+    val shard = ee.filter(col("vec_id") % 3 === 0)
+    val del = ee.select("vec_id").distinct()
+      .filter(col("vec_id") % 10 === 3)
+    assert(shard.count() > 0 && del.count() > 0)
+
+    val seg1 = PqSegments.appendSegOf(base, shard)
+    val live1 = PqSegments.view(base, Seq(seg1))
+    val seg2 = PqSegments.deleteSegOf(live1, del)
+    val live2 = PqSegments.view(base, Seq(seg1, seg2))
+    val foldIn = PqIndex.delete(PqIndex.append(base, shard), del)
+    assertSameIndex(live2, foldIn)
+
+    val q = ee.filter(col("vec_id") % 100 === 0)
+      .join(del, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("q_id"), col("emb"), col("norm"))
+    val servedSeg = tableKey(PqIndex.serve(q, live2))
+    assert(servedSeg.nonEmpty)
+    assert(servedSeg == tableKey(PqIndex.serve(q, foldIn)),
+      "serve through the segmented view drifted")
+  }
+
+  test("delete-then-revise across segments == fold-in revise (tombstone scoping)") {
+    val ee = e
+    val base = PqIndex.build(ee)
+    val ids = ee.select("vec_id").distinct()
+      .filter(col("vec_id") % 7 === 2)
+    assert(ids.count() > 0)
+    val revised = ee.join(ids, Seq("vec_id"), "left_semi")
+      .withColumn("emb", expr("transform(emb, x -> -x)"))
+    val seg1 = PqSegments.deleteSegOf(base, ids)
+    val live1 = PqSegments.view(base, Seq(seg1))
+    val seg2 = PqSegments.appendSegOf(live1, revised)
+    val live2 = PqSegments.view(base, Seq(seg1, seg2))
+    val foldIn = PqIndex.append(PqIndex.delete(base, ids), revised)
+    assertSameIndex(live2, foldIn)
+  }
+
+  test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
+    val ee = e
+    val root = java.nio.file.Files
+      .createTempDirectory("pq_segs").toString
+    PqSegments.init(PqIndex.build(ee.filter(col("vec_id") % 3 =!= 0)),
+      root)
+
+    def baseFiles(): Map[String, Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/base"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = baseFiles()
+    assert(before.nonEmpty)
+
+    PqSegments.appendSeg(spark, root,
+      ee.filter(col("vec_id") % 3 === 0))
+    PqSegments.deleteSeg(spark, root,
+      ee.select("vec_id").distinct().filter(col("vec_id") % 10 === 3))
+    assert(baseFiles() == before,
+      "segment maintenance rewrote base files — the O(delta) claim")
+    assert(SegmentOps.listSegs(spark, root) == Seq(0, 1))
+
+    val live = PqSegments.read(spark, root)
+    val foldIn = PqIndex.delete(
+      PqIndex.append(PqIndex.build(ee.filter(col("vec_id") % 3 =!= 0)),
+        ee.filter(col("vec_id") % 3 === 0)),
+      ee.select("vec_id").distinct().filter(col("vec_id") % 10 === 3))
+    assertSameIndex(live, foldIn)
+
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("pq_segs_c").toString
+    PqSegments.compact(spark, root, outRoot)
+    assert(SegmentOps.listSegs(spark, outRoot).isEmpty)
+    assertSameIndex(PqSegments.read(spark, outRoot), foldIn)
+  }
+}
