@@ -29,8 +29,10 @@ package graft
   * | Files/formats | `Engine.Sources.*`, `Engine.Xlsx` | declared-schema scans, ordered/Z-ordered/compacted writes |
   * | DDL + scripts | `Engine.SchemaDdl`, `Engine.SqlRunner` | reference schema on Spark SQL; quote-aware script execution |
   * | Full reference DAG | `Engine.Pipeline.run` | the 19-table ETL, one lazy plan per output table |
-  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream`, `Engine.SlidingKmv`, `Engine.PqServeStream` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Streaming | `Engine.Sessionize`, `Engine.StreamDedup`, `Engine.CdcMerge`, `Engine.EventStream`, `Engine.TopKStream`, `Engine.StreamJoin`, `Engine.Enrich`, `Engine.Changepoint`, `Engine.NearDupStream`, `Engine.FunnelStream`, `Engine.SlidingKmv` | watermark-bounded state; batch ≡ stream parity-tested |
+  * | Online serving | `Engine.PqServeStream` (ADC), `Engine.SparseServeStream` (BM25), `Engine.FusedServeStream` (hybrid RRF) | query streams served from loaded indexes; ONE stateful fold each, bit-identical to the batch serves |
   * | Persisted indexes | `Engine.AnnIndex` (IVF), `Engine.PqIndex` (IVFPQ compressed layout), `Engine.NearDup.writeIndex/incrementalEdges/deleteFromIndex`, `Engine.SparseIndex` (BM25) | build once, serve/append/DELETE forever; round trips + exact append/delete spec-proven in all four families |
+  * | Segmented (LSM) layouts | `Engine.SparseSegments`, `Engine.PqSegments`, `Engine.MinHashSegments` (+ `Engine.SegmentOps`) | O(delta) nightly maintenance WRITES — base files immutable, scoped tombstones make revise correct, compact() folds segments; view ≡ rebuild/fold-in spec-proven, x99 serve-gated cross-engine |
   * | Tokenizer training | `Engine.BpeTrain.train/applyMerge` | K-merge BPE under iterate-with-cut; constant plan depth in K |
   * | Graph ranking | `Engine.PageRank.runFixed/runConverged` | exact BIGINT ranks; iterate-with-cut keeps plan depth constant |
   * | Native kernels | `Engine.functions.{PolyHash, SimHash64, DotProduct, DistinctNgrams}` | codegen expressions — no UDF barriers |
@@ -59,6 +61,11 @@ object Engine {
   val AnnIndex = etl.AnnIndex
   val PqIndex = etl.PqIndex
   val SparseIndex = etl.SparseIndex
+  // segmented (log-structured) index persistence — O(delta) writes
+  val SegmentOps = etl.SegmentOps
+  val SparseSegments = etl.SparseSegments
+  val PqSegments = etl.PqSegments
+  val MinHashSegments = etl.MinHashSegments
   val BpeTrain = etl.BpeTrain
   val PageRank = etl.PageRank
   // warehouse + quality
@@ -85,7 +92,10 @@ object Engine {
   val NearDupStream = streaming.NearDupStream
   val FunnelStream = streaming.FunnelStream
   val SlidingKmv = streaming.SlidingKmv
+  // online serving (query streams over loaded indexes)
   val PqServeStream = streaming.PqServeStream
+  val SparseServeStream = streaming.SparseServeStream
+  val FusedServeStream = streaming.FusedServeStream
   // media
   val MediaPipeline = multimodal.MediaPipeline
 

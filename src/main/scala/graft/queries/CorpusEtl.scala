@@ -516,12 +516,83 @@ object CorpusEtl {
       |FROM per_class CROSS JOIN total
       |ORDER BY license""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X100 — sequence packing for pretraining shard assembly: the step
+  // between a curated corpus and a training run — documents are
+  // concatenated in a deterministic order and chunked into fixed
+  // token-budget shards (GPT-style concat-and-chunk at B = 2048).
+  // Each doc's shard is a pure function of the exclusive per-source
+  // prefix sum of token counts (x08's whitespace grain), so the whole
+  // packing is exact integers and cross-engine-gated. The census
+  // prices what packing costs: `n_spanning` counts docs straddling a
+  // shard boundary (attention-mask breaks or truncation waste —
+  // the number packing-efficiency work optimizes), `started_tokens`
+  // the shard's inflow. Scale: packing is per-SOURCE streams (sources
+  // pack independently — the domain-mixture contract), so the prefix
+  // sum is a per-source window (Spark's standard two-phase prefix
+  // sum), never one global ordering; the census contracts to
+  // total_tokens/B rows. The doc_id order stands in for the curated
+  // sample order a real run would draw (x50's split keys / cluster
+  // weights compose upstream).
+  // ---------------------------------------------------------------------
+  private val PackBudget = 2048L
+
+  private def x100(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = toks
+      .withColumn("start_tok",
+        coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard", expr(s"start_tok div $PackBudget"))
+      .withColumn("spans", expr(
+        s"CASE WHEN (start_tok + n_tok - 1) div $PackBudget" +
+          s" > start_tok div $PackBudget THEN 1L ELSE 0L END"))
+    marked.groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("spans").as("n_spanning"),
+        sum("n_tok").as("started_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+  private lazy val x100Sql =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents),
+       |pos AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM toks),
+       |marked AS (
+       |  SELECT source, doc_id, n_tok, start_tok,
+       |    start_tok // $PackBudget AS shard,
+       |    CASE WHEN (start_tok + n_tok - 1) // $PackBudget
+       |        > start_tok // $PackBudget
+       |      THEN 1 ELSE 0 END AS spans
+       |  FROM pos)
+       |SELECT source, CAST(shard AS BIGINT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(spans) AS BIGINT) AS n_spanning,
+       |  CAST(SUM(n_tok) AS BIGINT) AS started_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM marked GROUP BY 1, 2
+       |ORDER BY source, shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x76_license_gate", Some(x76Sql), x76),
     QueryDef("w03_corpus_etl", Some(w03Sql), w03),
     QueryDef("w04_curation_funnel", Some(w04Sql), w04),
     QueryDef("w05_neardup_funnel", Some(w05Sql), w05),
     QueryDef("x74_merkle_manifest", Some(x74Sql), x74),
-    QueryDef("x78_manifest_diff", Some(x78Sql), x78)
+    QueryDef("x78_manifest_diff", Some(x78Sql), x78),
+    QueryDef("x100_sequence_pack", Some(x100Sql), x100)
   )
 }

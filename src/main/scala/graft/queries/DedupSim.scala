@@ -3164,7 +3164,11 @@ object DedupSim {
   // ---------------------------------------------------------------------
   private val ClusterKeyCap = 20
 
-  private def x11(s: SparkSession, d: String): DataFrame = {
+  /** x11's (corpus, components) pair — the planted-dup corpus and its
+    * transitive closure, shared verbatim with x101 (the soft-dedup
+    * weight census over the same clusters). */
+  private def x11Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val gen1 = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -3193,12 +3197,14 @@ object DedupSim {
     // rounds-=-diameter wall of min-label propagation. Lineage is cut
     // per round (localCheckpoint by default, reliable checkpoint
     // under graft.checkpoint.dir — Checkpoints.cut).
-    graft.etl.ConnectedComponents.run(edges)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
+    (corpus, graft.etl.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("cluster_id")))
   }
-  private val x11Sql =
-    s"""WITH RECURSIVE docs AS (
+
+  private def x11(s: SparkSession, d: String): DataFrame =
+    x11Parts(s, d)._2.orderBy("doc_id")
+  private val x11Ctes =
+    s"""docs AS (
        |  SELECT doc_id, text FROM documents),
        |corpus AS (
        |  SELECT doc_id, text FROM docs
@@ -3231,9 +3237,58 @@ object DedupSim {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT reach.id, u.b FROM reach JOIN undirected u
-       |    ON u.a = reach.r)
+       |    ON u.a = reach.r)""".stripMargin
+  private val x11Sql =
+    s"""WITH RECURSIVE $x11Ctes
        |SELECT id AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X101 — soft-dedup sampling weights: the standard ALTERNATIVE to
+  // dropping duplicates — keep every copy but sample each dup cluster
+  // as one effective document (weight = 1/cluster_size, here exact
+  // integer ppm). Composes x11's transitive closure verbatim (same
+  // planted-dup corpus, same CC kernel, same recursive-CTE oracle);
+  // docs outside every cluster are their own singleton (weight 1).
+  // The census prices the policy per cluster-size class: how many
+  // clusters/docs sit at each size and the per-doc weight a sampler
+  // would apply — Σ n_clusters × 1e6 is the effective corpus size in
+  // ppm-docs. Scale: x11's bounded pair generation + O(log n) CC
+  // rounds dominate; the weight census is two contracting aggs on
+  // the (doc, cluster) relation.
+  // ---------------------------------------------------------------------
+  private def x101(s: SparkSession, d: String): DataFrame = {
+    val (corpus, cc) = x11Parts(s, d)
+    val aug = corpus.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = aug.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      .select("cluster_size", "n_clusters", "n_docs", "weight_ppm")
+      .orderBy("cluster_size")
+  }
+  private val x101Sql =
+    s"""WITH RECURSIVE $x11Ctes,
+       |cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |aug AS (
+       |  SELECT c.doc_id,
+       |    COALESCE(cl.cluster_id, c.doc_id) AS cluster_id
+       |  FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id),
+       |sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM aug GROUP BY 1)
+       |SELECT cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       |  1000000 // cluster_size AS weight_ppm
+       |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
   // ---------------------------------------------------------------------
   // X14 — benchmark decontamination: flag training documents sharing ≥K
@@ -4299,6 +4354,7 @@ object DedupSim {
     QueryDef("x49_source_overlap", Some(x49Sql), x49),
     QueryDef("x50_group_split", Some(x50Sql), x50),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
+    QueryDef("x101_cluster_weights", Some(x101Sql), x101),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x51_minhash_error", Some(x51Sql), x51),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),

@@ -211,6 +211,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // output sort; the per-round CC shuffles live behind the
     // checkpoint cut and are bounded by O(log n) rounds.
     "x11_dup_clusters" -> 2,
+    // x11's bounded pair generation + CC closure (cut per round) seen
+    // from two consumers of the cluster relation, + the singleton
+    // left join and the two contracting weight-census aggs
+    "x101_cluster_weights" -> 6,
     // 0 — the whole point: both scans are bucketed on the join key,
     // the aggregate reuses the layout, and the top-100 plans as
     // TakeOrderedAndProject. The one-time layout shuffle happens at
@@ -306,6 +310,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // segments (plan depth grows with segment count by design;
     // compact() resets it)
     "x99_segmented_serve" -> 23,
+    // per-source prefix-sum window + the (source, shard) census agg
+    // — packing is per-source streams, never one global ordering
+    "x100_sequence_pack" -> 2,
     // per-word token census + the n_tokens-bucket agg + sort over the
     // trained (checkpointed) symbol relation; training cost as x89
     "x90_bpe_apply" -> 3,
