@@ -3168,7 +3168,7 @@ object DedupSim {
     * transitive closure, shared verbatim with x101 (the soft-dedup
     * weight census over the same clusters). */
   private def x11Parts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val gen1 = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -3197,12 +3197,12 @@ object DedupSim {
     // rounds-=-diameter wall of min-label propagation. Lineage is cut
     // per round (localCheckpoint by default, reliable checkpoint
     // under graft.checkpoint.dir — Checkpoints.cut).
-    (corpus, graft.etl.ConnectedComponents.run(edges)
+    (corpus, edges, graft.etl.ConnectedComponents.run(edges)
       .select(col("id").as("doc_id"), col("cluster_id")))
   }
 
   private def x11(s: SparkSession, d: String): DataFrame =
-    x11Parts(s, d)._2.orderBy("doc_id")
+    x11Parts(s, d)._3.orderBy("doc_id")
   private val x11Ctes =
     s"""docs AS (
        |  SELECT doc_id, text FROM documents),
@@ -3258,7 +3258,7 @@ object DedupSim {
   // the (doc, cluster) relation.
   // ---------------------------------------------------------------------
   private def x101(s: SparkSession, d: String): DataFrame = {
-    val (corpus, cc) = x11Parts(s, d)
+    val (corpus, _, cc) = x11Parts(s, d)
     val aug = corpus.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -3289,6 +3289,47 @@ object DedupSim {
        |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
        |  1000000 // cluster_size AS weight_ppm
        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X102 — INCREMENTAL transitive closure: the nightly-maintenance
+  // half x82 left open. x82 computes tonight's shard's near-dup EDGES
+  // incrementally (delta vs the signature index, never re-shingling
+  // the base), but turning edges into canonical cluster ids still
+  // re-ran the closure over the FULL graph. The standard fix: fold
+  // yesterday's assignments into STAR EDGES (cluster_id → member, the
+  // spanning forest CC itself produces — connectivity-preserving by
+  // construction) and close over star ∪ delta-edges only. Closure
+  // work is then O(|clusters| + |delta edges|) per night instead of
+  // O(|all edges|) — on a 100 TB corpus the difference between
+  // re-clustering ten billion edges and walking tonight's shard. The
+  // theorem gated here: CC(star(CC(base edges)) ∪ delta edges) ≡
+  // CC(all edges) — bit-identical canonical ids, because star edges
+  // preserve exactly the base components and delta edges are the only
+  // new connectivity (gen2 docs are "tonight's arrivals": base-base
+  // pairs never involve them by the a<b id split). Oracle: x11's
+  // recursive-CTE closure over the FULL edge set — an engine that
+  // never saw the incremental split. Scale: both closures are
+  // large-star/small-star (O(log n) rounds, cut per round); the keyed
+  // pair scan is shared with x11's audited shape via one cut.
+  // ---------------------------------------------------------------------
+  private def x102(s: SparkSession, d: String): DataFrame = {
+    val (_, edges0, _) = x11Parts(s, d)
+    val edges = edges0.cut(false) // consumers: base split, delta split
+    val newMark = lit(2000000L) // gen2 = tonight's arrivals
+    val baseE = edges
+      .filter(col("a") < newMark && col("b") < newMark)
+    val deltaE = edges
+      .filter(col("a") >= newMark || col("b") >= newMark)
+    val star = graft.etl.ConnectedComponents.run(baseE)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a"), col("id").as("b"))
+    graft.etl.ConnectedComponents.run(star.unionByName(deltaE))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+  // the oracle is the FULL-graph closure — x11's, verbatim: hash
+  // equality IS the incremental ≡ full theorem
+  private val x102Sql = x11Sql
 
   // ---------------------------------------------------------------------
   // X14 — benchmark decontamination: flag training documents sharing ≥K
@@ -4355,6 +4396,7 @@ object DedupSim {
     QueryDef("x50_group_split", Some(x50Sql), x50),
     QueryDef("x11_dup_clusters", Some(x11Sql), x11),
     QueryDef("x101_cluster_weights", Some(x101Sql), x101),
+    QueryDef("x102_incremental_cc", Some(x102Sql), x102),
     QueryDef("x01_dedup_exact", Some(x01Sql), x01),
     QueryDef("x51_minhash_error", Some(x51Sql), x51),
     QueryDef("x10_dedup_embedding", Some(x10Sql), x10),

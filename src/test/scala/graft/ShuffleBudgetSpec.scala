@@ -215,6 +215,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // from two consumers of the cluster relation, + the singleton
     // left join and the two contracting weight-census aggs
     "x101_cluster_weights" -> 6,
+    // the shared keyed pair scan rides one cut; both closures
+    // (base → star, star ∪ delta) are cut per round, so the static
+    // plan shows the delta split + final sort only
+    "x102_incremental_cc" -> 2,
     // 0 — the whole point: both scans are bucketed on the join key,
     // the aggregate reuses the layout, and the top-100 plans as
     // TakeOrderedAndProject. The one-time layout shuffle happens at
