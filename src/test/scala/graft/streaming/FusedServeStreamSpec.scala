@@ -71,4 +71,54 @@ class FusedServeStreamSpec extends SparkSpec {
           s"extra=${(streamed -- batch).take(3)}")
     } finally out.stop()
   }
+
+  test("restart from checkpoint: parquet-sink output == batch, exactly once") {
+    // the deployment shape: file source -> fused serve -> parquet
+    // sink under a checkpoint; the process dies between micro-batches
+    // and a fresh query resumes from the checkpoint. Exactly-once =
+    // the final sink holds each query's top-k once, bit-identical to
+    // the batch composition — no dropped chunk, no replayed dupes.
+    val spIdx = SparseIndex.build(
+      SparseIndex.termFreqs(Tables.documents(spark, sf)))
+    val e = AnnIndex.prep(Tables.embeddings(spark, sf)).cache()
+    val pqIdx = PqIndex.build(e)
+    val q = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(e.select(col("vec_id").as("q_id"), col("emb"), col("norm")),
+        "q_id")
+      .cache()
+    val batch = key(FusedServeStream.serve(q, spIdx, pqIdx)
+      .toDF().collect())
+    assert(batch.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("fu_restart")
+    val in = s"$dir/in"
+    val outP = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def start() = FusedServeStream.serve(
+      spark.readStream.schema(q.schema).parquet(in), spIdx, pqIdx)
+      .toDF().writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outP).start()
+
+    val run1 = start()
+    try {
+      q.filter(col("q_id") % 200 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run1.processAllAvailable()
+    } finally run1.stop()
+    val run2 = start() // the restarted process
+    try {
+      q.filter(col("q_id") % 200 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run2.processAllAvailable()
+    } finally run2.stop()
+
+    val sunk = spark.read.parquet(outP).collect()
+    assert(sunk.length == batch.size, // set-equality AND no dupes
+      s"exactly-once violated: ${sunk.length} rows vs ${batch.size}")
+    assert(key(sunk) == batch,
+      s"restarted stream drifted: ${(batch -- key(sunk)).take(3)}")
+  }
 }
