@@ -137,13 +137,20 @@ object SparseSegments {
       .select("doc_id", "tok", "tf")
     // live tf restricted to dirty terms, built from PRUNED components:
     // when the base tf carries the on-disk `tbk` partition column, the
-    // base-side semi-join includes the bucket key so partition pruning
-    // (static or DPP) skips untouched buckets of the dominant relation
+    // DIRTY BUCKET census (≤ TokBuckets values by construction — the
+    // same bounded-artifact trick PqServeStream plays with the coarse
+    // codebook) is collected at view time and becomes a STATIC
+    // partition filter on the base tf scan, so pruning is guaranteed
+    // by the planner rather than left to DPP heuristics
+    // (PushdownAuditSpec asserts PartitionFilters on the scan). The
+    // collect is one segment-sized job over the dfd term sets.
     val baseDirty =
       if (base.tf.columns.contains("tbk")) {
-        val dirtyB = dirty.withColumn("tbk",
-          pmod(hash(col("tok")), lit(TokBuckets)))
-        base.tf.join(dirtyB, Seq("tbk", "tok"), "left_semi")
+        val dirtyBuckets = dirty
+          .select(pmod(hash(col("tok")), lit(TokBuckets)).as("tbk"))
+          .distinct().collect().map(_.getInt(0))
+        base.tf.filter(col("tbk").isin(dirtyBuckets.map(Int.box): _*))
+          .join(dirty, Seq("tok"), "left_semi")
           .select("doc_id", "tok", "tf")
       } else baseTf(base).join(dirty, Seq("tok"), "left_semi")
     val tfDirty = SegmentOps.scopedUnion(baseDirty,

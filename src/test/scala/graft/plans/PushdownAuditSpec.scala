@@ -92,4 +92,28 @@ class PushdownAuditSpec extends SparkSpec {
         s"no DPP subquery in fact scan:\n$plan")
     } finally spark.conf.set(key, old)
   }
+
+  test("segmented sparse layout: dirty-term re-truncation prunes tf buckets") {
+    import graft.etl.{SparseIndex, SparseSegments}
+    val cap = 5
+    val t = SparseIndex.termFreqs(Tables.documents(spark, sfDir)).cache()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seg_prune").toString
+    SparseSegments.init(
+      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root)
+    // a delta touching a SINGLE document's terms — few dirty buckets
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") === 3), cap)
+    val live = SparseSegments.read(spark, root, cap)
+    val plan = planOf(live.plist)
+    // the bucket census must land as a STATIC PartitionFilters isin
+    // on the base tf scan (guaranteed pruning — not DPP heuristics)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .toSeq
+    assert(pf.exists(l => l.contains("tbk") &&
+        (l.contains("INSET") || l.contains("IN ("))),
+      s"no static tbk partition filter on the base tf scan:\n$plan")
+    // and the view still reads correctly through the pruned scan
+    assert(live.plist.count() > 0)
+  }
 }
