@@ -143,6 +143,15 @@ object PqIndex {
         .orderBy(col("dist").asc, col("c_id"))))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("c_id").as("cluster"))
+    serveWithProbes(queries, idx, probes, k)
+  }
+
+  /** The serve tail behind an EXPLICIT (q_id, cluster) probe
+    * relation — [[serve]]'s fixed-nprobe ranking is one producer;
+    * adaptive policies (x103's distance-ratio cut) are another. Same
+    * LUT build, same probed-cells scan, same ADC ranking. */
+  def serveWithProbes(queries: DataFrame, idx: Index,
+      probes: DataFrame, k: Int = 10): DataFrame = {
     val luts = (0 until Sub).map { i =>
       queries.select(col("q_id"),
         expr(s"slice(emb, ${Dims * i + 1}, $Dims)").as("qv"))

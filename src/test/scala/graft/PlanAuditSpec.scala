@@ -68,6 +68,10 @@ class PlanAuditSpec extends SparkSpec {
       "side grows with the corpus — x05's rule); the cartesian is " +
       "x05's documented brute-force truth slice, joined unkeyed on " +
       "purpose"),
+    "x103_adaptive_probes" -> ("x97's serve tail behind the adaptive " +
+      "probe relation — the same fixed 16-row coarse codebook and " +
+      "8-row PQ books broadcast, the same unhinted LUTs/truth slice, " +
+      "the same documented brute-force truth cartesian"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

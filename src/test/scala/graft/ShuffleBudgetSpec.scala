@@ -219,6 +219,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (base → star, star ∪ delta) are cut per round, so the static
     // plan shows the delta split + final sort only
     "x102_incremental_cc" -> 2,
+    // x97's audited serve tail behind the adaptive probe relation
+    // (+1: the probe census agg joined into the card)
+    "x103_adaptive_probes" -> 38,
     // 0 — the whole point: both scans are bucketed on the join key,
     // the aggregate reuses the layout, and the top-100 plans as
     // TakeOrderedAndProject. The one-time layout shuffle happens at
