@@ -77,8 +77,9 @@ object Bench {
   val WarmPriority: Set[String] = Set(
     // r10 registrations
     "x96_index_delete", "x97_ivfpq_serve", "x93b_funnel_sweep",
-    "x98_delete_serve", "x99_segmented_serve", "x101_cluster_weights",
-    "x102_incremental_cc", "x103_adaptive_probes",
+    "x98_delete_serve", "x99_segmented_serve", "x100_sequence_pack",
+    "x101_cluster_weights", "x102_incremental_cc",
+    "x103_adaptive_probes",
     // composition tier (>= 2 kernel families) — r9 driver cold spikes
     "m07_modality_mix", "x73_rrf_fusion", "x75_context_budget",
     "x82_incremental_dedup", "w06_dedup_cascade", "w07_rag_funnel",

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** LOG-STRUCTURED persistence for the MinHash family's signature
   * index ([[NearDup.writeIndex]]) — the third leg of the O(delta)
@@ -49,15 +50,33 @@ object MinHashSegments {
   // root/segs/seg=<n>/{sigs,tombs}
   // ------------------------------------------------------------------
 
-  /** Write a signature relation as the base generation. */
-  def init(sigs: DataFrame, root: String): Unit =
+  /** Write a signature relation as the base generation. `k` MUST be
+    * the signature length `sigs` was signed with: it is persisted in
+    * the layout's 1-row `meta` table, and appendSeg signs every later
+    * delta at the STORED k — two incomparable signature spaces can no
+    * longer mix in one index. */
+  def init(sigs: DataFrame, root: String,
+      k: Int = NearDup.DefaultConfig.k): Unit =
     graft.sources.Sources.writeOrdered(
-      Seq("minhash_index" -> sigs), s"$root/base")
+      Seq("minhash_index" -> sigs,
+        "meta" -> sigs.sparkSession.range(1).select(lit(k).as("k"))),
+      s"$root/base")
 
-  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
-    graft.sources.Sources.writeOrdered(
-      Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs),
-      s"$root/segs/seg=$n")
+  /** The layout's persisted signature length; an explicitly passed
+    * `k` must agree. */
+  private def storedK(s: SparkSession, root: String, k: Int): Int = {
+    val stored = s.read.parquet(s"$root/base/meta")
+      .select("k").head().getInt(0)
+    require(k == 0 || k == stored,
+      s"MinHashSegments: layout $root was signed at k=$stored but " +
+        s"k=$k was passed — the signature lengths must agree")
+    stored
+  }
+
+  private def writeSeg(s: SparkSession, seg: Seg, root: String,
+      n: Int): Unit =
+    SegmentOps.publishSeg(s, root, n,
+      Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs))
 
   private def readSeg(s: SparkSession, root: String, n: Int): Seg =
     Seg(s.read.parquet(s"$root/segs/seg=$n/sigs"),
@@ -70,22 +89,28 @@ object MinHashSegments {
     if (segs.isEmpty) base else view(base, segs)
   }
 
-  /** Append a disjoint shard as a new segment — an O(delta) write;
-    * base files are never touched (MinHashSegmentsSpec asserts it). */
+  /** Append a disjoint shard as a new segment — an O(delta) write
+    * published atomically; the delta is signed at the layout's STORED
+    * k (pass `k` explicitly only to assert it); base files are never
+    * touched (MinHashSegmentsSpec asserts it). */
   def appendSeg(s: SparkSession, root: String, deltaDocs: DataFrame,
-      k: Int = NearDup.DefaultConfig.k): Unit = {
+      k: Int = 0): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(appendSegOf(read(s, root), deltaDocs, k), root, n)
+    writeSeg(s,
+      appendSegOf(read(s, root), deltaDocs, storedK(s, root, k)),
+      root, n)
   }
 
-  /** Retract documents as a new segment — an O(delta) write. */
+  /** Retract documents as a new segment — an O(delta) write published
+    * atomically. */
   def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
       : Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(deleteSegOf(read(s, root), docIds), root, n)
+    writeSeg(s, deleteSegOf(read(s, root), docIds), root, n)
   }
 
-  /** Fold the segments into a fresh base at `outRoot`. */
+  /** Fold the segments into a fresh base at `outRoot`; the signature
+    * length carries over from the layout's meta table. */
   def compact(s: SparkSession, root: String, outRoot: String): Unit =
-    init(read(s, root), outRoot)
+    init(read(s, root), outRoot, storedK(s, root, 0))
 }

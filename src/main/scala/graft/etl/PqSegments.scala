@@ -67,11 +67,11 @@ object PqSegments {
   def init(idx: PqIndex.Index, root: String): Unit =
     PqIndex.write(idx, s"$root/base")
 
-  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
-    graft.sources.Sources.writeOrdered(
+  private def writeSeg(s: SparkSession, seg: Seg, root: String,
+      n: Int): Unit =
+    SegmentOps.publishSeg(s, root, n,
       Seq("cells" -> seg.cellsAdd, "codes" -> seg.codesAdd,
-        "tombs" -> seg.tombs),
-      s"$root/segs/seg=$n")
+        "tombs" -> seg.tombs))
 
   private def readSeg(s: SparkSession, root: String, n: Int): Seg =
     Seg(s.read.parquet(s"$root/segs/seg=$n/cells"),
@@ -85,18 +85,20 @@ object PqSegments {
     if (segs.isEmpty) base else view(base, segs)
   }
 
-  /** Append a disjoint shard as a new segment — an O(delta) write;
-    * base files are never touched (PqSegmentsSpec asserts it). */
+  /** Append a disjoint shard as a new segment — an O(delta) write
+    * published atomically; base files are never touched
+    * (PqSegmentsSpec asserts it). */
   def appendSeg(s: SparkSession, root: String, eNew: DataFrame): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(appendSegOf(read(s, root), eNew), root, n)
+    writeSeg(s, appendSegOf(read(s, root), eNew), root, n)
   }
 
-  /** Retract vectors as a new segment — an O(delta) write. */
+  /** Retract vectors as a new segment — an O(delta) write published
+    * atomically. */
   def deleteSeg(s: SparkSession, root: String, vecIds: DataFrame)
       : Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(deleteSegOf(read(s, root), vecIds), root, n)
+    writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n)
   }
 
   /** Fold the segments into a fresh base at `outRoot` (the books and

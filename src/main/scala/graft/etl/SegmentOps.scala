@@ -30,7 +30,9 @@ object SegmentOps {
   }
 
   /** Segment numbers present under `root/segs`, ascending — the
-    * shared on-disk convention (`segs/seg=<n>/<table>`). */
+    * shared on-disk convention (`segs/seg=<n>/<table>`). In-flight
+    * writes live under `_tmp_seg=<n>` until [[publishSeg]]'s rename,
+    * so a listed segment is always complete. */
   def listSegs(s: org.apache.spark.sql.SparkSession, root: String)
       : Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/segs")
@@ -41,5 +43,25 @@ object SegmentOps {
       .collect { case n if n.startsWith("seg=") =>
         n.stripPrefix("seg=").toInt }
       .sorted
+  }
+
+  /** Write a segment's tables ATOMICALLY with respect to
+    * [[listSegs]]: everything lands under `segs/_tmp_seg=<n>` (a name
+    * listSegs never matches) and one directory rename publishes it —
+    * a reader that races a nightly write either sees the whole
+    * segment or none of it, never a partial bundle. (On an object
+    * store without atomic rename the same role falls to a manifest
+    * pointer — the compact() doc's trade.) */
+  def publishSeg(s: org.apache.spark.sql.SparkSession, root: String,
+      n: Int, tables: Seq[(String, org.apache.spark.sql.DataFrame)])
+      : Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_seg=$n")
+    val fin = new org.apache.hadoop.fs.Path(s"$root/segs/seg=$n")
+    val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(fin), s"segment $n already published")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // a dead writer's debris
+    graft.sources.Sources.writeOrdered(tables, tmp.toString)
+    require(fs.rename(tmp, fin),
+      s"failed to publish segment $n (rename $tmp -> $fin)")
   }
 }

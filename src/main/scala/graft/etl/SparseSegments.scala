@@ -75,13 +75,23 @@ object SparseSegments {
     * the LIVE corpus — a previously deleted id may be re-appended
     * (that is the revise path; tombstone scoping makes it correct). */
   def appendSegOf(live: SparseIndex.Index, deltaTf: DataFrame): Seg = {
-    val clash = live.dl.select("doc_id")
+    assertDisjoint(live.dl, deltaTf)
+    mkAppendSeg(deltaTf)
+  }
+
+  private def assertDisjoint(liveDl: DataFrame,
+      deltaTf: DataFrame): Unit = {
+    val clash = liveDl.select("doc_id")
       .join(deltaTf.select("doc_id").distinct(), "doc_id")
       .limit(1).count()
     require(clash == 0L,
-      "SparseSegments.appendSegOf: delta doc_ids overlap the live " +
+      "SparseSegments append: delta doc_ids overlap the live " +
         "corpus — append segments are for disjoint shards (revise = " +
         "deleteSeg + appendSeg)")
+  }
+
+  /** The append segment's tables — a pure function of the delta. */
+  private def mkAppendSeg(deltaTf: DataFrame): Seg = {
     val dlAdd = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
       .cut(false) // consumers: the segment write + statsd
     Seg(
@@ -97,10 +107,17 @@ object SparseSegments {
     * deleted docs' live postings, a −stats delta, and the tombstones.
     * Deleting an id absent from the live corpus is a no-op (zero
     * deltas, a tombstone that anti-joins nothing). */
-  def deleteSegOf(live: SparseIndex.Index, docIds: DataFrame): Seg = {
+  def deleteSegOf(live: SparseIndex.Index, docIds: DataFrame): Seg =
+    mkDeleteSeg(live.tf, live.dl, docIds)
+
+  /** The delete segment's tables — needs only the live tf/dl
+    * relations, so the disk path composes them WITHOUT the full view
+    * (no plist work, no bucket census). */
+  private def mkDeleteSeg(liveTf: DataFrame, liveDl: DataFrame,
+      docIds: DataFrame): Seg = {
     val del = docIds.select("doc_id").distinct().cut(false)
-    val delTf = live.tf.join(del, Seq("doc_id"), "left_semi").cut(false)
-    val delDl = live.dl.join(del, Seq("doc_id"), "left_semi")
+    val delTf = liveTf.join(del, Seq("doc_id"), "left_semi").cut(false)
+    val delDl = liveDl.join(del, Seq("doc_id"), "left_semi")
       .cut(false)
     Seg(
       tfAdd = delTf.limit(0),
@@ -115,6 +132,7 @@ object SparseSegments {
     * the cap the base was built with. */
   def view(base: SparseIndex.Index, segs: Seq[Seg], cap: Int)
       : SparseIndex.Index = {
+    if (segs.isEmpty) return base.copy(tf = baseTf(base))
     // tombstones scoped per SegmentOps.scopedUnion: segs(i) is masked
     // by tombs of segs j > i, the base by all of them
     val adds = segs.map(_.tfAdd.select("doc_id", "tok", "tf"))
@@ -175,25 +193,45 @@ object SparseSegments {
 
   /** Write `idx` as the base generation of a segmented layout. The tf
     * relation is partitioned by the 64-way token-hash bucket — the
-    * partition key the dirty-term re-truncation prunes on. */
-  def init(idx: SparseIndex.Index, root: String): Unit = {
+    * partition key the dirty-term re-truncation prunes on. `cap` MUST
+    * be the cap `idx` was built with: it is persisted in the layout's
+    * 1-row `meta` table, and every later read/compact resolves it
+    * from there — a default-arg mismatch can no longer mix two caps
+    * in one plist. */
+  def init(idx: SparseIndex.Index, root: String,
+      cap: Int = SparseIndex.ImpactCap): Unit = {
     graft.sources.Sources.writeOrdered(
       Seq("plist" -> idx.plist, "df" -> idx.df, "dl" -> idx.dl,
         "stats" -> idx.stats,
+        "meta" -> idx.stats.sparkSession.range(1)
+          .select(lit(cap).as("cap")),
         "tf" -> idx.tf.withColumn("tbk",
           pmod(hash(col("tok")), lit(TokBuckets)))),
       s"$root/base", partitions = Map("tf" -> Seq("tbk")))
+  }
+
+  /** The layout's persisted build cap. When the caller passes an
+    * explicit `cap` too, they must agree — the silent-corruption
+    * guard. */
+  private def storedCap(s: SparkSession, root: String,
+      cap: Int): Int = {
+    val stored = s.read.parquet(s"$root/base/meta")
+      .select("cap").head().getInt(0)
+    require(cap == 0 || cap == stored,
+      s"SparseSegments: layout $root was built at cap=$stored but " +
+        s"cap=$cap was passed — the caps must agree")
+    stored
   }
 
   /** Segment numbers present under `root`, ascending. */
   def listSegs(s: SparkSession, root: String): Seq[Int] =
     SegmentOps.listSegs(s, root)
 
-  private def writeSeg(seg: Seg, root: String, n: Int): Unit =
-    graft.sources.Sources.writeOrdered(
+  private def writeSeg(s: SparkSession, seg: Seg, root: String,
+      n: Int): Unit =
+    SegmentOps.publishSeg(s, root, n,
       Seq("tf" -> seg.tfAdd, "dfd" -> seg.dfd, "dl" -> seg.dlAdd,
-        "statsd" -> seg.statsd, "tombs" -> seg.tombs),
-      s"$root/segs/seg=$n")
+        "statsd" -> seg.statsd, "tombs" -> seg.tombs))
 
   private def readSeg(s: SparkSession, root: String, n: Int): Seg =
     Seg(s.read.parquet(s"$root/segs/seg=$n/tf"),
@@ -202,34 +240,56 @@ object SparseSegments {
       s.read.parquet(s"$root/segs/seg=$n/statsd"),
       s.read.parquet(s"$root/segs/seg=$n/tombs"))
 
-  /** Load the live view of a segmented layout. */
-  def read(s: SparkSession, root: String,
-      cap: Int = SparseIndex.ImpactCap): SparseIndex.Index = {
+  /** The live tf and dl relations alone — what segment BUILDERS need;
+    * composing them skips the view's plist work and its dirty-bucket
+    * census job entirely (a nightly appendSeg/deleteSeg never pays
+    * for a relation it doesn't read). */
+  private def liveParts(s: SparkSession, root: String)
+      : (DataFrame, DataFrame) = {
+    val baseTfD = s.read.parquet(s"$root/base/tf")
+      .select("doc_id", "tok", "tf")
+    val baseDl = s.read.parquet(s"$root/base/dl")
+    val segs = listSegs(s, root).map(readSeg(s, root, _))
+    val tombs = segs.map(_.tombs)
+    (SegmentOps.scopedUnion(baseTfD,
+        segs.map(_.tfAdd.select("doc_id", "tok", "tf")), tombs,
+        "doc_id"),
+      SegmentOps.scopedUnion(baseDl, segs.map(_.dlAdd), tombs,
+        "doc_id"))
+  }
+
+  /** Load the live view of a segmented layout. The cap comes from the
+    * layout's meta table; pass it explicitly only to ASSERT it. */
+  def read(s: SparkSession, root: String, cap: Int = 0)
+      : SparseIndex.Index = {
+    val rc = storedCap(s, root, cap)
     val base = SparseIndex.Index(
       s.read.parquet(s"$root/base/plist"),
       s.read.parquet(s"$root/base/df"),
       s.read.parquet(s"$root/base/dl"),
       s.read.parquet(s"$root/base/stats"),
       s.read.parquet(s"$root/base/tf"))
-    val segs = listSegs(s, root).map(readSeg(s, root, _))
-    if (segs.isEmpty)
-      base.copy(tf = baseTf(base))
-    else view(base, segs, cap)
+    view(base, listSegs(s, root).map(readSeg(s, root, _)), rc)
   }
 
-  /** Append a disjoint shard as a new segment — an O(delta) write;
-    * base files are never touched (SparseSegmentsSpec asserts it). */
-  def appendSeg(s: SparkSession, root: String, deltaTf: DataFrame,
-      cap: Int = SparseIndex.ImpactCap): Unit = {
+  /** Append a disjoint shard as a new segment — an O(delta) write
+    * published atomically; base files are never touched
+    * (SparseSegmentsSpec asserts it). */
+  def appendSeg(s: SparkSession, root: String, deltaTf: DataFrame)
+      : Unit = {
+    val (_, dl) = liveParts(s, root)
+    assertDisjoint(dl, deltaTf)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(appendSegOf(read(s, root, cap), deltaTf), root, n)
+    writeSeg(s, mkAppendSeg(deltaTf), root, n)
   }
 
-  /** Retract documents as a new segment — an O(delta) write. */
-  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame,
-      cap: Int = SparseIndex.ImpactCap): Unit = {
+  /** Retract documents as a new segment — an O(delta) write published
+    * atomically. */
+  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
+      : Unit = {
+    val (tf, dl) = liveParts(s, root)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(deleteSegOf(read(s, root, cap), docIds), root, n)
+    writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n)
   }
 
   /** Fold the segments into a fresh base at `outRoot` — the periodic
@@ -237,8 +297,7 @@ object SparseSegments {
     * compacted layout serves exactly like the segmented one
     * (SparseSegmentsSpec pins it); swapping `outRoot` in for `root`
     * is the caller's pointer flip (a manifest update on an object
-    * store). */
-  def compact(s: SparkSession, root: String, outRoot: String,
-      cap: Int = SparseIndex.ImpactCap): Unit =
-    init(read(s, root, cap), outRoot)
+    * store). The cap carries over from the layout's meta table. */
+  def compact(s: SparkSession, root: String, outRoot: String): Unit =
+    init(read(s, root), outRoot, storedCap(s, root, 0))
 }

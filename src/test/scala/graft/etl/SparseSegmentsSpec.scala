@@ -83,7 +83,8 @@ class SparseSegmentsSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("sparse_segs").toString
     SparseSegments.init(
-      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root)
+      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root,
+      cap)
 
     // snapshot the base generation's files
     def baseFiles(): Map[String, Long] = {
@@ -102,13 +103,20 @@ class SparseSegmentsSpec extends SparkSpec {
     assert(before.nonEmpty)
 
     SparseSegments.appendSeg(spark, root,
-      t.filter(col("doc_id") % 3 === 0), cap)
+      t.filter(col("doc_id") % 3 === 0))
     SparseSegments.deleteSeg(spark, root,
-      t.select("doc_id").distinct().filter(col("doc_id") % 10 === 3),
-      cap)
+      t.select("doc_id").distinct().filter(col("doc_id") % 10 === 3))
     assert(baseFiles() == before,
       "segment maintenance rewrote base files — the O(delta) claim")
     assert(SparseSegments.listSegs(spark, root) == Seq(0, 1))
+    // an in-flight (unpublished) segment is invisible to readers
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/segs/_tmp_seg=2"))
+    assert(SparseSegments.listSegs(spark, root) == Seq(0, 1))
+    // the persisted cap is asserted against an explicit mismatch
+    intercept[IllegalArgumentException] {
+      SparseSegments.read(spark, root, cap + 1)
+    }
 
     val live = SparseSegments.read(spark, root, cap)
     val rebuilt = SparseIndex.build(
@@ -117,7 +125,7 @@ class SparseSegmentsSpec extends SparkSpec {
 
     val outRoot = java.nio.file.Files
       .createTempDirectory("sparse_segs_c").toString
-    SparseSegments.compact(spark, root, outRoot, cap)
+    SparseSegments.compact(spark, root, outRoot)
     val compacted = SparseSegments.read(spark, outRoot, cap)
     assert(SparseSegments.listSegs(spark, outRoot).isEmpty)
     assertSameIndex(compacted, rebuilt)

@@ -100,10 +100,11 @@ class PushdownAuditSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_seg_prune").toString
     SparseSegments.init(
-      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root)
+      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root,
+      cap)
     // a delta touching a SINGLE document's terms — few dirty buckets
     SparseSegments.appendSeg(spark, root,
-      t.filter(col("doc_id") === 3), cap)
+      t.filter(col("doc_id") === 3))
     val live = SparseSegments.read(spark, root, cap)
     val plan = planOf(live.plist)
     // the bucket census must land as a STATIC PartitionFilters isin
