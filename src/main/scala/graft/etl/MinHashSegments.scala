@@ -32,13 +32,16 @@ object MinHashSegments {
       "MinHashSegments.appendSegOf: delta doc_ids overlap the live " +
         "index — append segments are for disjoint shards (revise = " +
         "deleteSeg + appendSeg)")
-    Seg(deltaSigs, deltaSigs.select("doc_id").limit(0))
+    Seg(deltaSigs,
+      SegmentOps.emptyLike(deltaSigs.select("doc_id")))
   }
 
-  /** Build a DELETE segment: tombstones only. Deleting an absent id
-    * is a no-op. */
+  /** Build a DELETE segment: tombstones only (the vacuous signature
+    * additions are statically-empty LocalRelations so the view's
+    * unions elide them). Deleting an absent id is a no-op. */
   def deleteSegOf(liveSigs: DataFrame, docIds: DataFrame): Seg =
-    Seg(liveSigs.limit(0), docIds.select("doc_id").distinct())
+    Seg(SegmentOps.emptyLike(liveSigs),
+      docIds.select("doc_id").distinct())
 
   /** Compose base + segments into the LIVE signature index. */
   def view(baseSigs: DataFrame, segs: Seq[Seg]): DataFrame =
@@ -74,18 +77,27 @@ object MinHashSegments {
   }
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int): Unit =
-    SegmentOps.publishSeg(s, root, n,
+      n: Int, kind: Char): Unit =
+    SegmentOps.publishSeg(s, root, n, kind,
       Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs))
 
-  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
-    Seg(s.read.parquet(s"$root/segs/seg=$n/sigs"),
-      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+  /** Read one on-disk segment; the kind tag rebuilds the vacuous
+    * table as a statically-empty LocalRelation (join elision — see
+    * SegmentOps.emptyLike). */
+  private def readSeg(s: SparkSession, root: String, dirName: String,
+      kind: Char): Seg = {
+    def t(name: String) = s.read.parquet(s"$root/segs/$dirName/$name")
+    def emptyT(name: String) = SegmentOps.emptyLike(t(name))
+    Seg(
+      sigsAdd = if (kind == 'd') emptyT("sigs") else t("sigs"),
+      tombs = if (kind == 'a') emptyT("tombs") else t("tombs"))
+  }
 
   /** Load the live signature index of a segmented layout. */
   def read(s: SparkSession, root: String): DataFrame = {
     val base = s.read.parquet(s"$root/base/minhash_index")
-    val segs = SegmentOps.listSegs(s, root).map(readSeg(s, root, _))
+    val segs = SegmentOps.listSegEntries(s, root)
+      .map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
   }
 
@@ -98,7 +110,7 @@ object MinHashSegments {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
     writeSeg(s,
       appendSegOf(read(s, root), deltaDocs, storedK(s, root, k)),
-      root, n)
+      root, n, 'a')
   }
 
   /** Retract documents as a new segment — an O(delta) write published
@@ -106,7 +118,7 @@ object MinHashSegments {
   def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
       : Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, deleteSegOf(read(s, root), docIds), root, n)
+    writeSeg(s, deleteSegOf(read(s, root), docIds), root, n, 'd')
   }
 
   /** Fold the segments into a fresh base at `outRoot`; the signature

@@ -40,13 +40,16 @@ object PqSegments {
         "— append segments are for disjoint shards (revise = " +
         "deleteSeg + appendSeg)")
     val (cellsNew, codesNew) = PqIndex.encodeShard(live, eNew)
-    Seg(cellsNew, codesNew, eNew.select("vec_id").limit(0))
+    Seg(cellsNew, codesNew,
+      SegmentOps.emptyLike(eNew.select("vec_id")))
   }
 
-  /** Build a DELETE segment: tombstones only. Deleting an absent id
-    * is a no-op. */
+  /** Build a DELETE segment: tombstones only (the vacuous additions
+    * are statically-empty LocalRelations so the view's unions elide
+    * them). Deleting an absent id is a no-op. */
   def deleteSegOf(live: PqIndex.Index, vecIds: DataFrame): Seg =
-    Seg(live.cells.limit(0), live.codes.limit(0),
+    Seg(SegmentOps.emptyLike(live.cells),
+      SegmentOps.emptyLike(live.codes),
       vecIds.select("vec_id").distinct())
 
   /** Compose base + segments into the LIVE index view. */
@@ -68,20 +71,29 @@ object PqSegments {
     PqIndex.write(idx, s"$root/base")
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int): Unit =
-    SegmentOps.publishSeg(s, root, n,
+      n: Int, kind: Char): Unit =
+    SegmentOps.publishSeg(s, root, n, kind,
       Seq("cells" -> seg.cellsAdd, "codes" -> seg.codesAdd,
         "tombs" -> seg.tombs))
 
-  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
-    Seg(s.read.parquet(s"$root/segs/seg=$n/cells"),
-      s.read.parquet(s"$root/segs/seg=$n/codes"),
-      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+  /** Read one on-disk segment; the kind tag rebuilds the vacuous
+    * tables as statically-empty LocalRelations (join elision — see
+    * SegmentOps.emptyLike). */
+  private def readSeg(s: SparkSession, root: String, dirName: String,
+      kind: Char): Seg = {
+    def t(name: String) = s.read.parquet(s"$root/segs/$dirName/$name")
+    def emptyT(name: String) = SegmentOps.emptyLike(t(name))
+    Seg(
+      cellsAdd = if (kind == 'd') emptyT("cells") else t("cells"),
+      codesAdd = if (kind == 'd') emptyT("codes") else t("codes"),
+      tombs = if (kind == 'a') emptyT("tombs") else t("tombs"))
+  }
 
   /** Load the live view of a segmented layout. */
   def read(s: SparkSession, root: String): PqIndex.Index = {
     val base = PqIndex.read(s, s"$root/base")
-    val segs = SegmentOps.listSegs(s, root).map(readSeg(s, root, _))
+    val segs = SegmentOps.listSegEntries(s, root)
+      .map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
   }
 
@@ -90,7 +102,7 @@ object PqSegments {
     * (PqSegmentsSpec asserts it). */
   def appendSeg(s: SparkSession, root: String, eNew: DataFrame): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, appendSegOf(read(s, root), eNew), root, n)
+    writeSeg(s, appendSegOf(read(s, root), eNew), root, n, 'a')
   }
 
   /** Retract vectors as a new segment — an O(delta) write published
@@ -98,7 +110,7 @@ object PqSegments {
   def deleteSeg(s: SparkSession, root: String, vecIds: DataFrame)
       : Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n)
+    writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n, 'd')
   }
 
   /** Fold the segments into a fresh base at `outRoot` (the books and

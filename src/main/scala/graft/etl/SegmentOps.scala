@@ -29,21 +29,49 @@ object SegmentOps {
       .foldLeft(masked(base, tombs))(_ unionByName _)
   }
 
-  /** Segment numbers present under `root/segs`, ascending — the
-    * shared on-disk convention (`segs/seg=<n>/<table>`). In-flight
-    * writes live under `_tmp_seg=<n>` until [[publishSeg]]'s rename,
-    * so a listed segment is always complete. */
-  def listSegs(s: org.apache.spark.sql.SparkSession, root: String)
-      : Seq[Int] = {
+  /** A statically-EMPTY relation with `df`'s schema (a LocalRelation
+    * with no rows — not a `limit(0)` over a real plan). The
+    * difference matters for plan cost: Catalyst's empty-relation
+    * propagation ELIDES joins against a provably-empty side, so an
+    * append segment's vacuous tombstones (or a delete segment's
+    * vacuous additions) cost NOTHING in the composed view — without
+    * this, every earlier branch pays an anti-join per later segment
+    * and an append-only stack grows quadratically
+    * (SparseSegmentsSpec's linear-growth test is the regression
+    * gate). */
+  def emptyLike(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      df.schema)
+
+  /** Segment entries under `root/segs`, ascending by number: (n,
+    * dirName, kind) where kind is 'a' (append), 'd' (delete) or '?'
+    * (an untagged legacy dir — read in full). On-disk convention:
+    * `segs/seg=<n>-<kind>/<table>`; in-flight writes live under
+    * `_tmp_…` until [[publishSeg]]'s rename, so a listed segment is
+    * always complete. */
+  def listSegEntries(s: org.apache.spark.sql.SparkSession,
+      root: String): Seq[(Int, String, Char)] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/segs")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("seg=") =>
-        n.stripPrefix("seg=").toInt }
-      .sorted
+        val body = n.stripPrefix("seg=")
+        val (num, kind) = body.split("-") match {
+          case Array(i, k) if k.length == 1 => (i.toInt, k.head)
+          case _ => (body.toInt, '?')
+        }
+        (num, n, kind)
+      }
+      .sortBy(_._1)
   }
+
+  /** Segment numbers present under `root/segs`, ascending. */
+  def listSegs(s: org.apache.spark.sql.SparkSession, root: String)
+      : Seq[Int] = listSegEntries(s, root).map(_._1)
 
   /** Write a segment's tables ATOMICALLY with respect to
     * [[listSegs]]: everything lands under `segs/_tmp_seg=<n>` (a name
@@ -53,12 +81,16 @@ object SegmentOps {
     * store without atomic rename the same role falls to a manifest
     * pointer — the compact() doc's trade.) */
   def publishSeg(s: org.apache.spark.sql.SparkSession, root: String,
-      n: Int, tables: Seq[(String, org.apache.spark.sql.DataFrame)])
+      n: Int, kind: Char,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame)])
       : Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_seg=$n")
-    val fin = new org.apache.hadoop.fs.Path(s"$root/segs/seg=$n")
+    val name = s"seg=$n-$kind"
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_$name")
+    val fin = new org.apache.hadoop.fs.Path(s"$root/segs/$name")
     val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(!fs.exists(fin), s"segment $n already published")
+    require(listSegEntries(s, root).forall(_._1 != n),
+      s"segment number $n already published under another kind")
     if (fs.exists(tmp)) fs.delete(tmp, true) // a dead writer's debris
     graft.sources.Sources.writeOrdered(tables, tmp.toString)
     require(fs.rename(tmp, fin),

@@ -90,7 +90,10 @@ object SparseSegments {
         "deleteSeg + appendSeg)")
   }
 
-  /** The append segment's tables — a pure function of the delta. */
+  /** The append segment's tables — a pure function of the delta. The
+    * vacuous tombstones are a statically-empty LocalRelation so the
+    * optimizer elides every scoping anti-join they would feed
+    * ([[SegmentOps.emptyLike]] — the append-only stacks stay linear). */
   private def mkAppendSeg(deltaTf: DataFrame): Seg = {
     val dlAdd = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
       .cut(false) // consumers: the segment write + statsd
@@ -100,7 +103,7 @@ object SparseSegments {
       dlAdd = dlAdd,
       statsd = dlAdd.agg(count(lit(1)).as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("t_tokens")),
-      tombs = deltaTf.select("doc_id").limit(0))
+      tombs = SegmentOps.emptyLike(deltaTf.select("doc_id")))
   }
 
   /** Build a DELETE segment against the live view: −df deltas from the
@@ -120,9 +123,9 @@ object SparseSegments {
     val delDl = liveDl.join(del, Seq("doc_id"), "left_semi")
       .cut(false)
     Seg(
-      tfAdd = delTf.limit(0),
+      tfAdd = SegmentOps.emptyLike(delTf),
       dfd = delTf.groupBy("tok").agg((-count(lit(1))).as("dfd")),
-      dlAdd = delDl.limit(0),
+      dlAdd = SegmentOps.emptyLike(delDl),
       statsd = delDl.agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum("dl"), lit(0L))).as("t_tokens")),
       tombs = del)
@@ -149,8 +152,13 @@ object SparseSegments {
     val statsLive = segs.map(_.statsd)
       .foldLeft(base.stats)(_ unionByName _)
       .agg(sum("n_docs").as("n_docs"), sum("t_tokens").as("t_tokens"))
+    // the dirty-term set is consumed by k+2 joins (clean's anti-join,
+    // baseDirty's semi-join, each segment add's semi-join) — cut it
+    // once or the k-way union re-inlines into every consumer and the
+    // view plan grows quadratically in the segment count (the
+    // linear-growth spec is the regression gate)
     val dirty = segs.map(_.dfd.select("tok"))
-      .reduce(_ unionByName _).distinct()
+      .reduce(_ unionByName _).distinct().cut(false)
     val clean = base.plist.join(dirty, Seq("tok"), "left_anti")
       .select("doc_id", "tok", "tf")
     // live tf restricted to dirty terms, built from PRUNED components:
@@ -228,17 +236,33 @@ object SparseSegments {
     SegmentOps.listSegs(s, root)
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int): Unit =
-    SegmentOps.publishSeg(s, root, n,
+      n: Int, kind: Char): Unit =
+    SegmentOps.publishSeg(s, root, n, kind,
       Seq("tf" -> seg.tfAdd, "dfd" -> seg.dfd, "dl" -> seg.dlAdd,
         "statsd" -> seg.statsd, "tombs" -> seg.tombs))
 
-  private def readSeg(s: SparkSession, root: String, n: Int): Seg =
-    Seg(s.read.parquet(s"$root/segs/seg=$n/tf"),
-      s.read.parquet(s"$root/segs/seg=$n/dfd"),
-      s.read.parquet(s"$root/segs/seg=$n/dl"),
-      s.read.parquet(s"$root/segs/seg=$n/statsd"),
-      s.read.parquet(s"$root/segs/seg=$n/tombs"))
+  /** Read one on-disk segment. The kind tag in the dir name tells the
+    * reader which tables are vacuous BY CONSTRUCTION, so it rebuilds
+    * them as statically-empty LocalRelations (schema from the parquet
+    * footer only) and the optimizer elides their joins — the same
+    * linearity the in-memory builders get from emptyLike. */
+  private def readSeg(s: SparkSession, root: String, dirName: String,
+      kind: Char): Seg = {
+    def t(name: String) =
+      s.read.parquet(s"$root/segs/$dirName/$name")
+    def emptyT(name: String) = SegmentOps.emptyLike(t(name))
+    Seg(
+      tfAdd = if (kind == 'a' || kind == '?') t("tf") else emptyT("tf"),
+      dfd = t("dfd"),
+      dlAdd = if (kind == 'a' || kind == '?') t("dl") else emptyT("dl"),
+      statsd = t("statsd"),
+      tombs = if (kind == 'd' || kind == '?') t("tombs")
+        else emptyT("tombs"))
+  }
+
+  private def readSegs(s: SparkSession, root: String): Seq[Seg] =
+    SegmentOps.listSegEntries(s, root)
+      .map { case (_, dirName, kind) => readSeg(s, root, dirName, kind) }
 
   /** The live tf and dl relations alone — what segment BUILDERS need;
     * composing them skips the view's plist work and its dirty-bucket
@@ -249,7 +273,7 @@ object SparseSegments {
     val baseTfD = s.read.parquet(s"$root/base/tf")
       .select("doc_id", "tok", "tf")
     val baseDl = s.read.parquet(s"$root/base/dl")
-    val segs = listSegs(s, root).map(readSeg(s, root, _))
+    val segs = readSegs(s, root)
     val tombs = segs.map(_.tombs)
     (SegmentOps.scopedUnion(baseTfD,
         segs.map(_.tfAdd.select("doc_id", "tok", "tf")), tombs,
@@ -269,7 +293,7 @@ object SparseSegments {
       s.read.parquet(s"$root/base/dl"),
       s.read.parquet(s"$root/base/stats"),
       s.read.parquet(s"$root/base/tf"))
-    view(base, listSegs(s, root).map(readSeg(s, root, _)), rc)
+    view(base, readSegs(s, root), rc)
   }
 
   /** Append a disjoint shard as a new segment — an O(delta) write
@@ -280,7 +304,7 @@ object SparseSegments {
     val (_, dl) = liveParts(s, root)
     assertDisjoint(dl, deltaTf)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, mkAppendSeg(deltaTf), root, n)
+    writeSeg(s, mkAppendSeg(deltaTf), root, n, 'a')
   }
 
   /** Retract documents as a new segment — an O(delta) write published
@@ -289,7 +313,7 @@ object SparseSegments {
       : Unit = {
     val (tf, dl) = liveParts(s, root)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n)
+    writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n, 'd')
   }
 
   /** Fold the segments into a fresh base at `outRoot` — the periodic

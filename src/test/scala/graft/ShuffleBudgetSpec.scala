@@ -314,9 +314,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // doc lengths), the scoped tombstone anti-joins and telescoping
     // df sum of the LIVE VIEW, the dirty-term re-truncation window,
     // then x80's serve tail — structural count over one base + two
-    // segments (plan depth grows with segment count by design;
-    // compact() resets it)
-    "x99_segmented_serve" -> 23,
+    // segments (23 → 17 when the dirty-term set gained its cut and
+    // stopped re-inlining into every consumer; growth per segment is
+    // LINEAR, pinned by SparseSegmentsSpec, and compact() resets it)
+    "x99_segmented_serve" -> 17,
     // per-source prefix-sum window + the (source, shard) census agg
     // — packing is per-source streams, never one global ordering
     "x100_sequence_pack" -> 2,

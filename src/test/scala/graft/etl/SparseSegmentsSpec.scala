@@ -78,6 +78,31 @@ class SparseSegmentsSpec extends SparkSpec {
     assertSameIndex(live, base)
   }
 
+  test("view plan cost grows LINEARLY per segment — the priced LSM trade") {
+    val t = tf
+    val base = SparseIndex.build(t.filter(col("doc_id") % 4 === 0), cap)
+    val shards = (1 to 3).map(i => t.filter(col("doc_id") % 4 === i))
+    var live = base
+    var segs = Vector.empty[SparseSegments.Seg]
+    val costs = scala.collection.mutable.ArrayBuffer[Int]()
+    for (sh <- shards) {
+      segs = segs :+ SparseSegments.appendSegOf(live, sh)
+      live = SparseSegments.view(base, segs, cap)
+      costs += graft.ShuffleCount.shuffles(
+        live.plist.queryExecution.executedPlan.toString)
+    }
+    val d1 = costs(1) - costs(0)
+    val d2 = costs(2) - costs(1)
+    assert(d1 == d2, s"view growth is not linear in segments: $costs")
+    assert(d1 <= 8, s"per-segment plan cost too high: $costs")
+    // and the cost is REAL — a fresh (compacted) build plans flatter,
+    // which is exactly why compact() exists
+    val flat = graft.ShuffleCount.shuffles(
+      SparseIndex.build(t, cap).plist
+        .queryExecution.executedPlan.toString)
+    assert(costs.last > flat, s"stack $costs vs flat $flat")
+  }
+
   test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
     val t = tf
     val root = java.nio.file.Files
