@@ -44,12 +44,17 @@ import graft.etl.Checkpoints.CutOps
   *    time, bounded by the segments' churn, exactly the lazy
   *    re-truncation [[SparseIndex.delete]] does eagerly.
   *
-  * Plan depth grows with the segment count (one scoped anti-join per
-  * segment) — the deliberate LSM trade; [[compact]] resets it and is
-  * proven serve-equivalent. On disk the base tf is partitioned by a
-  * 64-way token-hash bucket (`tbk`), so the dirty-term re-truncation's
-  * semi-join carries the bucket key and partition pruning (static or
-  * DPP) skips the untouched buckets of the dominant relation.
+  * Plan depth grows LINEARLY with the segment count — the deliberate
+  * LSM trade, pinned by SparseSegmentsSpec's growth test (the
+  * dirty-term set is cut once so it never re-inlines per consumer,
+  * and a segment's vacuous tables are statically-empty
+  * LocalRelations whose joins Catalyst elides); [[compact]] resets
+  * the depth and is proven serve-equivalent. On disk the base tf is
+  * partitioned by a 64-way token-hash bucket (`tbk`); the dirty
+  * BUCKET census (≤ 64 values by construction) is collected at view
+  * time and becomes a STATIC isin partition filter on the base tf
+  * scan — pruning guaranteed by the planner (PushdownAuditSpec
+  * asserts it), not left to DPP heuristics.
   *
   * x99_segmented_serve gates the whole composition cross-engine
   * (Spark serves THROUGH a base+append-seg+delete-seg view; DuckDB
