@@ -59,22 +59,39 @@ object MinHashSegments {
     * delta at the STORED k — two incomparable signature spaces can no
     * longer mix in one index. */
   def init(sigs: DataFrame, root: String,
-      k: Int = NearDup.DefaultConfig.k): Unit =
+      k: Int = NearDup.DefaultConfig.k): Unit = {
+    writeBase(sigs, s"$root/base", k)
+    SegmentOps.publishManifest(sigs.sparkSession, root, "base",
+      Seq.empty)
+  }
+
+  private def writeBase(sigs: DataFrame, dirAbs: String, k: Int)
+      : Unit = {
+    require(k > 0,
+      s"MinHashSegments: signature length k must be positive, got $k")
     graft.sources.Sources.writeOrdered(
       Seq("minhash_index" -> sigs,
         "meta" -> sigs.sparkSession.range(1).select(lit(k).as("k"))),
-      s"$root/base")
+      dirAbs)
+  }
 
-  /** The layout's persisted signature length; an explicitly passed
-    * `k` must agree. */
-  private def storedK(s: SparkSession, root: String, k: Int): Int = {
-    val stored = s.read.parquet(s"$root/base/meta")
+  /** The layout's persisted signature length; an asserted `k` must
+    * agree. An `Option` rather than a magic 0 (ADVICE r10): an
+    * explicit-but-wrong value can never bypass the mismatch check. */
+  private def storedKAt(s: SparkSession, baseAbs: String,
+      k: Option[Int]): Int = {
+    val stored = s.read.parquet(s"$baseAbs/meta")
       .select("k").head().getInt(0)
-    require(k == 0 || k == stored,
-      s"MinHashSegments: layout $root was signed at k=$stored but " +
-        s"k=$k was passed — the signature lengths must agree")
+    k.foreach(c => require(c == stored,
+      s"MinHashSegments: layout $baseAbs was signed at k=$stored but " +
+        s"k=$c was passed — the signature lengths must agree"))
     stored
   }
+
+  private def storedK(s: SparkSession, root: String,
+      k: Option[Int]): Int =
+    storedKAt(s,
+      s"$root/${SegmentOps.resolveSnapshot(s, root).baseDir}", k)
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
       n: Int, kind: Char): Unit =
@@ -93,20 +110,26 @@ object MinHashSegments {
       tombs = if (kind == 'a') emptyT("tombs") else t("tombs"))
   }
 
-  /** Load the live signature index of a segmented layout. */
-  def read(s: SparkSession, root: String): DataFrame = {
-    val base = s.read.parquet(s"$root/base/minhash_index")
-    val segs = SegmentOps.listSegEntries(s, root)
-      .map { case (_, d, k) => readSeg(s, root, d, k) }
+  /** Load the live signature index of a segmented layout. The
+    * snapshot (manifest) is resolved ONCE here — the returned lazy
+    * view keeps serving that snapshot's bytes across a later
+    * compaction flip. */
+  def read(s: SparkSession, root: String): DataFrame =
+    readSnap(s, root, SegmentOps.resolveSnapshot(s, root))
+
+  private def readSnap(s: SparkSession, root: String,
+      snap: SegmentOps.Snapshot): DataFrame = {
+    val base = s.read.parquet(s"$root/${snap.baseDir}/minhash_index")
+    val segs = snap.segs.map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
   }
 
   /** Append a disjoint shard as a new segment — an O(delta) write
     * published atomically; the delta is signed at the layout's STORED
-    * k (pass `k` explicitly only to assert it); base files are never
+    * k (pass `Some(k)` only to assert it); base files are never
     * touched (MinHashSegmentsSpec asserts it). */
   def appendSeg(s: SparkSession, root: String, deltaDocs: DataFrame,
-      k: Int = 0): Unit = {
+      k: Option[Int] = None): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
     writeSeg(s,
       appendSegOf(read(s, root), deltaDocs, storedK(s, root, k)),
@@ -124,5 +147,17 @@ object MinHashSegments {
   /** Fold the segments into a fresh base at `outRoot`; the signature
     * length carries over from the layout's meta table. */
   def compact(s: SparkSession, root: String, outRoot: String): Unit =
-    init(read(s, root), outRoot, storedK(s, root, 0))
+    init(read(s, root), outRoot, storedK(s, root, None))
+
+  /** In-place compaction: fold into a fresh base generation under the
+    * SAME root and flip the manifest pointer. Readers that resolved a
+    * snapshot before the flip keep serving the old generation until
+    * [[SegmentOps.vacuum]]. */
+  def compactInPlace(s: SparkSession, root: String): Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    val k = storedKAt(s, s"$root/${snap.baseDir}", None)
+    val nb = SegmentOps.nextBaseDir(snap)
+    writeBase(readSnap(s, root, snap), s"$root/$nb", k)
+    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+  }
 }

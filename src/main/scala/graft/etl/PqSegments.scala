@@ -67,8 +67,11 @@ object PqSegments {
   // ------------------------------------------------------------------
 
   /** Write `idx` as the base generation of a segmented layout. */
-  def init(idx: PqIndex.Index, root: String): Unit =
+  def init(idx: PqIndex.Index, root: String): Unit = {
     PqIndex.write(idx, s"$root/base")
+    SegmentOps.publishManifest(idx.codes.sparkSession, root, "base",
+      Seq.empty)
+  }
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
       n: Int, kind: Char): Unit =
@@ -89,11 +92,16 @@ object PqSegments {
       tombs = if (kind == 'a') emptyT("tombs") else t("tombs"))
   }
 
-  /** Load the live view of a segmented layout. */
-  def read(s: SparkSession, root: String): PqIndex.Index = {
-    val base = PqIndex.read(s, s"$root/base")
-    val segs = SegmentOps.listSegEntries(s, root)
-      .map { case (_, d, k) => readSeg(s, root, d, k) }
+  /** Load the live view of a segmented layout. The snapshot
+    * (manifest) is resolved ONCE here — the returned lazy view keeps
+    * serving that snapshot's bytes across a later compaction flip. */
+  def read(s: SparkSession, root: String): PqIndex.Index =
+    readSnap(s, root, SegmentOps.resolveSnapshot(s, root))
+
+  private def readSnap(s: SparkSession, root: String,
+      snap: SegmentOps.Snapshot): PqIndex.Index = {
+    val base = PqIndex.read(s, s"$root/${snap.baseDir}")
+    val segs = snap.segs.map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
   }
 
@@ -118,4 +126,15 @@ object PqSegments {
     * Swapping `outRoot` in for `root` is the caller's pointer flip. */
   def compact(s: SparkSession, root: String, outRoot: String): Unit =
     init(read(s, root), outRoot)
+
+  /** In-place compaction: fold into a fresh base generation under the
+    * SAME root and flip the manifest pointer (books still frozen).
+    * Readers that resolved a snapshot before the flip keep serving
+    * the old generation until [[SegmentOps.vacuum]]. */
+  def compactInPlace(s: SparkSession, root: String): Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    val nb = SegmentOps.nextBaseDir(snap)
+    PqIndex.write(readSnap(s, root, snap), s"$root/$nb")
+    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+  }
 }

@@ -58,13 +58,12 @@ object SegmentOps {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
+      // fail LOUD on debris (e.g. `seg=old`, `seg=3-ab`): a skipped
+      // segment would silently serve stale data, and a bare
+      // NumberFormatException would not name the offending dir
+      // (parseSegName raises with the path and the expected shape)
       .collect { case n if n.startsWith("seg=") =>
-        val body = n.stripPrefix("seg=")
-        val (num, kind) = body.split("-") match {
-          case Array(i, k) if k.length == 1 => (i.toInt, k.head)
-          case _ => (body.toInt, '?')
-        }
-        (num, n, kind)
+        parseSegName(n, s"$root/segs")
       }
       .sortBy(_._1)
   }
@@ -73,13 +72,199 @@ object SegmentOps {
   def listSegs(s: org.apache.spark.sql.SparkSession, root: String)
       : Seq[Int] = listSegEntries(s, root).map(_._1)
 
+  // ------------------------------------------------------------------
+  // Snapshot manifests — concurrent readers vs in-place compaction.
+  //
+  // Per-segment tmp+rename makes each WRITE atomic, but a reader that
+  // enumerates the directory while compactInPlace swaps the base
+  // could compose a mixed generation (new base + the segments it
+  // already folded = doubled rows). The fix is the standard LSM/
+  // Iceberg move: a versioned MANIFEST names one consistent snapshot
+  // — the base generation directory plus the exact segment list — and
+  // a reader resolves the latest manifest ONCE, then composes only
+  // what it names. Compaction publishes a new base under a fresh
+  // generation dir and flips the pointer with one atomic file rename;
+  // the old generation's dirs stay on disk (old snapshots remain
+  // readable — lazy DataFrames resolved before the flip still serve
+  // the pre-compaction bytes) until [[vacuum]] releases them.
+  //
+  // Layouts without a manifest (pre-r11, or hand-assembled) fall back
+  // to directory enumeration with baseDir = "base" — the manifest is
+  // additive, not a format break. Writers are single-writer by the
+  // same contract as [[publishSeg]].
+  // ------------------------------------------------------------------
+
+  /** One consistent view of a segmented layout: the manifest version
+    * (0 = no manifest, directory fallback), the base generation dir
+    * (relative to the layout root) and the segment entries to compose,
+    * in order. */
+  final case class Snapshot(version: Int, baseDir: String,
+      segs: Seq[(Int, String, Char)])
+
+  private def manifestFs(s: org.apache.spark.sql.SparkSession,
+      root: String) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    (dir, dir.getFileSystem(s.sparkContext.hadoopConfiguration))
+  }
+
+  private def manifestVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toInt }
+      .sorted
+
+  private def parseSegName(n: String, where: String): (Int, String, Char) = {
+    val body = n.stripPrefix("seg=")
+    body.split("-") match {
+      case Array(i, k) if k.length == 1 && i.nonEmpty &&
+          i.forall(_.isDigit) => (i.toInt, n, k.head)
+      case Array(i) if i.nonEmpty && i.forall(_.isDigit) =>
+        (i.toInt, n, '?') // untagged legacy dir — read in full
+      case _ => throw new IllegalStateException(
+        s"SegmentOps: unrecognized segment name '$n' in $where — " +
+          "expected seg=<n>-<kind> (or legacy seg=<n>); remove or " +
+          "rename the stray entry")
+    }
+  }
+
+  /** True iff `n` parses as a segment dir name (spec probe). */
+  def parseableSegName(n: String): Boolean =
+    n.startsWith("seg=") &&
+      scala.util.Try(parseSegName(n, "probe")).isSuccess
+
+  /** Publish manifest version latest+1 naming `baseDir` + `segNames`
+    * as the new current snapshot — one atomic file rename, so a
+    * racing reader sees the old snapshot or the new one, never a mix.
+    * Returns the published version. Single-writer assumed (the
+    * [[publishSeg]] contract). */
+  def publishManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, baseDir: String, segNames: Seq[String]): Int = {
+    val (dir, fs) = manifestFs(s, root)
+    fs.mkdirs(dir)
+    val v = manifestVersions(fs, dir).lastOption.getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
+    val out = fs.create(tmp, true)
+    try out.write((baseDir +: segNames).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, s"v=$v")
+    require(fs.rename(tmp, fin),
+      s"failed to publish manifest v$v under $dir")
+    v
+  }
+
+  /** Resolve the layout's current snapshot: the latest manifest if one
+    * exists, else the directory-enumeration fallback (baseDir "base",
+    * every published segment). Readers resolve ONCE and compose only
+    * what the snapshot names — that is the isolation guarantee. */
+  def resolveSnapshot(s: org.apache.spark.sql.SparkSession,
+      root: String): Snapshot = {
+    val (dir, fs) = manifestFs(s, root)
+    manifestVersions(fs, dir).lastOption match {
+      case None => Snapshot(0, "base", listSegEntries(s, root))
+      case Some(v) =>
+        val p = new org.apache.hadoop.fs.Path(dir, s"v=$v")
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString
+        finally in.close()
+        val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+        require(lines.nonEmpty, s"manifest $p is empty")
+        Snapshot(v, lines.head,
+          lines.tail.map(parseSegName(_, p.toString)))
+    }
+  }
+
+  /** Record a just-published segment in the manifest (no-op unless the
+    * layout already carries one — pre-manifest layouts keep their
+    * directory-enumeration semantics untouched). */
+  def recordSegInManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, segName: String): Unit = {
+    val (dir, fs) = manifestFs(s, root)
+    if (manifestVersions(fs, dir).nonEmpty) {
+      val snap = resolveSnapshot(s, root)
+      publishManifest(s, root, snap.baseDir,
+        snap.segs.map(_._2) :+ segName)
+    }
+  }
+
+  /** Next unused base-generation dir name (`base` for v1, `base-g<v>`
+    * after a compaction). */
+  def nextBaseDir(snap: Snapshot): String = s"base-g${snap.version + 1}"
+
+  /** The compaction TRIGGER the r10 layer left to the caller: fire
+    * when the snapshot's segment count reaches `maxSegs`. Segment
+    * count is the right generic signal — it is exactly the view's
+    * extra plan depth (linear, by the growth specs) and it is free to
+    * read (one manifest line / directory listing; no data scanned).
+    * Families with a data-dependent repair cost can OR in their own
+    * signal ([[SparseSegments.dirtyBucketFraction]] — the fraction of
+    * base-tf partitions the dirty-term re-truncation must rescan).
+    * The nightly shape (w09): ingest via appendSeg/deleteSeg, serve
+    * through the view, and when this fires run compactInPlace —
+    * amortized write cost stays O(delta · maxSegs / maxSegs) per
+    * night while read amplification is bounded by maxSegs. */
+  def shouldCompact(s: org.apache.spark.sql.SparkSession,
+      root: String, maxSegs: Int): Boolean = {
+    require(maxSegs > 0, "shouldCompact: maxSegs must be positive")
+    resolveSnapshot(s, root).segs.size >= maxSegs
+  }
+
+  /** Delete everything the CURRENT manifest snapshot does not
+    * reference: superseded base generations, folded-away segments and
+    * all older manifest versions. Call only when no reader still holds
+    * a pre-compaction snapshot — this is the explicit release the
+    * snapshot guarantee is 'until' of. No-op on manifest-less
+    * layouts. */
+  def vacuum(s: org.apache.spark.sql.SparkSession, root: String)
+      : Seq[String] = {
+    val (mdir, fs) = manifestFs(s, root)
+    val versions = manifestVersions(fs, mdir)
+    if (versions.isEmpty) return Seq.empty
+    val snap = resolveSnapshot(s, root)
+    val keepSegs = snap.segs.map(_._2).toSet
+    val removed = Seq.newBuilder[String]
+    def drop(p: org.apache.hadoop.fs.Path): Unit = {
+      removed += p.toString
+      fs.delete(p, true)
+    }
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    fs.listStatus(rootP).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n == "base" || n.startsWith("base-g")) && n != snap.baseDir)
+        drop(p)
+    }
+    val segsP = new org.apache.hadoop.fs.Path(s"$root/segs")
+    if (fs.exists(segsP))
+      fs.listStatus(segsP).toSeq.map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("seg=") && !keepSegs(n)) drop(p)
+      }
+    versions.dropRight(1).foreach(v =>
+      drop(new org.apache.hadoop.fs.Path(mdir, s"v=$v")))
+    removed.result()
+  }
+
   /** Write a segment's tables ATOMICALLY with respect to
     * [[listSegs]]: everything lands under `segs/_tmp_seg=<n>` (a name
     * listSegs never matches) and one directory rename publishes it —
     * a reader that races a nightly write either sees the whole
     * segment or none of it, never a partial bundle. (On an object
     * store without atomic rename the same role falls to a manifest
-    * pointer — the compact() doc's trade.) */
+    * pointer — the compact() doc's trade.)
+    *
+    * SINGLE WRITER ASSUMED — the nightly-job contract: atomicity here
+    * covers reader-vs-writer only. Two concurrent writers can both
+    * compute the same next segment number, both pass the existence
+    * check, and Hadoop's rename would then move the loser's tmp dir
+    * INSIDE the winner's published segment (rename into an existing
+    * destination directory nests the source) and return true — a
+    * silently dropped operation. The post-rename verification below
+    * turns that silent loss into a loud failure: after the rename,
+    * the first table dir must sit DIRECTLY under the published path
+    * (a nested `seg=…` dir there means another writer won the race). */
   def publishSeg(s: org.apache.spark.sql.SparkSession, root: String,
       n: Int, kind: Char,
       tables: Seq[(String, org.apache.spark.sql.DataFrame)])
@@ -95,5 +280,16 @@ object SegmentOps {
     graft.sources.Sources.writeOrdered(tables, tmp.toString)
     require(fs.rename(tmp, fin),
       s"failed to publish segment $n (rename $tmp -> $fin)")
+    // lost-race detector (see the class doc): verify the publication
+    // landed as a segment bundle, not nested inside one another
+    // writer published in the gap
+    val firstTable = new org.apache.hadoop.fs.Path(fin,
+      tables.head._1)
+    require(fs.exists(firstTable) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(fin, name)),
+      s"segment $n publication raced another writer — $fin does not " +
+        s"hold table '${tables.head._1}' directly (concurrent " +
+        "publishers violate the single-writer contract)")
+    recordSegInManifest(s, root, name)
   }
 }

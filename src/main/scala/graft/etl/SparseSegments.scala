@@ -213,6 +213,17 @@ object SparseSegments {
     * in one plist. */
   def init(idx: SparseIndex.Index, root: String,
       cap: Int = SparseIndex.ImpactCap): Unit = {
+    writeBase(idx, s"$root/base", cap)
+    SegmentOps.publishManifest(idx.stats.sparkSession, root, "base",
+      Seq.empty)
+  }
+
+  private def writeBase(idx: SparseIndex.Index, dirAbs: String,
+      cap: Int): Unit = {
+    require(cap > 0,
+      s"SparseSegments: cap must be positive, got $cap — a " +
+        "non-positive cap would persist an index whose every posting " +
+        "list truncates to empty")
     graft.sources.Sources.writeOrdered(
       Seq("plist" -> idx.plist, "df" -> idx.df, "dl" -> idx.dl,
         "stats" -> idx.stats,
@@ -220,19 +231,20 @@ object SparseSegments {
           .select(lit(cap).as("cap")),
         "tf" -> idx.tf.withColumn("tbk",
           pmod(hash(col("tok")), lit(TokBuckets)))),
-      s"$root/base", partitions = Map("tf" -> Seq("tbk")))
+      dirAbs, partitions = Map("tf" -> Seq("tbk")))
   }
 
-  /** The layout's persisted build cap. When the caller passes an
-    * explicit `cap` too, they must agree — the silent-corruption
-    * guard. */
-  private def storedCap(s: SparkSession, root: String,
-      cap: Int): Int = {
-    val stored = s.read.parquet(s"$root/base/meta")
+  /** The layout's persisted build cap. When the caller asserts a
+    * `cap` too, they must agree — the silent-corruption guard. An
+    * `Option` rather than a magic 0 (ADVICE r10): an explicit-but-
+    * wrong value can never bypass the mismatch check. */
+  private def storedCapAt(s: SparkSession, baseAbs: String,
+      cap: Option[Int]): Int = {
+    val stored = s.read.parquet(s"$baseAbs/meta")
       .select("cap").head().getInt(0)
-    require(cap == 0 || cap == stored,
-      s"SparseSegments: layout $root was built at cap=$stored but " +
-        s"cap=$cap was passed — the caps must agree")
+    cap.foreach(c => require(c == stored,
+      s"SparseSegments: layout $baseAbs was built at cap=$stored but " +
+        s"cap=$c was passed — the caps must agree"))
     stored
   }
 
@@ -265,9 +277,11 @@ object SparseSegments {
         else emptyT("tombs"))
   }
 
-  private def readSegs(s: SparkSession, root: String): Seq[Seg] =
-    SegmentOps.listSegEntries(s, root)
-      .map { case (_, dirName, kind) => readSeg(s, root, dirName, kind) }
+  private def readSegs(s: SparkSession, root: String,
+      snap: SegmentOps.Snapshot): Seq[Seg] =
+    snap.segs.map { case (_, dirName, kind) =>
+      readSeg(s, root, dirName, kind)
+    }
 
   /** The live tf and dl relations alone — what segment BUILDERS need;
     * composing them skips the view's plist work and its dirty-bucket
@@ -275,10 +289,11 @@ object SparseSegments {
     * for a relation it doesn't read). */
   private def liveParts(s: SparkSession, root: String)
       : (DataFrame, DataFrame) = {
-    val baseTfD = s.read.parquet(s"$root/base/tf")
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    val baseTfD = s.read.parquet(s"$root/${snap.baseDir}/tf")
       .select("doc_id", "tok", "tf")
-    val baseDl = s.read.parquet(s"$root/base/dl")
-    val segs = readSegs(s, root)
+    val baseDl = s.read.parquet(s"$root/${snap.baseDir}/dl")
+    val segs = readSegs(s, root, snap)
     val tombs = segs.map(_.tombs)
     (SegmentOps.scopedUnion(baseTfD,
         segs.map(_.tfAdd.select("doc_id", "tok", "tf")), tombs,
@@ -288,17 +303,27 @@ object SparseSegments {
   }
 
   /** Load the live view of a segmented layout. The cap comes from the
-    * layout's meta table; pass it explicitly only to ASSERT it. */
-  def read(s: SparkSession, root: String, cap: Int = 0)
+    * layout's meta table; pass `Some(cap)` only to ASSERT it. The
+    * snapshot (manifest) is resolved ONCE here — the returned lazy
+    * view keeps serving that snapshot's bytes even if a compaction
+    * flips the layout's pointer afterwards (SegmentManifestSpec pins
+    * it). */
+  def read(s: SparkSession, root: String, cap: Option[Int] = None)
+      : SparseIndex.Index =
+    readSnap(s, root, SegmentOps.resolveSnapshot(s, root), cap)
+
+  private def readSnap(s: SparkSession, root: String,
+      snap: SegmentOps.Snapshot, cap: Option[Int])
       : SparseIndex.Index = {
-    val rc = storedCap(s, root, cap)
+    val baseAbs = s"$root/${snap.baseDir}"
+    val rc = storedCapAt(s, baseAbs, cap)
     val base = SparseIndex.Index(
-      s.read.parquet(s"$root/base/plist"),
-      s.read.parquet(s"$root/base/df"),
-      s.read.parquet(s"$root/base/dl"),
-      s.read.parquet(s"$root/base/stats"),
-      s.read.parquet(s"$root/base/tf"))
-    view(base, readSegs(s, root), rc)
+      s.read.parquet(s"$baseAbs/plist"),
+      s.read.parquet(s"$baseAbs/df"),
+      s.read.parquet(s"$baseAbs/dl"),
+      s.read.parquet(s"$baseAbs/stats"),
+      s.read.parquet(s"$baseAbs/tf"))
+    view(base, readSegs(s, root, snap), rc)
   }
 
   /** Append a disjoint shard as a new segment — an O(delta) write
@@ -325,8 +350,45 @@ object SparseSegments {
     * maintenance that resets the view's per-segment plan depth. The
     * compacted layout serves exactly like the segmented one
     * (SparseSegmentsSpec pins it); swapping `outRoot` in for `root`
-    * is the caller's pointer flip (a manifest update on an object
-    * store). The cap carries over from the layout's meta table. */
-  def compact(s: SparkSession, root: String, outRoot: String): Unit =
-    init(read(s, root), outRoot, storedCap(s, root, 0))
+    * is the caller's pointer flip. The cap carries over from the
+    * layout's meta table. */
+  def compact(s: SparkSession, root: String, outRoot: String): Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    init(readSnap(s, root, snap, None), outRoot,
+      storedCapAt(s, s"$root/${snap.baseDir}", None))
+  }
+
+  /** The sparse family's data-dependent compaction signal: the
+    * fraction of the base tf's [[TokBuckets]] partitions the current
+    * segments' dirty terms touch. The view rescans exactly these
+    * buckets on every read (the static isin filter), so this IS the
+    * family's read amplification: 0.2 means a fifth of the base tf is
+    * re-read per serve. One segment-sized job (the dfd term sets are
+    * O(churn)); OR it with [[SegmentOps.shouldCompact]]'s count
+    * trigger for the w09 nightly policy. */
+  def dirtyBucketFraction(s: SparkSession, root: String): Double = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    if (snap.segs.isEmpty) return 0.0
+    val dirty = readSegs(s, root, snap).map(_.dfd.select("tok"))
+      .reduce(_ unionByName _)
+      .select(pmod(hash(col("tok")), lit(TokBuckets)).as("tbk"))
+      .distinct().count()
+    dirty.toDouble / TokBuckets
+  }
+
+  /** Fold the segments into a fresh base generation under the SAME
+    * root and flip the manifest pointer — the in-place form callers
+    * actually run nightly (no external pointer to manage). The old
+    * generation's dirs stay on disk, so a reader that resolved its
+    * snapshot before the flip keeps serving the pre-compaction bytes;
+    * [[SegmentOps.vacuum]] releases them once no reader holds the old
+    * snapshot. Works on manifest-less layouts too (the first flip
+    * creates the manifest). */
+  def compactInPlace(s: SparkSession, root: String): Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    val cap = storedCapAt(s, s"$root/${snap.baseDir}", None)
+    val nb = SegmentOps.nextBaseDir(snap)
+    writeBase(readSnap(s, root, snap, None), s"$root/$nb", cap)
+    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+  }
 }

@@ -140,10 +140,10 @@ class SparseSegmentsSpec extends SparkSpec {
     assert(SparseSegments.listSegs(spark, root) == Seq(0, 1))
     // the persisted cap is asserted against an explicit mismatch
     intercept[IllegalArgumentException] {
-      SparseSegments.read(spark, root, cap + 1)
+      SparseSegments.read(spark, root, Some(cap + 1))
     }
 
-    val live = SparseSegments.read(spark, root, cap)
+    val live = SparseSegments.read(spark, root, Some(cap))
     val rebuilt = SparseIndex.build(
       t.filter(col("doc_id") % 10 =!= 3), cap)
     assertSameIndex(live, rebuilt)
@@ -151,7 +151,7 @@ class SparseSegmentsSpec extends SparkSpec {
     val outRoot = java.nio.file.Files
       .createTempDirectory("sparse_segs_c").toString
     SparseSegments.compact(spark, root, outRoot)
-    val compacted = SparseSegments.read(spark, outRoot, cap)
+    val compacted = SparseSegments.read(spark, outRoot, Some(cap))
     assert(SparseSegments.listSegs(spark, outRoot).isEmpty)
     assertSameIndex(compacted, rebuilt)
   }

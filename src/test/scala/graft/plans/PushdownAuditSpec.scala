@@ -105,7 +105,7 @@ class PushdownAuditSpec extends SparkSpec {
     // a delta touching a SINGLE document's terms — few dirty buckets
     SparseSegments.appendSeg(spark, root,
       t.filter(col("doc_id") === 3))
-    val live = SparseSegments.read(spark, root, cap)
+    val live = SparseSegments.read(spark, root, Some(cap))
     val plan = planOf(live.plist)
     // the bucket census must land as a STATIC PartitionFilters isin
     // on the base tf scan (guaranteed pruning — not DPP heuristics)
