@@ -229,8 +229,14 @@ object SparseSegments {
         "stats" -> idx.stats,
         "meta" -> idx.stats.sparkSession.range(1)
           .select(lit(cap).as("cap")),
+        // cluster rows by bucket before the partitioned write: without
+        // it every write task emits one file per bucket it happens to
+        // hold (tasks × TokBuckets small files — metadata poison at
+        // scale); with it each task holds whole buckets, so the file
+        // count is O(TokBuckets)
         "tf" -> idx.tf.withColumn("tbk",
-          pmod(hash(col("tok")), lit(TokBuckets)))),
+            pmod(hash(col("tok")), lit(TokBuckets)))
+          .repartition(TokBuckets, col("tbk"))),
       dirAbs, partitions = Map("tf" -> Seq("tbk")))
   }
 

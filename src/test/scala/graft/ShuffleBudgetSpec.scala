@@ -274,6 +274,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     // subtrees stay lazy — the census reads codes only); steady 9.9 s
     // at sf0.1, the full four-family nightly
     "w08_nightly_ingest" -> 43,
+    // the serve plan over the lifecycle's MATERIALIZED layout — the
+    // nightly writes (init, 2 appends, policy-fired compaction, a
+    // delete segment) run eagerly before this plan exists, so the
+    // counted plan is one post-compaction snapshot view: base scans +
+    // the delete's dirty-term re-truncation + x80's serve joins.
+    // Flatter than x99's 17 BY CONSTRUCTION: compaction folded the
+    // append segments into parquet the serve just scans
+    "w09_segment_lifecycle" -> 8,
     // x05b's audited candidate plan + the two sliced-embedding joins,
     // the per-query rerank window and the final sort
     "x83_maxsim_rerank" -> 10,

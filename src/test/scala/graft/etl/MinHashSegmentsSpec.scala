@@ -92,4 +92,28 @@ class MinHashSegmentsSpec extends SparkSpec {
     assert(sigKey(MinHashSegments.read(spark, outRoot))
       == sigKey(resigned))
   }
+
+  test("view plan cost grows LINEARLY per segment — the priced LSM trade") {
+    // the sparse/pq families' growth gate for the third family: an
+    // append-only signature stack must cost a CONSTANT plan delta per
+    // segment (empty tombstones elide their scoping anti-joins).
+    // Union-of-signatures plans shuffle nowhere, so the metric is
+    // physical-plan node lines.
+    val d = docs
+    val base = NearDup.signatures(d.filter(col("doc_id") % 4 === 0))
+    var segs = Vector.empty[MinHashSegments.Seg]
+    val costs = scala.collection.mutable.ArrayBuffer[Int]()
+    for (i <- 1 to 3) {
+      val live = if (segs.isEmpty) base
+        else MinHashSegments.view(base, segs)
+      segs = segs :+ MinHashSegments.appendSegOf(live,
+        d.filter(col("doc_id") % 4 === i))
+      costs += MinHashSegments.view(base, segs)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    }
+    val d1 = costs(1) - costs(0)
+    val d2 = costs(2) - costs(1)
+    assert(d1 == d2,
+      s"minhash view growth is not linear in segments: $costs")
+  }
 }

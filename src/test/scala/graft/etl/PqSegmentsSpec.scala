@@ -113,4 +113,28 @@ class PqSegmentsSpec extends SparkSpec {
     assert(SegmentOps.listSegs(spark, outRoot).isEmpty)
     assertSameIndex(PqSegments.read(spark, outRoot), foldIn)
   }
+
+  test("view plan cost grows LINEARLY per segment — the priced LSM trade") {
+    // matches the sparse family's growth gate: an append-only stack
+    // must cost a CONSTANT plan delta per segment (vacuous tombstones
+    // are statically-empty LocalRelations whose anti-joins Catalyst
+    // elides — without that every earlier branch pays one per later
+    // segment and the stack grows quadratically). Shuffle counts are
+    // blind here (a union-of-scans view shuffles nowhere), so the
+    // metric is physical-plan node lines.
+    val ee = e
+    val base = PqIndex.build(ee.filter(col("vec_id") % 4 === 0))
+    var segs = Vector.empty[PqSegments.Seg]
+    val costs = scala.collection.mutable.ArrayBuffer[Int]()
+    for (i <- 1 to 3) {
+      val live = if (segs.isEmpty) base else PqSegments.view(base, segs)
+      segs = segs :+ PqSegments.appendSegOf(live,
+        ee.filter(col("vec_id") % 4 === i))
+      costs += PqSegments.view(base, segs).codes
+        .queryExecution.executedPlan.toString.linesIterator.size
+    }
+    val d1 = costs(1) - costs(0)
+    val d2 = costs(2) - costs(1)
+    assert(d1 == d2, s"pq view growth is not linear in segments: $costs")
+  }
 }
