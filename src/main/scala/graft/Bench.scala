@@ -75,6 +75,8 @@ object Bench {
     * flirted with the 3x bar (q47 7.96/3.60, x80 7.69/2.72, w08
     * 14.98/5.48). */
   val WarmPriority: Set[String] = Set(
+    // r11 registrations (no steady history yet)
+    "w09_segment_lifecycle", "x104_pq_refine",
     // r10 registrations
     "x96_index_delete", "x97_ivfpq_serve", "x93b_funnel_sweep",
     "x98_delete_serve", "x99_segmented_serve", "x100_sequence_pack",
@@ -89,13 +91,54 @@ object Bench {
     // r8 carry-overs that stay priority
     "x44_ngram_decontam", "q02_pk_uniqueness")
 
+  /** Prior-artifact first-run costs (BENCH_r10: `insession` values
+    * where present — the cold number warming prevents — else the
+    * steady `queries` value). VERDICT r10 #3's fix: within each warm
+    * tier the heaviest-by-prior-cost rows start FIRST, so a box
+    * expiry can no longer drop the rows that hurt most (w08 went
+    * unwarmed in the r10 driver run and timed 8.8 s cold). Unlisted
+    * (cheap or new) rows default to 0 and inherit the tier's tail;
+    * new registrations are covered by WarmPriority membership. */
+  val PriorFirstRunCost: Map[String, Double] = Map(
+    "x60_ann_recall" -> 11.333, "w08_nightly_ingest" -> 8.834,
+    "x71_kmv_overlap" -> 6.253, "x93b_funnel_sweep" -> 5.207,
+    "x103_adaptive_probes" -> 5.184, "x97_ivfpq_serve" -> 4.866,
+    "x75_context_budget" -> 4.478, "q47_bootstrap_ci" -> 4.369,
+    "st02_sessionize" -> 3.904, "q29_mad_outliers" -> 3.149,
+    "x95_pq_adc_serve" -> 3.041, "x102_incremental_cc" -> 3.014,
+    "w06_dedup_cascade" -> 2.983, "x93_funnel_recall" -> 2.976,
+    "x59_pagerank" -> 2.929, "x58_pq_codes" -> 2.89,
+    "w07_rag_funnel" -> 2.722, "q48_quantile_sketch_bound" -> 2.355,
+    "x80_bm25" -> 2.264, "q51_fd_discovery" -> 2.259,
+    "x99_segmented_serve" -> 2.257, "w02_full_etl" -> 2.162,
+    "st05_stream_dedup" -> 2.14, "x18_knn_ivf" -> 2.098,
+    "x79_ann_index_build" -> 2.059, "q42_basket_affinity" -> 2.049,
+    "x63_diverse_sample" -> 2.044, "x87_centroid_drift" -> 1.997,
+    "st03_stream_join" -> 1.947, "x62_hard_negatives" -> 1.898,
+    "x20_segment_dedup" -> 1.877, "q15_percentiles" -> 1.863,
+    "x89_bpe_train" -> 1.81, "x90_bpe_apply" -> 1.788)
+
   /** Build the single parseable bench line. Pure — spec-driven by
     * BenchLineSpec with a 250-query synthetic load to pin the
     * MaxLineChars contract independent of a live bench run.
     */
+  /** The unwarmed detector (VERDICT r10 #3): among the `topN` most
+    * expensive timed rows, count those whose recorded value still
+    * equals their in-session first run and that no retime confirmed
+    * steady — the measurable signature of a row that timed COLD
+    * because its warm slot was lost. 0 on the final line is the
+    * contract; a non-zero count names the damage in the artifact
+    * itself instead of leaving it to a ratio argument. */
+  def unwarmedCount(all: Seq[(String, Double)],
+      firstRun: Map[String, Double], confirmedSteady: Set[String],
+      topN: Int = 10): Int =
+    all.sortBy(-_._2).take(topN).count { case (n, v) =>
+      v >= 2.5 && firstRun.get(n).contains(v) && !confirmedSteady(n)
+    }
+
   def buildLine(all: Seq[(String, Double)], firstRun: Map[String, Double],
       sfDir: String, warmSec: Double, gcSec: Double, cpuSec: Double,
-      loadAvg: Double, wallSec: Double): String = {
+      loadAvg: Double, wallSec: Double, unwarmed: Int = 0): String = {
     def r3(v: Double): String = {
       val x = math.rint(v * 1000) / 1000
       if (x == x.toLong) x.toLong.toString else x.toString
@@ -133,7 +176,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","n_done":${all.size},""" +
       s""""n_omitted":$omitted,"omitted_sec":${r3(omittedSec)},""" +
-      s""""insession":$insJson,""" +
+      s""""insession":$insJson,"unwarmed":$unwarmed,""" +
       s""""warm_sec":${r3(warmSec)},"gc_sec":${r3(gcSec)},""" +
       s""""cpu_sec":${r3(cpuSec)},"load_avg":${r3(loadAvg)},""" +
       s""""wall_sec":${r3(wallSec)}}"""
@@ -177,10 +220,12 @@ object Bench {
     }
     def loadAvg: Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    var confirmedSteady = Set.empty[String]
     def emit(): Unit = {
       val wall = (System.nanoTime() - tStart) / 1e9
       println(buildLine(done.reverse, firstRun, sfDir, warmSec, gcSec,
-        cpuSec, loadAvg, wall))
+        cpuSec, loadAvg, wall,
+        unwarmedCount(done, firstRun, confirmedSteady)))
       System.out.flush()
     }
     emit() // parseable even if killed before the first query finishes
@@ -222,12 +267,14 @@ object Bench {
     val warmDeadline = System.nanoTime() +
       ((WarmBoxSec - WarmReserveSec) * 1e9).toLong
     def warmLeft: Double = (warmDeadline - System.nanoTime()) / 1e9
-    // Priority-first spend: this round's registrations plus the rows
-    // whose r8 first-run/steady ratio flirted with the 3x bar
-    // (x44 4.51/1.54, q02 3.72/1.54) go first, then the expensive tier
-    // (reverse cost order) — a box expiry leaves only cheap rows cold.
+    // Priority-first spend, heaviest-first WITHIN each tier (VERDICT
+    // r10 #3): sort by (priority, -prior first-run cost, reverse cost
+    // tier) so a box expiry drops the cheapest tail, never an
+    // expensive row — BENCH_r10 lost w08's warm slot to tier-internal
+    // ordering and timed it 8.8 s cold.
     val warmOrder = ordered.reverse.sortBy { case (n, _) =>
-      if (WarmPriority(n)) 0 else 1
+      (if (WarmPriority(n)) 0 else 1,
+        -PriorFirstRunCost.getOrElse(n, 0.0))
     }
     def warmPass(dir: String, label: String): Unit = {
       import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
@@ -308,7 +355,6 @@ object Bench {
     // and an unbounded retime pass would balloon the wall — the exact
     // failure the r4 warm sweep had. Exhausting the box loses only the
     // retimes that matter least (the worst rows re-measure first).
-    var confirmedSteady = Set.empty[String]
     def retime(threshold: Double, budgetSec: Double): Unit = {
       // The timed pass leaves every query's dropped localCheckpoint
       // blocks in the block manager until the ContextCleaner notices

@@ -146,6 +146,39 @@ object PqIndex {
     serveWithProbes(queries, idx, probes, k)
   }
 
+  /** Refine-tail width promoted by x104's measured card (sf1): k'=50
+    * lifts recall@10 81.3% → 92.1% (the nprobe=4 ceiling — k'=100
+    * buys nothing more) and top-1 to 100% for 50 exact rows per
+    * query, 1% of the ADC scan. */
+  val RefineK = 50
+
+  /** Two-stage serve — [[serve]]'s ADC pass plus the standard exact
+    * REFINE tail (FAISS-style): the top-`refineK` ADC candidates are
+    * re-ranked by exact squared L2 against the full-precision vectors
+    * in `vecs` (vec_id, emb — the relation the codes were built from;
+    * the index itself stays compressed), then cut to `k`. Cost on top
+    * of [[serve]]: one keyed join of ≤ refineK·|q| candidate rows —
+    * never a second corpus scan. x104's card prices the k' choice;
+    * PqIndexSpec pins refine(corpus-wide k') ≡ exact brute force and
+    * refined recall ≥ plain ADC recall. Output mirrors [[serve]] with
+    * `l2` in place of `adc`. */
+  def serveRefined(queries: DataFrame, idx: Index, vecs: DataFrame,
+      refineK: Int = RefineK, nprobe: Int = AnnIndex.Probes,
+      k: Int = 10): DataFrame = {
+    val cand = serve(queries, idx, nprobe, math.max(refineK, k))
+      .select(col("q_id"), col("vec_id"), col("n_scanned"))
+    cand
+      .join(vecs.select(col("vec_id"), col("emb")), "vec_id")
+      .join(queries.select(col("q_id"), col("emb").as("qe")), "q_id")
+      .withColumn("l2", DotProduct(col("emb"), col("emb")) -
+        lit(2.0) * DotProduct(col("emb"), col("qe")) +
+        DotProduct(col("qe"), col("qe")))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("l2"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "l2", "n_scanned")
+  }
+
   /** The serve tail behind an EXPLICIT (q_id, cluster) probe
     * relation — [[serve]]'s fixed-nprobe ranking is one producer;
     * adaptive policies (x103's distance-ratio cut) are another. Same

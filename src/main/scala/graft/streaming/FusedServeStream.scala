@@ -36,11 +36,13 @@ import graft.etl.{PqIndex, SparseIndex}
   *    honest setting.
   *
   * The remaining w07 stages (MaxSim rerank over subtoken embeddings,
-  * token-budget context packing) stay batch post-steps: both need the
-  * fused rank as a second per-query ordering, and chaining a second
-  * stateful operator after flatMapGroupsWithState is not
-  * streaming-legal in append mode — the documented split between the
-  * online retrieval tier and the batch assembly tier.
+  * token-budget context packing) need the fused rank as a second
+  * per-query ordering, and chaining a second stateful operator after
+  * flatMapGroupsWithState is not streaming-legal in append mode. The
+  * r11 closure ([[rerankPack]]): they ride a foreachBatch sink as a
+  * pure per-micro-batch transform — legal because a query's rows
+  * never span micro-batches — so the WHOLE funnel now serves online,
+  * retrieval fold + assembly tail, with zero new state.
   *
   * FusedServeStreamSpec pins stream ≡ batch: the same queries fused
   * through [[fuseBatch]] over SparseIndex.serve × PqIndex.serve —
@@ -51,6 +53,57 @@ object FusedServeStream {
 
   /** w07's promoted fuse depth (the x93b sweep's verdict). */
   val FuseK = 20
+
+  /** w07's context-packing budget (chars). */
+  val CtxBudgetChars = 2000L
+
+  /** w07's ASSEMBLY tier — MaxSim rerank over the subtoken slices +
+    * greedy context packing — as a PURE function of a fused-candidate
+    * frame: only the frame's own rows and two stream-static relations
+    * (`emb`: vec_id → double-cast embedding; `docChars`: doc_id →
+    * n_chars), ZERO state. That purity is what closes the class-doc
+    * split (VERDICT r10 #6): a second stateful ordering after
+    * flatMapGroupsWithState is not append-legal, but a foreachBatch
+    * sink may apply ANY batch transform to each micro-batch — and
+    * since a query's rows never span micro-batches (the retrieval
+    * fold's own contract), per-batch rerank+pack equals the global
+    * batch tail restricted to that batch's queries.
+    * FusedServeStreamSpec pins streamed final answers ≡ the batch
+    * funnel at fuse-k [[FuseK]] across micro-batch boundaries,
+    * restart-safe. Windows here are per-q_id over ≤ fuseK candidate
+    * rows — bounded at any corpus size. */
+  def rerankPack(fused: DataFrame, emb: DataFrame, docChars: DataFrame,
+      budgetChars: Long = CtxBudgetChars): DataFrame = {
+    import graft.functions.DotProduct
+    def sliced(prefix: String, idAs: String): DataFrame = {
+      val base = emb.select(col("vec_id").as(idAs) +:
+        (0 until 4).map(i =>
+          expr(s"slice(emb, ${16 * i + 1}, 16)").as(s"${prefix}v$i")): _*)
+      (0 until 4).foldLeft(base)((acc, i) =>
+        acc.withColumn(s"${prefix}n$i",
+          sqrt(DotProduct(col(s"${prefix}v$i"), col(s"${prefix}v$i")))))
+    }
+    val maxes = (0 until 4).map { i =>
+      greatest((0 until 4).map(j =>
+        DotProduct(col(s"qv$i"), col(s"dv$j")) /
+          (col(s"qn$i") * col(s"dn$j"))): _*)
+    }
+    val wR = Window.partitionBy("q_id")
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    val wCum = Window.partitionBy("q_id").orderBy("rr_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fused.select("q_id", "doc_id")
+      .join(sliced("q", "q_id"), Seq("q_id"))
+      .join(sliced("d", "doc_id"), Seq("doc_id"))
+      .withColumn("maxsim", maxes.reduce(_ + _))
+      .select("q_id", "doc_id", "maxsim")
+      .withColumn("rr_rank", row_number().over(wR).cast("long"))
+      .join(docChars.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("cum_chars", sum("n_chars").over(wCum))
+      .withColumn("picked", col("cum_chars") <= budgetChars)
+      .select("q_id", "doc_id", "rr_rank", "maxsim", "n_chars",
+        "cum_chars", "picked")
+  }
 
   final case class Leg(q_id: Long, doc_id: Long, leg: Int,
       c_ppm: Long, adc: Double)

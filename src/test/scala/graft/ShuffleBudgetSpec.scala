@@ -274,6 +274,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // subtrees stay lazy — the census reads codes only); steady 9.9 s
     // at sf0.1, the full four-family nightly
     "w08_nightly_ingest" -> 43,
+    // x97's audited IVFPQ compose + one bounded candidate join per
+    // refine config (3 configs share ONE ADC pass; each tail is
+    // ≤ k'·EvalK rows keyed back to the vector relation) + the
+    // per-config grade aggs
+    "x104_pq_refine" -> 26,
     // the serve plan over the lifecycle's MATERIALIZED layout — the
     // nightly writes (init, 2 appends, policy-fired compaction, a
     // delete segment) run eagerly before this plan exists, so the

@@ -101,4 +101,48 @@ class PqIndexSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("disjoint"))
   }
+
+  test("refine tail: corpus-wide k' == exact brute force; k'=RefineK recall >= plain ADC") {
+    val ev = e
+    val idx = PqIndex.build(ev)
+    val q = queries(ev)
+    val n = ev.count().toInt
+    // exact truth: brute-force L2 top-10 over the probed UNIVERSE —
+    // refine can only fix ranking among scanned candidates, so the
+    // ceiling is the probe recall; with nprobe = K (probe everything)
+    // a corpus-wide refine IS brute force
+    val allK = graft.etl.AnnIndex.K
+    val refAll = PqIndex.serveRefined(q, idx, ev, refineK = n,
+      nprobe = allK)
+      .select("q_id", "vec_id", "rank")
+    val qe = q.select(col("q_id"), col("emb").as("qe"))
+    val brute = ev.select(col("vec_id"), col("emb"))
+      .crossJoin(qe)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2",
+        graft.functions.DotProduct(col("emb"), col("emb")) -
+          lit(2.0) * graft.functions.DotProduct(col("emb"), col("qe")) +
+          graft.functions.DotProduct(col("qe"), col("qe")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("l2"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id", "rank")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(refAll) == key(brute),
+      "all-probe corpus-wide refine drifted from exact brute force")
+
+    // at the promoted width the refined list can only be CLOSER to
+    // the truth than the raw ADC ranking (hits are counted against
+    // the same probe universe, so refine is monotone here)
+    def hitsOf(df: DataFrame): Long = df.select("q_id", "vec_id")
+      .join(brute.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .count()
+    val plain = PqIndex.serve(q, idx)
+    val refined = PqIndex.serveRefined(q, idx, ev)
+    assert(hitsOf(refined) >= hitsOf(plain),
+      "refine tail lowered recall vs the plain ADC ranking")
+  }
 }

@@ -121,4 +121,79 @@ class FusedServeStreamSpec extends SparkSpec {
     assert(key(sunk) == batch,
       s"restarted stream drifted: ${(batch -- key(sunk)).take(3)}")
   }
+
+  test("foreachBatch rerank+pack tail: streamed final answers == batch funnel, restart-safe") {
+    // VERDICT r10 #6: the funnel's assembly tier (MaxSim rerank +
+    // greedy packing) closes ONLINE as a pure per-micro-batch
+    // transform behind the retrieval fold. Gate: fused top-FuseK →
+    // rerankPack streamed across micro-batch boundaries — WITH a kill
+    // and checkpoint-resume between them — equals the batch funnel
+    // tail row for row (rr_rank, maxsim tiebreaks, picked cut).
+    val spIdx = SparseIndex.build(
+      SparseIndex.termFreqs(Tables.documents(spark, sf)))
+    val e = AnnIndex.prep(Tables.embeddings(spark, sf)).cache()
+    val pqIdx = PqIndex.build(e)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .cache()
+    val docChars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).cache()
+    val q = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(e.select(col("vec_id").as("q_id"), col("emb"), col("norm")),
+        "q_id")
+      .cache()
+
+    def finalKey(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Long, Boolean)] =
+      df.select("q_id", "doc_id", "rr_rank", "cum_chars", "picked")
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rr_rank"), r.getAs[Long]("cum_chars"),
+          r.getAs[Boolean]("picked"))).toSet
+
+    val batch = finalKey(FusedServeStream.rerankPack(
+      FusedServeStream.serve(q, spIdx, pqIdx,
+        k = FusedServeStream.FuseK).toDF(), emb, docChars))
+    assert(batch.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("fu_tail")
+    val in = s"$dir/in"
+    val outP = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def start() = FusedServeStream.serve(
+      spark.readStream.schema(q.schema).parquet(in), spIdx, pqIdx,
+      k = FusedServeStream.FuseK)
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (fused: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        FusedServeStream.rerankPack(fused, emb, docChars)
+          .write.mode("append").parquet(outP)
+      }
+      .start()
+
+    val run1 = start()
+    try {
+      q.filter(col("q_id") % 200 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run1.processAllAvailable()
+    } finally run1.stop() // the kill between micro-batches
+    val run2 = start()
+    try {
+      q.filter(col("q_id") % 200 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run2.processAllAvailable()
+    } finally run2.stop()
+
+    val sunk = spark.read.parquet(outP)
+    assert(sunk.count() == batch.size,
+      s"exactly-once violated: ${sunk.count()} rows vs ${batch.size}")
+    assert(finalKey(sunk) == batch,
+      s"streamed funnel tail drifted from the batch assembly: " +
+        s"missing=${(batch -- finalKey(sunk)).take(3)}")
+  }
 }
