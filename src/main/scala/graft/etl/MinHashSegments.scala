@@ -117,6 +117,10 @@ object MinHashSegments {
   def read(s: SparkSession, root: String): DataFrame =
     readSnap(s, root, SegmentOps.resolveSnapshot(s, root))
 
+  /** Snapshot time travel: the live index AS OF manifest `version`. */
+  def readAt(s: SparkSession, root: String, version: Int): DataFrame =
+    readSnap(s, root, SegmentOps.resolveSnapshotAt(s, root, version))
+
   private def readSnap(s: SparkSession, root: String,
       snap: SegmentOps.Snapshot): DataFrame = {
     val base = s.read.parquet(s"$root/${snap.baseDir}/minhash_index")

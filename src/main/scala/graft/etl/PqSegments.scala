@@ -98,6 +98,11 @@ object PqSegments {
   def read(s: SparkSession, root: String): PqIndex.Index =
     readSnap(s, root, SegmentOps.resolveSnapshot(s, root))
 
+  /** Snapshot time travel: the live view AS OF manifest `version`. */
+  def readAt(s: SparkSession, root: String, version: Int)
+      : PqIndex.Index =
+    readSnap(s, root, SegmentOps.resolveSnapshotAt(s, root, version))
+
   private def readSnap(s: SparkSession, root: String,
       snap: SegmentOps.Snapshot): PqIndex.Index = {
     val base = PqIndex.read(s, s"$root/${snap.baseDir}")

@@ -164,17 +164,36 @@ object SegmentOps {
     val (dir, fs) = manifestFs(s, root)
     manifestVersions(fs, dir).lastOption match {
       case None => Snapshot(0, "base", listSegEntries(s, root))
-      case Some(v) =>
-        val p = new org.apache.hadoop.fs.Path(dir, s"v=$v")
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString
-        finally in.close()
-        val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-        require(lines.nonEmpty, s"manifest $p is empty")
-        Snapshot(v, lines.head,
-          lines.tail.map(parseSegName(_, p.toString)))
+      case Some(v) => readManifest(s, root, v)
     }
+  }
+
+  /** Resolve a SPECIFIC manifest version — snapshot time travel. Any
+    * version not yet [[vacuum]]ed is fully readable (its base
+    * generation and segment dirs are still on disk); a vacuumed one
+    * fails loud here or at scan time. */
+  def resolveSnapshotAt(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Snapshot = {
+    val (dir, fs) = manifestFs(s, root)
+    val versions = manifestVersions(fs, dir)
+    require(versions.contains(version),
+      s"SegmentOps: manifest v$version not found under $dir — " +
+        s"available: ${versions.mkString(", ")} (older versions are " +
+        "released by vacuum)")
+    readManifest(s, root, version)
+  }
+
+  private def readManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, v: Int): Snapshot = {
+    val (dir, fs) = manifestFs(s, root)
+    val p = new org.apache.hadoop.fs.Path(dir, s"v=$v")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString
+    finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"manifest $p is empty")
+    Snapshot(v, lines.head, lines.tail.map(parseSegName(_, p.toString)))
   }
 
   /** Record a just-published segment in the manifest (no-op unless the

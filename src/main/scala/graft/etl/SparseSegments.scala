@@ -318,6 +318,14 @@ object SparseSegments {
       : SparseIndex.Index =
     readSnap(s, root, SegmentOps.resolveSnapshot(s, root), cap)
 
+  /** Snapshot time travel: the live view AS OF manifest `version` —
+    * any un-vacuumed snapshot replays exactly (its dirs are immutable
+    * once published). */
+  def readAt(s: SparkSession, root: String, version: Int)
+      : SparseIndex.Index =
+    readSnap(s, root, SegmentOps.resolveSnapshotAt(s, root, version),
+      None)
+
   private def readSnap(s: SparkSession, root: String,
       snap: SegmentOps.Snapshot, cap: Option[Int])
       : SparseIndex.Index = {

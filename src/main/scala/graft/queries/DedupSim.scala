@@ -2712,8 +2712,8 @@ object DedupSim {
   // error; this SERVES from the compressed domain — per query, the
   // asymmetric-distance table (per subspace, squared L2 from the
   // query's slice to each of the 8 centroids — a |q|×8 relation,
-  // joined UNHINTED because |q| = corpus/100 grows with the corpus;
-  // AQE broadcasts it while small, x05's rule) and the ADC scan: every code row
+  // ≤ EvalK×8 rows under the absolute-K slice; joined unhinted, AQE
+  // broadcasts the always-small side) and the ADC scan: every code row
   // scored by FOUR table lookups + a fixed left-assoc sum, never
   // touching the full-precision corpus vectors. The card is the
   // quantization-loss eval the deploy decision needs: ADC top-10 vs
@@ -2751,9 +2751,9 @@ object DedupSim {
             col("c_vv")).as(s"d$i"))
     }
     val wQ = Window.partitionBy("q_id")
-    // LUT joins unhinted: the LUT side is |q|x8 where |q| = corpus/100 —
-    // it GROWS with the corpus (x05's rule), so no broadcast pin; AQE
-    // broadcasts while genuinely small, shuffles once it is not.
+    // LUT joins unhinted: the LUT side is |q|×8 ≤ EvalK×8 rows under
+    // the absolute-K slice — always small, and AQE broadcasts it
+    // without needing a pin.
     val adcTop = (1 until PqSub)
       .foldLeft(codes.join(luts(0), Seq("code0")))((acc, i) =>
         acc.join(luts(i), Seq("q_id", s"code$i")))
@@ -2764,8 +2764,9 @@ object DedupSim {
         wQ.orderBy(col("adc"), col("vec_id"))))
       .filter(col("rk") <= 10)
       .select("q_id", "vec_id", "rk")
-    // Unhinted cross join, x05's documented truth-slice shape: the
-    // query side grows with the corpus, so no driver-side pin.
+    // x05's truth-slice shape: the query side is ≤ EvalK rows under
+    // the absolute-K slice, so the cross join is O(n·K) and the small
+    // side broadcasts (AQE / BNLJ pick it up unhinted).
     val truthTop = e
       .crossJoin(q.select(col("vec_id").as("q_id"), col("emb").as("qe")))
       .filter(col("vec_id") =!= col("q_id"))

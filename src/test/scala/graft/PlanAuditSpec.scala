@@ -26,6 +26,14 @@ class PlanAuditSpec extends SparkSpec {
       "view — the same 1-row corpus-stats scalar (here the summed " +
       "base+segment deltas card) broadcast into the scoring " +
       "projection, never grows"),
+    "w09_segment_lifecycle" -> ("x80's serve over the lifecycle's " +
+      "materialized layout — the same 1-row corpus-stats scalar " +
+      "broadcast into the scoring projection, never grows"),
+    "x104_pq_refine" -> ("x97's serve plus the refine tail: the " +
+      "fixed codebooks broadcast; the truth slice and per-config " +
+      "rows_refined / n_scanned_total 1-row censuses cross-join into " +
+      "3 summary rows — the truth cartesian's query side is the " +
+      "absolute-K slice (<= EvalK rows by construction)"),
     "q56_funnel_conversion" -> ("three 1-row step-summary scalars " +
       "cross-joined into the single output row — never grows"),
     "q57_t_closeness" -> ("1-row corpus-total scalar + the constant " +

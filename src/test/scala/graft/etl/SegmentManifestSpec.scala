@@ -154,6 +154,46 @@ class SegmentManifestSpec extends SparkSpec {
         "drifted — the stored k did not carry over")
   }
 
+  test("time travel: readAt replays any un-vacuumed snapshot exactly; vacuum releases it loudly") {
+    val t = tf
+    val root = tmpRoot("manifest_tt")
+    SparseSegments.init(
+      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap), root,
+      cap) // v1
+    val v1 = tableKey(SparseSegments.readAt(spark, root, 1).plist)
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") % 3 === 0)) // v2
+    val v2 = tableKey(SparseSegments.readAt(spark, root, 2).plist)
+    SparseSegments.deleteSeg(spark, root,
+      t.select("doc_id").distinct()
+        .filter(col("doc_id") % 10 === 3)) // v3
+    SparseSegments.compactInPlace(spark, root) // v4
+
+    // every historical snapshot replays exactly: v1 = the base build,
+    // v2 = base + shard, v3 = the pre-compaction live view = v4
+    assert(v1 == tableKey(
+      SparseIndex.build(t.filter(col("doc_id") % 3 =!= 0), cap).plist))
+    assert(v2 == tableKey(SparseIndex.build(t, cap).plist))
+    val live = tableKey(SparseSegments.read(spark, root).plist)
+    assert(tableKey(SparseSegments.readAt(spark, root, 3).plist)
+      == live, "v3 (pre-compaction) != v4 (folded) content")
+    assert(tableKey(SparseSegments.readAt(spark, root, 4).plist)
+      == live)
+    assert(v1 != v2 && v2 != live,
+      "snapshots should differ across maintenance nights")
+
+    // vacuum releases history: old versions now fail LOUD by name
+    SegmentOps.vacuum(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      SparseSegments.readAt(spark, root, 2)
+    }
+    assert(ex.getMessage.contains("v2") &&
+      ex.getMessage.contains("vacuum"),
+      s"released-snapshot error unhelpful: ${ex.getMessage}")
+    assert(tableKey(SparseSegments.readAt(spark, root, 4).plist)
+      == live, "the surviving snapshot must still replay after vacuum")
+  }
+
   test("fail-loud contracts: stray segment debris, non-positive build params") {
     val root = tmpRoot("manifest_debris")
     java.nio.file.Files.createDirectories(
