@@ -329,6 +329,12 @@ object Pipeline {
     }.getOrElse(spark.emptyDataFrame)
 
     // ---- load order: Dims → Bridges → Facts (main_etl_pipeline.py:752)
+    // NOT persisted: each table has two driving consumers (validation
+    // + sink), but a full-warehouse persist measured SLOWER end to end
+    // at reference scale (warm 8.7 → 9.8 s — materialization cost >
+    // the saved recompute behind the already-persisted canonical
+    // profiles); on a cluster with expensive upstream stages the
+    // stage-boundary cache may win — re-measure there, don't assume.
     val tables: Seq[(String, DataFrame)] = Seq(
       "dim_date" -> dimDate,
       "dim_user" -> dimUser,
@@ -359,13 +365,21 @@ object Pipeline {
     outDir.foreach { dir =>
       // date-keyed facts land hive-partitioned by date_key: time-window
       // queries over the written warehouse prune to the touched days
-      // (the layout the reference's date indexes approximate)
-      Sources.writeOrdered(tables.filter(_._2.columns.nonEmpty), dir,
-        partitions = Map(
-          "fact_workoutsession" -> Seq("date_key"),
-          "fact_healthmetric" -> Seq("date_key"),
-          "fact_nutritionlog" -> Seq("date_key"),
-          "fact_hourlyactivity" -> Seq("date_key")))
+      // (the layout the reference's date indexes approximate). Cluster
+      // rows by the partition key BEFORE the write — without it every
+      // task emits one file per date it happens to hold (measured:
+      // 1,624 files for a 25k-row warehouse, 987 in hourlyactivity
+      // alone — metadata poison at scale and a third of the warm ETL
+      // wall at reference scale); with it the file count is O(dates).
+      val datePart = Set("fact_workoutsession", "fact_healthmetric",
+        "fact_nutritionlog", "fact_hourlyactivity")
+      Sources.writeOrdered(
+        tables.filter(_._2.columns.nonEmpty).map { case (n, df) =>
+          n -> (if (datePart(n))
+            df.repartition(org.apache.spark.sql.functions.col("date_key"))
+          else df)
+        }, dir,
+        partitions = datePart.map(_ -> Seq("date_key")).toMap)
       Sources.writeJsonReport(Quality.toJson(report), s"$dir/etl_report.json")
     }
     val tWrite = (System.nanoTime() - tWrite0) / 1e9
