@@ -932,15 +932,18 @@ object DedupSim {
   }
   /** DuckDB twin of [[lloydStep]]: assignment CTE (argmin over the
     * `from` codebook) + decimal-exact per-(cluster, dim) means
-    * reassembled into the `to` codebook, names suffixed by `tag`. */
-  private def duckLloydCtes(from: String, tag: String): String =
+    * reassembled into the `to` codebook, names suffixed by `tag`;
+    * `src` is the training relation (default the full corpus `e`;
+    * always aliased `e` so the column refs read the same). */
+  private def duckLloydCtes(from: String, tag: String,
+      src: String = "e"): String =
     s"""a$tag AS (
        |  SELECT vec_id, emb, c_id AS cluster FROM (
        |    SELECT e.vec_id, e.emb, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
        |          / (e.norm * c.c_norm), c.c_id) AS rk
-       |    FROM e CROSS JOIN $from c) WHERE rk = 1),
+       |    FROM $src e CROSS JOIN $from c) WHERE rk = 1),
        |m$tag AS (
        |  SELECT cluster, i,
        |    CAST(CAST(SUM(CAST(emb[i] AS DECIMAL(18,6))) AS VARCHAR)
@@ -3431,6 +3434,186 @@ object DedupSim {
        |ORDER BY s.config""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // W10 — the DENSE family's disk lifecycle, gated at the SERVE grain:
+  // w09 proves the sparse family's composed nightly (segments +
+  // policy-fired in-place compaction + manifest flip) end to end on
+  // disk; this is its IVFPQ twin, closing the lifecycle symmetry the
+  // same way. Four "nights" against one on-disk PqSegments layout in
+  // a fresh temp dir:
+  //   init   — PqIndex.build on the base slice (vec_id % 3 ≠ 0): the
+  //            coarse codebook AND the four PQ books train on the
+  //            base and FREEZE — the family's whole contract;
+  //   n1/n2  — appendSeg the % 6 = 0 and % 6 = 3 shards (together
+  //            exactly the % 3 = 0 class): each an O(delta)
+  //            frozen-book encode published atomically;
+  //   policy — SegmentOps.shouldCompact(maxSegs=2) fires →
+  //            compactInPlace folds both segments into base-g<v> and
+  //            flips the manifest (books pass through frozen);
+  //   n3     — deleteSeg the vec_id % 10 = 3 revision set: tombstones
+  //            ON the compacted base;
+  //   serve  — PqIndex.serve (probes × ADC scan, exact n_scanned)
+  //            through the resolved snapshot view, queries = the
+  //            absolute-K slice ∩ survivors.
+  // The oracle rebuilds from scratch in an engine with no segments:
+  // coarse + PQ books trained on the BASE slice only (the frozen-book
+  // contract, w08's pq-leg discipline), survivors assigned + encoded
+  // against them, x97's probe/LUT/ADC serve chain over the result —
+  // hash-exact down to every ADC double and the exact per-query
+  // n_scanned, so one wrong tombstone scope, a book retrained during
+  // compaction, or a stale cell row each moves a row and fails the
+  // gate. Scale: nightly writes O(delta); serve scans only probed
+  // cells' code rows; the truth side is the bounded slice.
+  // ---------------------------------------------------------------------
+  private def w10(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{AnnIndex, PqIndex, PqSegments, SegmentOps}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_w10_pq_lifecycle").toString
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false) // base build, two shards, retraction ids, queries
+    PqSegments.init(
+      PqIndex.build(e.filter(col("vec_id") % 3 =!= 0)), root)
+    PqSegments.appendSeg(s, root, e.filter(col("vec_id") % 6 === 0))
+    PqSegments.appendSeg(s, root, e.filter(col("vec_id") % 6 === 3))
+    if (SegmentOps.shouldCompact(s, root, maxSegs = 2))
+      PqSegments.compactInPlace(s, root)
+    PqSegments.deleteSeg(s, root,
+      e.select("vec_id").filter(col("vec_id") % 10 === 3))
+    val idx = PqSegments.read(s, root)
+    val q = e
+      .join(broadcast(evalIds(Tables.embeddings(s, d), "vec_id")),
+        "vec_id")
+      .filter(col("vec_id") % 10 =!= 3) // a deleted vector no longer
+                                        // issues queries (x98's rule)
+      .select(col("vec_id").as("q_id"), col("emb"), col("norm"))
+    PqIndex.serve(q, idx).orderBy("q_id", "rank")
+  }
+  /** One w10 subspace chain: the PQ book trained on the BASE slice
+    * (frozen), survivor codes + query LUTs against it — fresh
+    * `u`-prefixed names so the shared duckPqCtes/w08PqCtes texts stay
+    * untouched. */
+  private def w10PqCtes(i: Int): String = {
+    val lo = PqDims * i + 1
+    val hi = PqDims * (i + 1)
+    s"""usl$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
+       |  WHERE vec_id % 3 <> 0),
+       |ues$i AS (SELECT vec_id, v,
+       |  ${duckDot.format("v", "v")} AS vv FROM usl$i),
+       |usd$i AS (
+       |  SELECT vec_id AS c_id, v AS c_v, vv AS c_vv FROM ues$i
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007,
+       |    vec_id
+       |  LIMIT $PqK),
+       |upa$i AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT s.vec_id, s.v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM ues$i s CROSS JOIN usd$i c) WHERE rk = 1),
+       |upm$i AS (
+       |  SELECT cluster, j,
+       |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(18,6))) AS VARCHAR)
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS coord
+       |  FROM upa$i, unnest(generate_series(1, len(v))) AS t(j)
+       |  GROUP BY 1, 2),
+       |uvl$i AS (
+       |  SELECT cluster AS c_id, list(coord ORDER BY j) AS c_v
+       |  FROM upm$i GROUP BY 1),
+       |ucb$i AS (
+       |  SELECT c_id, c_v, ${duckDot.format("c_v", "c_v")} AS c_vv
+       |  FROM uvl$i),
+       |uss$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
+       |  WHERE vec_id % 10 <> 3),
+       |use$i AS (SELECT vec_id, v,
+       |  ${duckDot.format("v", "v")} AS vv FROM uss$i),
+       |ucode$i AS (
+       |  SELECT vec_id, c_id AS code$i FROM (
+       |    SELECT s.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv,
+       |        c.c_id) AS rk
+       |    FROM use$i s CROSS JOIN ucb$i c) WHERE rk = 1),
+       |ulut$i AS (
+       |  SELECT s.vec_id AS q_id, c.c_id,
+       |    s.vv - 2.0 * ${duckDot.format("s.v", "c.c_v")} + c.c_vv
+       |      AS d$i
+       |  FROM use$i s CROSS JOIN ucb$i c
+       |  WHERE s.vec_id IN (SELECT vec_id FROM qids))""".stripMargin
+  }
+
+  private lazy val w10Sql = {
+    val lutJoins = (1 until PqSub).map(i =>
+      s"JOIN ulut$i l$i ON l$i.q_id = s.q_id" +
+        s" AND l$i.c_id = s.code$i").mkString("\n       |  ")
+    s"""WITH raw AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM raw),
+       |$duckQids,
+       |ube AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+       |ubsd AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+       |  FROM ube ORDER BY ((vec_id % 2147483648) * 2654435761)
+       |    % 1000000007, vec_id
+       |  LIMIT $IvfK),
+       |${duckLloydCtes("ubsd", "u1", "ube")},
+       |${duckLloydCtes("cu1", "u2", "ube")},
+       |usv AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+       |uasg AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM usv e CROSS JOIN cu2 c) WHERE rk = 1),
+       |uprb AS (
+       |  SELECT q_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        1.0 - ${duckDot.format("e.emb", "c.c_emb")}
+       |          / (e.norm * c.c_norm), c.c_id) AS rk
+       |    FROM usv e CROSS JOIN cu2 c
+       |      WHERE e.vec_id IN (SELECT vec_id FROM qids))
+       |  WHERE rk <= $IvfProbes),
+       |${(0 until PqSub).map(w10PqCtes).mkString(",\n")},
+       |ucodes AS (
+       |  SELECT vec_id, ${(0 until PqSub).map(i => s"code$i")
+            .mkString(", ")}
+       |  FROM ucode0
+       |  ${(1 until PqSub).map(i => s"JOIN ucode$i USING (vec_id)")
+            .mkString("\n       |  ")}),
+       |uscan AS (
+       |  SELECT p.q_id, k.vec_id,
+       |    ${(0 until PqSub).map(i => s"k.code$i").mkString(", ")}
+       |  FROM ucodes k
+       |  JOIN uasg a ON a.vec_id = k.vec_id
+       |  JOIN uprb p ON p.cluster = a.cluster
+       |  WHERE k.vec_id <> p.q_id),
+       |unsc AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_scanned
+       |  FROM uscan GROUP BY 1),
+       |uadc AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${(0 until PqSub).map(i => s"l$i.d$i").mkString(" + ")} AS adc
+       |  FROM uscan s
+       |  JOIN ulut0 l0 ON l0.q_id = s.q_id AND l0.c_id = s.code0
+       |  $lutJoins)
+       |SELECT t.q_id, t.vec_id, t.rank, t.adc, n.n_scanned FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |  FROM uadc) t
+       |JOIN unsc n ON n.q_id = t.q_id
+       |WHERE t.rank <= 10
+       |ORDER BY t.q_id, t.rank""".stripMargin
+  }
+
   /** DuckDB twin of one x58 subspace chain, names suffixed `tag`. */
   private def duckPqCtes(i: Int): String = {
     val lo = PqDims * i + 1
@@ -4925,6 +5108,7 @@ object DedupSim {
     QueryDef("x97_ivfpq_serve", Some(x97Sql), x97),
     QueryDef("x103_adaptive_probes", Some(x103Sql), x103),
     QueryDef("x104_pq_refine", Some(x104Sql), x104),
+    QueryDef("w10_pq_lifecycle", Some(w10Sql), w10),
     QueryDef("x93b_funnel_sweep", Some(x93bSql), x93b),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),

@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     "w09_segment_lifecycle" -> ("x80's serve over the lifecycle's " +
       "materialized layout — the same 1-row corpus-stats scalar " +
       "broadcast into the scoring projection, never grows"),
+    "w10_pq_lifecycle" -> ("PqIndex.serve over the pq lifecycle's " +
+      "materialized layout — the fixed 16-row coarse codebook and " +
+      "8-row PQ books broadcast for probing/LUTs, never grow; the " +
+      "query side is the absolute-K slice"),
     "x104_pq_refine" -> ("x97's serve plus the refine tail: the " +
       "fixed codebooks broadcast; the truth slice and per-config " +
       "rows_refined / n_scanned_total 1-row censuses cross-join into " +

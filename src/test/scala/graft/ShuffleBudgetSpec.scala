@@ -279,6 +279,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // ≤ k'·EvalK rows keyed back to the vector relation) + the
     // per-config grade aggs
     "x104_pq_refine" -> 26,
+    // the serve plan over the pq lifecycle's MATERIALIZED layout —
+    // the nightly writes run eagerly before this plan exists (w09's
+    // shape, dense family): probe ranking + the cluster-keyed scan
+    // join + ADC ranking over parquet the compaction already folded
+    "w10_pq_lifecycle" -> 11,
     // the serve plan over the lifecycle's MATERIALIZED layout — the
     // nightly writes (init, 2 appends, policy-fired compaction, a
     // delete segment) run eagerly before this plan exists, so the
