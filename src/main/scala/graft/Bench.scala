@@ -77,6 +77,7 @@ object Bench {
   val WarmPriority: Set[String] = Set(
     // r11 registrations (no steady history yet)
     "w09_segment_lifecycle", "x104_pq_refine", "w10_pq_lifecycle",
+    "w11_minhash_lifecycle",
     // r10 registrations
     "x96_index_delete", "x97_ivfpq_serve", "x93b_funnel_sweep",
     "x98_delete_serve", "x99_segmented_serve", "x100_sequence_pack",

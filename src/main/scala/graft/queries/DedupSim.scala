@@ -3614,6 +3614,63 @@ object DedupSim {
        |ORDER BY t.q_id, t.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // W11 — the MINHASH family's disk lifecycle, gated at the serve
+  // grain: the trilogy closer after w09 (sparse) and w10 (dense).
+  // Four "nights" against one on-disk MinHashSegments layout:
+  //   init   — sign the base slice (doc_id % 3 ≠ 0) at k=16 (the
+  //            stored k every later delta signs at);
+  //   n1/n2  — appendSeg the % 6 = 0 and % 6 = 3 document shards
+  //            (raw docs — the layer signs them at the STORED k);
+  //   policy — shouldCompact(maxSegs=2) fires → compactInPlace (the
+  //            k meta carries through the manifest flip);
+  //   n3     — deleteSeg the doc_id % 10 = 3 revision set;
+  //   serve  — x02's banding + verify over the resolved snapshot
+  //            view: every LSH candidate pair with its exact
+  //            signature-agreement count.
+  // The oracle re-signs the SURVIVING corpus from scratch (x02's
+  // sigm chain over `corpus` = documents % 10 ≠ 3) in an engine with
+  // no segments — hash equality proves the stored signatures, the
+  // scoped tombstones, the stored-k append discipline and the
+  // compaction fold all compose to exactly the from-scratch index at
+  // the pair grain a dedup pipeline consumes. Scale: nightly signs
+  // only the delta; banding cost is candidate-bounded (the capped
+  // x02 plan); the oracle side is DuckDB's problem.
+  // ---------------------------------------------------------------------
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_w11_mh_lifecycle").toString
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .cut(false) // base signing, two shards, retraction ids
+    MinHashSegments.init(
+      NearDup.signatures(docs.filter(col("doc_id") % 3 =!= 0)), root)
+    MinHashSegments.appendSeg(s, root,
+      docs.filter(col("doc_id") % 6 === 0))
+    MinHashSegments.appendSeg(s, root,
+      docs.filter(col("doc_id") % 6 === 3))
+    if (SegmentOps.shouldCompact(s, root, maxSegs = 2))
+      MinHashSegments.compactInPlace(s, root)
+    MinHashSegments.deleteSeg(s, root,
+      docs.select("doc_id").filter(col("doc_id") % 10 === 3))
+    val sigs = MinHashSegments.read(s, root)
+    NearDup.agreementOf(sigs, NearDup.candidates(sigs))
+      .orderBy("doc_a", "doc_b")
+  }
+  private lazy val w11Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, m AS sig_matches
+       |FROM sigm ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB twin of one x58 subspace chain, names suffixed `tag`. */
   private def duckPqCtes(i: Int): String = {
     val lo = PqDims * i + 1
@@ -5109,6 +5166,7 @@ object DedupSim {
     QueryDef("x103_adaptive_probes", Some(x103Sql), x103),
     QueryDef("x104_pq_refine", Some(x104Sql), x104),
     QueryDef("w10_pq_lifecycle", Some(w10Sql), w10),
+    QueryDef("w11_minhash_lifecycle", Some(w11Sql), w11),
     QueryDef("x93b_funnel_sweep", Some(x93bSql), x93b),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),

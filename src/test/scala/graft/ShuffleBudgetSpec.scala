@@ -284,6 +284,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // shape, dense family): probe ranking + the cluster-keyed scan
     // join + ADC ranking over parquet the compaction already folded
     "w10_pq_lifecycle" -> 11,
+    // the serve plan over the minhash lifecycle's MATERIALIZED
+    // layout: band-key candidate join + the two signature verify
+    // joins over the parquet the compaction already folded
+    "w11_minhash_lifecycle" -> 2,
     // the serve plan over the lifecycle's MATERIALIZED layout — the
     // nightly writes (init, 2 appends, policy-fired compaction, a
     // delete segment) run eagerly before this plan exists, so the
