@@ -51,10 +51,11 @@ object Verify {
     case n if n.startsWith("x92") || n.startsWith("x95") ||
       n.startsWith("x96") || n.startsWith("x97") ||
       n.startsWith("x98") => 3
-    // tier 4: iterative + full-pipeline
+    // tier 4: iterative + full-pipeline (w1x = the disk-lifecycle
+    // flagships — eager segment writes before the timed plan)
     case n if n.startsWith("x11") || n.startsWith("w0") ||
-      n.startsWith("x89") || n.startsWith("x90") ||
-      n.startsWith("x93") => 4
+      n.startsWith("w1") || n.startsWith("x89") ||
+      n.startsWith("x90") || n.startsWith("x93") => 4
     case _ => 2
   }
 
