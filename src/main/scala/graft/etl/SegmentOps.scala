@@ -231,19 +231,25 @@ object SegmentOps {
     resolveSnapshot(s, root).segs.size >= maxSegs
   }
 
-  /** Delete everything the CURRENT manifest snapshot does not
-    * reference: superseded base generations, folded-away segments and
-    * all older manifest versions. Call only when no reader still holds
-    * a pre-compaction snapshot — this is the explicit release the
-    * snapshot guarantee is 'until' of. No-op on manifest-less
+  /** Delete everything the RETAINED manifest snapshots (the newest
+    * `keepLast`, default 1 = current only) do not reference:
+    * superseded base generations, folded-away segments and released
+    * manifest versions. Call with keepLast=1 only when no reader
+    * still holds a pre-compaction snapshot — this is the explicit
+    * release the snapshot guarantee is 'until' of; a larger keepLast
+    * is the time-travel retention window ([[resolveSnapshotAt]]
+    * replays any retained version exactly). No-op on manifest-less
     * layouts. */
-  def vacuum(s: org.apache.spark.sql.SparkSession, root: String)
-      : Seq[String] = {
+  def vacuum(s: org.apache.spark.sql.SparkSession, root: String,
+      keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "vacuum: keepLast must be >= 1")
     val (mdir, fs) = manifestFs(s, root)
     val versions = manifestVersions(fs, mdir)
     if (versions.isEmpty) return Seq.empty
-    val snap = resolveSnapshot(s, root)
-    val keepSegs = snap.segs.map(_._2).toSet
+    val kept = versions.takeRight(keepLast)
+      .map(v => readManifest(s, root, v))
+    val keepSegs = kept.flatMap(_.segs.map(_._2)).toSet
+    val keepBases = kept.map(_.baseDir).toSet
     val removed = Seq.newBuilder[String]
     def drop(p: org.apache.hadoop.fs.Path): Unit = {
       removed += p.toString
@@ -252,7 +258,7 @@ object SegmentOps {
     val rootP = new org.apache.hadoop.fs.Path(root)
     fs.listStatus(rootP).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      if ((n == "base" || n.startsWith("base-g")) && n != snap.baseDir)
+      if ((n == "base" || n.startsWith("base-g")) && !keepBases(n))
         drop(p)
     }
     val segsP = new org.apache.hadoop.fs.Path(s"$root/segs")
@@ -261,7 +267,7 @@ object SegmentOps {
         val n = p.getName
         if (n.startsWith("seg=") && !keepSegs(n)) drop(p)
       }
-    versions.dropRight(1).foreach(v =>
+    versions.dropRight(keepLast).foreach(v =>
       drop(new org.apache.hadoop.fs.Path(mdir, s"v=$v")))
     removed.result()
   }

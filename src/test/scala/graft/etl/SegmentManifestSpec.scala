@@ -182,6 +182,16 @@ class SegmentManifestSpec extends SparkSpec {
     assert(v1 != v2 && v2 != live,
       "snapshots should differ across maintenance nights")
 
+    // a retention window keeps the last N snapshots replayable: after
+    // vacuum(keepLast=2), v3 (the pre-compaction snapshot, with its
+    // old base generation and both folded segments) still time-travels
+    SegmentOps.vacuum(spark, root, keepLast = 2)
+    assert(tableKey(SparseSegments.readAt(spark, root, 3).plist)
+      == live, "retained snapshot must replay after a windowed vacuum")
+    intercept[IllegalArgumentException] {
+      SparseSegments.readAt(spark, root, 1)
+    }
+
     // vacuum releases history: old versions now fail LOUD by name
     SegmentOps.vacuum(spark, root)
     val ex = intercept[IllegalArgumentException] {
