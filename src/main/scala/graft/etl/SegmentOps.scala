@@ -289,7 +289,15 @@ object SegmentOps {
     * silently dropped operation. The post-rename verification below
     * turns that silent loss into a loud failure: after the rename,
     * the first table dir must sit DIRECTLY under the published path
-    * (a nested `seg=…` dir there means another writer won the race). */
+    * (a nested `seg=…` dir there means another writer won the race).
+    *
+    * Crash window: if the writer dies BETWEEN the segment rename and
+    * [[recordSegInManifest]]'s version bump, the segment dir exists
+    * but no manifest names it — manifest readers never see it, a
+    * retried operation takes a fresh number (directory-based), and
+    * [[vacuum]] collects the orphan. A crashed operation is therefore
+    * never half-applied: it is either fully visible (manifest names
+    * it) or pure debris. */
   def publishSeg(s: org.apache.spark.sql.SparkSession, root: String,
       n: Int, kind: Char,
       tables: Seq[(String, org.apache.spark.sql.DataFrame)])
