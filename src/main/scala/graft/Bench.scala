@@ -92,32 +92,33 @@ object Bench {
     // r8 carry-overs that stay priority
     "x44_ngram_decontam", "q02_pk_uniqueness")
 
-  /** Prior-artifact first-run costs (BENCH_r10: `insession` values
-    * where present — the cold number warming prevents — else the
-    * steady `queries` value). VERDICT r10 #3's fix: within each warm
-    * tier the heaviest-by-prior-cost rows start FIRST, so a box
-    * expiry can no longer drop the rows that hurt most (w08 went
+  /** Prior-artifact first-run costs (the r11 closing bench: per row,
+    * max of its `insession` first run — the cold number warming
+    * prevents — and its steady value). VERDICT r10 #3's fix: within
+    * each warm tier the heaviest-by-prior-cost rows start FIRST, so a
+    * box expiry can no longer drop the rows that hurt most (w08 went
     * unwarmed in the r10 driver run and timed 8.8 s cold). Unlisted
     * (cheap or new) rows default to 0 and inherit the tier's tail;
-    * new registrations are covered by WarmPriority membership. */
+    * new registrations are covered by WarmPriority membership.
+    * Refresh each round from the latest bench line. */
   val PriorFirstRunCost: Map[String, Double] = Map(
-    "x60_ann_recall" -> 11.333, "w08_nightly_ingest" -> 8.834,
-    "x71_kmv_overlap" -> 6.253, "x93b_funnel_sweep" -> 5.207,
-    "x103_adaptive_probes" -> 5.184, "x97_ivfpq_serve" -> 4.866,
-    "x75_context_budget" -> 4.478, "q47_bootstrap_ci" -> 4.369,
-    "st02_sessionize" -> 3.904, "q29_mad_outliers" -> 3.149,
-    "x95_pq_adc_serve" -> 3.041, "x102_incremental_cc" -> 3.014,
-    "w06_dedup_cascade" -> 2.983, "x93_funnel_recall" -> 2.976,
-    "x59_pagerank" -> 2.929, "x58_pq_codes" -> 2.89,
-    "w07_rag_funnel" -> 2.722, "q48_quantile_sketch_bound" -> 2.355,
-    "x80_bm25" -> 2.264, "q51_fd_discovery" -> 2.259,
-    "x99_segmented_serve" -> 2.257, "w02_full_etl" -> 2.162,
-    "st05_stream_dedup" -> 2.14, "x18_knn_ivf" -> 2.098,
-    "x79_ann_index_build" -> 2.059, "q42_basket_affinity" -> 2.049,
-    "x63_diverse_sample" -> 2.044, "x87_centroid_drift" -> 1.997,
-    "st03_stream_join" -> 1.947, "x62_hard_negatives" -> 1.898,
-    "x20_segment_dedup" -> 1.877, "q15_percentiles" -> 1.863,
-    "x89_bpe_train" -> 1.81, "x90_bpe_apply" -> 1.788)
+    "w08_nightly_ingest" -> 9.199, "w10_pq_lifecycle" -> 8.213,
+    "x104_pq_refine" -> 6.156, "w09_segment_lifecycle" -> 5.852,
+    "x103_adaptive_probes" -> 5.296, "x93b_funnel_sweep" -> 5.262,
+    "x97_ivfpq_serve" -> 4.514, "w07_rag_funnel" -> 3.808,
+    "x102_incremental_cc" -> 3.782, "x93_funnel_recall" -> 3.678,
+    "x60_ann_recall" -> 3.535, "x95_pq_adc_serve" -> 3.483,
+    "w11_minhash_lifecycle" -> 3.298, "q29_mad_outliers" -> 3.241,
+    "w06_dedup_cascade" -> 3.205, "q47_bootstrap_ci" -> 3.17,
+    "x80_bm25" -> 2.94, "x59_pagerank" -> 2.785,
+    "q51_fd_discovery" -> 2.623, "x99_segmented_serve" -> 2.45,
+    "w02_full_etl" -> 2.371, "x87_centroid_drift" -> 2.332,
+    "q48_quantile_sketch_bound" -> 2.298, "q15_percentiles" -> 2.14,
+    "x20_segment_dedup" -> 2.111, "x18_knn_ivf" -> 2.033,
+    "x58_pq_codes" -> 2.011, "j06_range_join" -> 1.998,
+    "w05_neardup_funnel" -> 1.943, "x89_bpe_train" -> 1.864,
+    "x79_ann_index_build" -> 1.86, "q42_basket_affinity" -> 1.829,
+    "x90_bpe_apply" -> 1.826, "x101_cluster_weights" -> 1.804)
 
   /** Build the single parseable bench line. Pure — spec-driven by
     * BenchLineSpec with a 250-query synthetic load to pin the
