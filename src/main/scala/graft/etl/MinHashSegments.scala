@@ -94,9 +94,9 @@ object MinHashSegments {
       s"$root/${SegmentOps.resolveSnapshot(s, root).baseDir}", k)
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int, kind: Char): Unit =
+      n: Int, kind: Char, tag: Option[String]): Unit =
     SegmentOps.publishSeg(s, root, n, kind,
-      Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs))
+      Seq("sigs" -> seg.sigsAdd, "tombs" -> seg.tombs), tag)
 
   /** Read one on-disk segment; the kind tag rebuilds the vacuous
     * table as a statically-empty LocalRelation (join elision — see
@@ -133,19 +133,19 @@ object MinHashSegments {
     * k (pass `Some(k)` only to assert it); base files are never
     * touched (MinHashSegmentsSpec asserts it). */
   def appendSeg(s: SparkSession, root: String, deltaDocs: DataFrame,
-      k: Option[Int] = None): Unit = {
+      k: Option[Int] = None, tag: Option[String] = None): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
     writeSeg(s,
       appendSegOf(read(s, root), deltaDocs, storedK(s, root, k)),
-      root, n, 'a')
+      root, n, 'a', tag)
   }
 
   /** Retract documents as a new segment — an O(delta) write published
     * atomically. */
-  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
-      : Unit = {
+  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame,
+      tag: Option[String] = None): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, deleteSegOf(read(s, root), docIds), root, n, 'd')
+    writeSeg(s, deleteSegOf(read(s, root), docIds), root, n, 'd', tag)
   }
 
   /** Fold the segments into a fresh base at `outRoot`; the signature
@@ -162,6 +162,7 @@ object MinHashSegments {
     val k = storedKAt(s, s"$root/${snap.baseDir}", None)
     val nb = SegmentOps.nextBaseDir(snap)
     writeBase(readSnap(s, root, snap), s"$root/$nb", k)
-    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+    SegmentOps.flipCompacted(s, root, snap, nb)
+    ()
   }
 }

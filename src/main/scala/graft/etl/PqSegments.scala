@@ -74,10 +74,10 @@ object PqSegments {
   }
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int, kind: Char): Unit =
+      n: Int, kind: Char, tag: Option[String]): Unit =
     SegmentOps.publishSeg(s, root, n, kind,
       Seq("cells" -> seg.cellsAdd, "codes" -> seg.codesAdd,
-        "tombs" -> seg.tombs))
+        "tombs" -> seg.tombs), tag)
 
   /** Read one on-disk segment; the kind tag rebuilds the vacuous
     * tables as statically-empty LocalRelations (join elision — see
@@ -113,17 +113,18 @@ object PqSegments {
   /** Append a disjoint shard as a new segment — an O(delta) write
     * published atomically; base files are never touched
     * (PqSegmentsSpec asserts it). */
-  def appendSeg(s: SparkSession, root: String, eNew: DataFrame): Unit = {
+  def appendSeg(s: SparkSession, root: String, eNew: DataFrame,
+      tag: Option[String] = None): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, appendSegOf(read(s, root), eNew), root, n, 'a')
+    writeSeg(s, appendSegOf(read(s, root), eNew), root, n, 'a', tag)
   }
 
   /** Retract vectors as a new segment — an O(delta) write published
     * atomically. */
-  def deleteSeg(s: SparkSession, root: String, vecIds: DataFrame)
-      : Unit = {
+  def deleteSeg(s: SparkSession, root: String, vecIds: DataFrame,
+      tag: Option[String] = None): Unit = {
     val n = SegmentOps.listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n, 'd')
+    writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n, 'd', tag)
   }
 
   /** Fold the segments into a fresh base at `outRoot` (the books and
@@ -140,6 +141,7 @@ object PqSegments {
     val snap = SegmentOps.resolveSnapshot(s, root)
     val nb = SegmentOps.nextBaseDir(snap)
     PqIndex.write(readSnap(s, root, snap), s"$root/$nb")
-    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+    SegmentOps.flipCompacted(s, root, snap, nb)
+    ()
   }
 }

@@ -112,7 +112,17 @@ object SegmentOps {
       dir: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toInt }
+      // fail LOUD on debris (e.g. `v=3.bak`) — same policy as
+      // parseSegName: a bare NumberFormatException would not name the
+      // offending entry, and silently skipping it could hide a real
+      // version
+      .collect { case n if n.startsWith("v=") =>
+        val body = n.stripPrefix("v=")
+        if (body.nonEmpty && body.forall(_.isDigit)) body.toInt
+        else throw new IllegalStateException(
+          s"SegmentOps: unrecognized manifest entry '$n' in $dir — " +
+            "expected v=<int>; remove or rename the stray entry")
+      }
       .sorted
 
   private def parseSegName(n: String, where: String): (Int, String, Char) = {
@@ -134,25 +144,68 @@ object SegmentOps {
     n.startsWith("seg=") &&
       scala.util.Try(parseSegName(n, "probe")).isSuccess
 
-  /** Publish manifest version latest+1 naming `baseDir` + `segNames`
-    * as the new current snapshot — one atomic file rename, so a
-    * racing reader sees the old snapshot or the new one, never a mix.
-    * Returns the published version. Single-writer assumed (the
-    * [[publishSeg]] contract). */
-  def publishManifest(s: org.apache.spark.sql.SparkSession,
-      root: String, baseDir: String, segNames: Seq[String]): Int = {
+  /** CAS publish: write manifest version `expectedVersion + 1` naming
+    * `baseDir` + `segNames` — iff no other writer published that
+    * version first. Two-phase so winning AND content-atomicity both
+    * hold: (1) a CREATE-EXCLUSIVE `claim_<v>` file decides the race —
+    * of two writers exactly one creates it; the loser gets `None`
+    * BEFORE any state changes and re-derives from the new current
+    * snapshot ([[recordSegInManifest]] / [[flipCompacted]] do exactly
+    * that); (2) the winner writes the payload to a tmp file and
+    * RENAMES it to `v=<v>` — readers resolve versions by the `v=`
+    * name, so a racing reader sees the old snapshot or the complete
+    * new one, never a half-written manifest (a bare create-exclusive
+    * of the version file itself leaks an EMPTY file to readers
+    * between create and close — SegmentCasSpec's thread test caught
+    * exactly that). The claim is deleted after the rename; a writer
+    * that crashes in the window leaves an orphan claim that blocks
+    * later WRITERS of that one version loudly (readers are
+    * unaffected) — delete the named claim to recover. On an object
+    * store without atomic create-exclusive the same role falls to a
+    * conditional PUT / DynamoDB-style lock, as in Delta's LogStore. */
+  def tryPublishManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, expectedVersion: Int, baseDir: String,
+      segNames: Seq[String]): Option[Int] = {
     val (dir, fs) = manifestFs(s, root)
     fs.mkdirs(dir)
-    val v = manifestVersions(fs, dir).lastOption.getOrElse(0) + 1
+    val v = expectedVersion + 1
+    val fin = new org.apache.hadoop.fs.Path(dir, s"v=$v")
+    val claim = new org.apache.hadoop.fs.Path(dir, s"claim_$v")
+    if (fs.exists(fin) || fs.exists(claim)) return None // fast path
+    try fs.create(claim, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        return None
+      case _: java.io.IOException if fs.exists(claim) || fs.exists(fin) =>
+        return None
+    }
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
     val out = fs.create(tmp, true)
     try out.write((baseDir +: segNames).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new org.apache.hadoop.fs.Path(dir, s"v=$v")
     require(fs.rename(tmp, fin),
       s"failed to publish manifest v$v under $dir")
-    v
+    fs.delete(claim, false)
+    Some(v)
+  }
+
+  /** Publish manifest version latest+1 naming `baseDir` + `segNames`
+    * as the new current snapshot. Returns the published version.
+    * Fails LOUD if a concurrent writer takes the version first —
+    * callers that can re-derive their intent retry through
+    * [[tryPublishManifest]] instead ([[recordSegInManifest]],
+    * [[flipCompacted]]); this form is for single-writer call sites
+    * (init) where a collision means two jobs initialising one
+    * layout. */
+  def publishManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, baseDir: String, segNames: Seq[String]): Int = {
+    val (dir, fs) = manifestFs(s, root)
+    val cur = manifestVersions(fs, dir).lastOption.getOrElse(0)
+    tryPublishManifest(s, root, cur, baseDir, segNames).getOrElse(
+      throw new IllegalStateException(
+        s"SegmentOps: lost a manifest race publishing v${cur + 1} " +
+          s"under $root — another writer is active on this layout"))
   }
 
   /** Resolve the layout's current snapshot: the latest manifest if one
@@ -196,17 +249,67 @@ object SegmentOps {
     Snapshot(v, lines.head, lines.tail.map(parseSegName(_, p.toString)))
   }
 
+  private val CasAttempts = 100
+
   /** Record a just-published segment in the manifest (no-op unless the
     * layout already carries one — pre-manifest layouts keep their
-    * directory-enumeration semantics untouched). */
+    * directory-enumeration semantics untouched). CAS retry loop:
+    * appending one segment name COMMUTES with any concurrent
+    * publication (another append's record, a compaction flip), so on
+    * a lost race we re-resolve the new current snapshot and re-apply
+    * the append to it — the composed manifest equals sequential
+    * application in either order (SegmentCasSpec pins it, including
+    * under two genuinely concurrent writer threads). */
   def recordSegInManifest(s: org.apache.spark.sql.SparkSession,
       root: String, segName: String): Unit = {
     val (dir, fs) = manifestFs(s, root)
-    if (manifestVersions(fs, dir).nonEmpty) {
+    if (manifestVersions(fs, dir).isEmpty) return
+    var attempt = 0
+    while (attempt < CasAttempts) {
+      attempt += 1
       val snap = resolveSnapshot(s, root)
-      publishManifest(s, root, snap.baseDir,
-        snap.segs.map(_._2) :+ segName)
+      if (tryPublishManifest(s, root, snap.version, snap.baseDir,
+          snap.segs.map(_._2) :+ segName).isDefined) return
+      // the winner may hold the claim but not have renamed yet — its
+      // version is invisible until the rename, so back off briefly
+      // before re-resolving
+      Thread.sleep(10)
     }
+    throw new IllegalStateException(
+      s"SegmentOps: gave up recording $segName under $root after " +
+        s"$CasAttempts manifest CAS attempts — livelocked writers?")
+  }
+
+  /** Flip the manifest to a freshly-compacted base generation: CAS on
+    * the snapshot the compaction FOLDED (`fromSnap`); on a lost race
+    * — a concurrent append recorded new segments between the fold and
+    * the flip — re-resolve and carry over exactly the segments
+    * published since (`current.segs` minus the folded set), so no
+    * concurrent write is ever silently dropped by a compaction. A
+    * concurrent COMPACTION (current base ≠ fromSnap's) fails loud:
+    * two folds of one layout cannot merge. Returns the published
+    * version. */
+  def flipCompacted(s: org.apache.spark.sql.SparkSession,
+      root: String, fromSnap: Snapshot, newBaseDir: String): Int = {
+    val folded = fromSnap.segs.map(_._2).toSet
+    var attempt = 0
+    while (attempt < CasAttempts) {
+      attempt += 1
+      val cur = resolveSnapshot(s, root)
+      require(cur.baseDir == fromSnap.baseDir,
+        s"SegmentOps: concurrent compaction detected under $root — " +
+          s"the base flipped from ${fromSnap.baseDir} to " +
+          s"${cur.baseDir} while this fold ran; only one compactor " +
+          "may run per layout")
+      val carry = cur.segs.map(_._2).filterNot(folded)
+      tryPublishManifest(s, root, cur.version, newBaseDir, carry) match {
+        case Some(v) => return v
+        case None => Thread.sleep(10) // see recordSegInManifest
+      }
+    }
+    throw new IllegalStateException(
+      s"SegmentOps: gave up flipping $root to $newBaseDir after " +
+        s"$CasAttempts manifest CAS attempts — livelocked writers?")
   }
 
   /** Next unused base-generation dir name (`base` for v1, `base-g<v>`
@@ -280,16 +383,20 @@ object SegmentOps {
     * store without atomic rename the same role falls to a manifest
     * pointer — the compact() doc's trade.)
     *
-    * SINGLE WRITER ASSUMED — the nightly-job contract: atomicity here
-    * covers reader-vs-writer only. Two concurrent writers can both
-    * compute the same next segment number, both pass the existence
-    * check, and Hadoop's rename would then move the loser's tmp dir
-    * INSIDE the winner's published segment (rename into an existing
-    * destination directory nests the source) and return true — a
-    * silently dropped operation. The post-rename verification below
-    * turns that silent loss into a loud failure: after the rename,
-    * the first table dir must sit DIRECTLY under the published path
-    * (a nested `seg=…` dir there means another writer won the race).
+    * WRITER CONCURRENCY: manifest version bumps are CAS-safe
+    * ([[tryPublishManifest]] / [[recordSegInManifest]]) — two
+    * publishers of DIFFERENT segments compose as sequential
+    * application in either order. The residual single-writer clause
+    * covers only the segment NUMBER: two writers that both compute
+    * the same next number can both pass the existence check, and
+    * Hadoop's rename then moves the loser's tmp dir INSIDE the
+    * winner's published segment (rename into an existing destination
+    * directory nests the source under its own basename,
+    * `fin/_tmp_seg=<n>-<kind>`) and returns true — a silently dropped
+    * operation. The post-rename verification below turns that silent
+    * loss into a loud failure: the published dir's direct children
+    * must be EXACTLY the expected table dirs (+ tag file) — a nested
+    * `_tmp_…` entry means another writer won the race.
     *
     * Crash window: if the writer dies BETWEEN the segment rename and
     * [[recordSegInManifest]]'s version bump, the segment dir exists
@@ -300,8 +407,8 @@ object SegmentOps {
     * it) or pure debris. */
   def publishSeg(s: org.apache.spark.sql.SparkSession, root: String,
       n: Int, kind: Char,
-      tables: Seq[(String, org.apache.spark.sql.DataFrame)])
-      : Unit = {
+      tables: Seq[(String, org.apache.spark.sql.DataFrame)],
+      tag: Option[String] = None): Unit = {
     val name = s"seg=$n-$kind"
     val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_$name")
     val fin = new org.apache.hadoop.fs.Path(s"$root/segs/$name")
@@ -311,18 +418,45 @@ object SegmentOps {
       s"segment number $n already published under another kind")
     if (fs.exists(tmp)) fs.delete(tmp, true) // a dead writer's debris
     graft.sources.Sources.writeOrdered(tables, tmp.toString)
+    // the tag file rides INSIDE the bundle, so it publishes atomically
+    // with the rename — present iff the segment is (the self-healing
+    // retry detector, [[taggedSeg]])
+    tag.foreach { t =>
+      fs.create(new org.apache.hadoop.fs.Path(tmp, tagFile(t)), true)
+        .close()
+    }
     require(fs.rename(tmp, fin),
       s"failed to publish segment $n (rename $tmp -> $fin)")
-    // lost-race detector (see the class doc): verify the publication
-    // landed as a segment bundle, not nested inside one another
-    // writer published in the gap
-    val firstTable = new org.apache.hadoop.fs.Path(fin,
-      tables.head._1)
-    require(fs.exists(firstTable) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(fin, name)),
-      s"segment $n publication raced another writer — $fin does not " +
-        s"hold table '${tables.head._1}' directly (concurrent " +
+    // lost-race detector (see the class doc): a rename into an
+    // ALREADY-PUBLISHED destination nests the source under its own
+    // basename — the loser's bundle lands at fin/_tmp_<name>, so the
+    // published dir's direct children must be EXACTLY the expected
+    // entries (table dirs + the optional tag file; dot-files are the
+    // FS's checksum siblings)
+    val children = fs.listStatus(fin).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).toSet
+    val expected = tables.map(_._1).toSet ++ tag.map(tagFile)
+    require(children == expected,
+      s"segment $n publication raced another writer — $fin holds " +
+        s"${children.mkString("{", ", ", "}")} instead of " +
+        s"${expected.mkString("{", ", ", "}")} (concurrent " +
         "publishers violate the single-writer contract)")
     recordSegInManifest(s, root, name)
+  }
+
+  private def tagFile(tag: String): String = s"tag=$tag"
+
+  /** The published segment dir names carrying `tag`, ascending — the
+    * crash-gap retry probe: a tagged segment proves the operation
+    * that used `tag` published before dying, so its retry can
+    * complete instead of re-running ([[graft.streaming.SegmentIngest]]).
+    * One dir listing + one existence probe per segment. */
+  def taggedSegs(s: org.apache.spark.sql.SparkSession, root: String,
+      tag: String): Seq[String] = {
+    val segsP = new org.apache.hadoop.fs.Path(s"$root/segs")
+    val fs = segsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    listSegEntries(s, root).map(_._2).filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/segs/$d",
+        tagFile(tag))))
   }
 }

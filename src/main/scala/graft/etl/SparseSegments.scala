@@ -259,10 +259,10 @@ object SparseSegments {
     SegmentOps.listSegs(s, root)
 
   private def writeSeg(s: SparkSession, seg: Seg, root: String,
-      n: Int, kind: Char): Unit =
+      n: Int, kind: Char, tag: Option[String]): Unit =
     SegmentOps.publishSeg(s, root, n, kind,
       Seq("tf" -> seg.tfAdd, "dfd" -> seg.dfd, "dl" -> seg.dlAdd,
-        "statsd" -> seg.statsd, "tombs" -> seg.tombs))
+        "statsd" -> seg.statsd, "tombs" -> seg.tombs), tag)
 
   /** Read one on-disk segment. The kind tag in the dir name tells the
     * reader which tables are vacuous BY CONSTRUCTION, so it rebuilds
@@ -343,21 +343,21 @@ object SparseSegments {
   /** Append a disjoint shard as a new segment — an O(delta) write
     * published atomically; base files are never touched
     * (SparseSegmentsSpec asserts it). */
-  def appendSeg(s: SparkSession, root: String, deltaTf: DataFrame)
-      : Unit = {
+  def appendSeg(s: SparkSession, root: String, deltaTf: DataFrame,
+      tag: Option[String] = None): Unit = {
     val (_, dl) = liveParts(s, root)
     assertDisjoint(dl, deltaTf)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, mkAppendSeg(deltaTf), root, n, 'a')
+    writeSeg(s, mkAppendSeg(deltaTf), root, n, 'a', tag)
   }
 
   /** Retract documents as a new segment — an O(delta) write published
     * atomically. */
-  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame)
-      : Unit = {
+  def deleteSeg(s: SparkSession, root: String, docIds: DataFrame,
+      tag: Option[String] = None): Unit = {
     val (tf, dl) = liveParts(s, root)
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
-    writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n, 'd')
+    writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n, 'd', tag)
   }
 
   /** Fold the segments into a fresh base at `outRoot` — the periodic
@@ -403,6 +403,7 @@ object SparseSegments {
     val cap = storedCapAt(s, s"$root/${snap.baseDir}", None)
     val nb = SegmentOps.nextBaseDir(snap)
     writeBase(readSnap(s, root, snap, None), s"$root/$nb", cap)
-    SegmentOps.publishManifest(s, root, nb, Seq.empty)
+    SegmentOps.flipCompacted(s, root, snap, nb)
+    ()
   }
 }

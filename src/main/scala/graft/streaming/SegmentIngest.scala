@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
+import graft.etl.SegmentOps
+
 /** ONLINE ingest into the log-structured index layouts — the
   * streaming counterpart of the w09/w10/w11 nightly jobs. A
   * foreachBatch sink that calls [[graft.etl.SparseSegments]]/
@@ -13,23 +15,57 @@ import org.apache.spark.sql.SparkSession
   * txn-id pattern) is batchId-keyed idempotence: record each applied
   * batchId under the layout root and skip re-deliveries.
   *
-  * [[once]] records AFTER the body, so the failure direction is
-  * always LOUD, never a silent duplicate: a crash inside the body
-  * leaves no marker, the retry re-runs the body, and if the crashed
-  * attempt had already published its segment the families' overlap
-  * asserts (appendSeg's disjointness require) refuse the re-append
-  * instead of double-counting — the operator resolves the orphan
-  * (vacuum collects unreferenced debris) rather than discovering a
-  * corrupt index later. SegmentIngestSpec pins: a chunked stream with
-  * a kill/restart between micro-batches ingests every shard exactly
-  * once (stream-built layout ≡ signing the whole corpus from
-  * scratch), and a replayed batchId is a recorded no-op.
+  * [[once]] records AFTER the body, so a crash INSIDE the body leaves
+  * no marker and the retry re-runs it cleanly. The crash window
+  * BETWEEN the body's segment publication and the marker write is
+  * SELF-HEALING (VERDICT r11 #2): the body publishes its segment
+  * tagged with the batchId (the tag file rides inside the bundle
+  * rename, so it is exactly as atomic as the segment itself), and a
+  * retry that finds no marker but a tagged published segment knows
+  * the work landed — it completes the marker and skips the body,
+  * zero manual intervention. Contract for that guarantee: ONE
+  * segment publication per (layout, batch) — the foreachBatch shape,
+  * one shard → one appendSeg. A body that publishes several segments
+  * per batch falls back to the loud path (the families' disjointness
+  * requires refuse a half-replayed batch; vacuum collects the
+  * orphan).
   *
-  * Single writer per layout, as everywhere in the segment layer
-  * ([[graft.etl.SegmentOps.publishSeg]]'s contract — one streaming
-  * query IS one writer).
+  * Marker writes are CREATE-EXCLUSIVE, so of two attempts racing the
+  * record (Spark's documented zombie-driver foreachBatch overlap)
+  * exactly one creates it — and since both attempts carry the same
+  * tag, the laggard's body is skipped by the tag probe, not re-run.
+  * The residual double-run window (two drivers BOTH past the tag
+  * probe before either publishes) is closed for appends by the
+  * disjointness requires; DELETE batches in that window re-apply
+  * silently, which is harmless for the delete itself (tombstoning a
+  * tombstoned doc) but means the exactly-once guarantee is
+  * effectively-once for deletes — the loud-failure guarantee covers
+  * append batches.
+  *
+  * Markers are BOUNDED (ADVICE r11): foreachBatch only ever
+  * re-delivers batches at or after the last uncommitted one, so
+  * [[once]] prunes markers older than `batchId - RetainMarkers`
+  * as it records — a long-lived ingest keeps O(RetainMarkers)
+  * marker files, not one per micro-batch forever. One layout pairs
+  * with ONE checkpoint lineage: a fresh checkpoint restarts batchIds
+  * at 0, which an existing layout's markers/tags would wrongly skip.
+  *
+  * SegmentIngestSpec pins: a chunked stream with a kill/restart
+  * between micro-batches ingests every shard exactly once
+  * (stream-built layout ≡ signing the whole corpus from scratch), a
+  * replayed batchId is a recorded no-op, and a crash INSIDE the gap
+  * (segment published, marker missing) heals on retry into the
+  * identical index.
   */
 object SegmentIngest {
+
+  /** Markers kept behind the newest batch — generous vs foreachBatch's
+    * single re-deliverable batch. */
+  val RetainMarkers = 64L
+
+  /** The tag recorded on segments published by `batchId` (via the
+    * families' appendSeg/deleteSeg `tag` parameter). */
+  def batchTag(batchId: Long): String = s"batch=$batchId"
 
   private def markerDir(s: SparkSession, root: String) = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/ingested")
@@ -42,19 +78,68 @@ object SegmentIngest {
     fs.exists(new org.apache.hadoop.fs.Path(dir, s"batch=$batchId"))
   }
 
-  /** Run `body` exactly once per (root, batchId): a recorded batch is
-    * skipped (returns false); otherwise the body runs and the batch
-    * is recorded (returns true). Call from foreachBatch with the
-    * sink's own batchId. */
-  def once(s: SparkSession, root: String, batchId: Long)
-      (body: => Unit): Boolean = {
-    if (ingested(s, root, batchId)) return false
-    body
+  /** Record `batchId` as applied (create-exclusive; a concurrent
+    * attempt's record is accepted as done) and prune markers older
+    * than the retention window. */
+  private def record(s: SparkSession, root: String, batchId: Long)
+      : Unit = {
     val (dir, fs) = markerDir(s, root)
     fs.mkdirs(dir)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dir, s"batch=$batchId"), true)
-    out.close()
+    try fs.create(
+      new org.apache.hadoop.fs.Path(dir, s"batch=$batchId"), false)
+      .close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.io.IOException if ingested(s, root, batchId) => ()
+    }
+    pruneMarkers(s, root, batchId - RetainMarkers)
+  }
+
+  /** Delete markers with batchId < `olderThan`; returns how many.
+    * Stray entries under the marker dir fail loud by name (the
+    * manifest-debris policy). */
+  def pruneMarkers(s: SparkSession, root: String, olderThan: Long)
+      : Int = {
+    val (dir, fs) = markerDir(s, root)
+    if (!fs.exists(dir)) return 0
+    val old = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+      .filter { p =>
+        val n = p.getName
+        val body = n.stripPrefix("batch=")
+        if (!n.startsWith("batch=") || body.isEmpty ||
+            !body.forall(_.isDigit))
+          throw new IllegalStateException(
+            s"SegmentIngest: unrecognized marker entry '$n' in $dir " +
+              "— expected batch=<long>; remove or rename the stray " +
+              "entry")
+        body.toLong < olderThan
+      }
+    old.foreach(fs.delete(_, false))
+    old.size
+  }
+
+  /** Run `body` exactly once per (root, batchId): a recorded batch is
+    * skipped; a crash-gap retry (segment tagged+published, marker
+    * missing) completes the marker WITHOUT re-running the body;
+    * otherwise the body runs with the batch's tag — pass it through
+    * to the family's appendSeg/deleteSeg `tag` parameter so the gap
+    * is detectable — and the batch is recorded. Returns true iff the
+    * body ran now. Call from foreachBatch with the sink's own
+    * batchId. */
+  def once(s: SparkSession, root: String, batchId: Long)
+      (body: String => Unit): Boolean = {
+    if (ingested(s, root, batchId)) return false
+    val tag = batchTag(batchId)
+    if (SegmentOps.taggedSegs(s, root, tag).nonEmpty) {
+      // crash in the gap: the previous attempt published its segment
+      // but died before the marker — complete the record, skip the
+      // body (self-healing retry, VERDICT r11 #2)
+      record(s, root, batchId)
+      return false
+    }
+    body(tag)
+    record(s, root, batchId)
     true
   }
 }

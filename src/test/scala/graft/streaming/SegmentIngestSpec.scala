@@ -38,8 +38,8 @@ class SegmentIngestSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-        SegmentIngest.once(spark, root, id) {
-          MinHashSegments.appendSeg(spark, root, df)
+        SegmentIngest.once(spark, root, id) { tag =>
+          MinHashSegments.appendSeg(spark, root, df, tag = Some(tag))
         }
         ()
       }
@@ -72,12 +72,72 @@ class SegmentIngestSpec extends SparkSpec {
       root, _))
     assert(batchIds.nonEmpty, "no ingest markers recorded")
     val replayed = SegmentIngest.once(spark, root, batchIds.head) {
-      fail("replayed batch body must not run")
+      _ => fail("replayed batch body must not run")
     }
     assert(!replayed)
     // and a NEW batchId still runs
     var ran = false
-    assert(SegmentIngest.once(spark, root, 999L) { ran = true })
+    assert(SegmentIngest.once(spark, root, 999L) { _ => ran = true })
     assert(ran)
+  }
+
+  test("crash in the gap (segment published, marker missing) self-heals on retry") {
+    val docs = Tables.documents(spark, sf).cache()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seg_ingest_gap").toString
+    MinHashSegments.init(
+      NearDup.signatures(docs.filter(col("doc_id") % 3 =!= 0)), root)
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text")
+
+    // simulate the crash: the batch's appendSeg PUBLISHED (tagged)
+    // but the attempt died before SegmentIngest recorded the marker
+    val batchId = 7L
+    MinHashSegments.appendSeg(spark, root, shard,
+      tag = Some(SegmentIngest.batchTag(batchId)))
+    assert(!SegmentIngest.ingested(spark, root, batchId))
+
+    // the retry must detect the tagged segment, complete the marker,
+    // and NOT re-run the body (re-running would trip appendSeg's
+    // disjointness require = the r11 loud-refusal it replaces)
+    val ran = SegmentIngest.once(spark, root, batchId) { _ =>
+      fail("crash-gap retry must not re-run the body")
+    }
+    assert(!ran)
+    assert(SegmentIngest.ingested(spark, root, batchId),
+      "self-heal must complete the marker")
+    // and the healed layout serves exactly the from-scratch signing
+    assert(sigKey(MinHashSegments.read(spark, root))
+      == sigKey(NearDup.signatures(docs)))
+    // a later replay of the same batch is the ordinary recorded no-op
+    assert(!SegmentIngest.once(spark, root, batchId)(_ =>
+      fail("healed batch must stay a no-op")))
+  }
+
+  test("marker retention: old markers prune; stray marker entries fail loud") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seg_ingest_prune").toString
+    // no segment layer needed: bodies that publish nothing still
+    // record markers (taggedSegs on a layout with no segs dir = empty)
+    (0L to 4L).foreach(id =>
+      SegmentIngest.once(spark, root, id)(_ => ()))
+    assert((0L to 4L).forall(SegmentIngest.ingested(spark, root, _)))
+    assert(SegmentIngest.pruneMarkers(spark, root, 3L) == 3)
+    assert(!SegmentIngest.ingested(spark, root, 2L))
+    assert(SegmentIngest.ingested(spark, root, 3L))
+    // auto-prune inside once(): a far-future batch drops everything
+    // older than its retention window
+    val far = 3L + SegmentIngest.RetainMarkers + 10L
+    SegmentIngest.once(spark, root, far)(_ => ())
+    assert(!SegmentIngest.ingested(spark, root, 3L),
+      "once() must auto-prune markers behind the retention window")
+    assert(SegmentIngest.ingested(spark, root, far))
+    // debris fails loud by name
+    val stray = new org.apache.hadoop.fs.Path(s"$root/ingested/batch=x")
+    stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(stray, true).close()
+    val e = intercept[IllegalStateException](
+      SegmentIngest.pruneMarkers(spark, root, 0L))
+    assert(e.getMessage.contains("batch=x"))
   }
 }
