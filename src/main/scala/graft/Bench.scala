@@ -75,7 +75,10 @@ object Bench {
     * flirted with the 3x bar (q47 7.96/3.60, x80 7.69/2.72, w08
     * 14.98/5.48). */
   val WarmPriority: Set[String] = Set(
-    // r11 registrations (no steady history yet)
+    // r12 registrations (no steady history yet)
+    "w07b_rag_funnel_pq", "x93c_funnel_pq_recall",
+    "x105_compaction_policy", "w12_online_funnel",
+    // r11 registrations
     "w09_segment_lifecycle", "x104_pq_refine", "w10_pq_lifecycle",
     "w11_minhash_lifecycle",
     // r10 registrations

@@ -172,13 +172,7 @@ object SegmentOps {
     val fin = new org.apache.hadoop.fs.Path(dir, s"v=$v")
     val claim = new org.apache.hadoop.fs.Path(dir, s"claim_$v")
     if (fs.exists(fin) || fs.exists(claim)) return None // fast path
-    try fs.create(claim, false).close()
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        return None
-      case _: java.io.IOException if fs.exists(claim) || fs.exists(fin) =>
-        return None
-    }
+    if (!createExclusive(fs, claim)) return None
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
     val out = fs.create(tmp, true)
     try out.write((baseDir +: segNames).mkString("\n")
@@ -247,6 +241,31 @@ object SegmentOps {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty, s"manifest $p is empty")
     Snapshot(v, lines.head, lines.tail.map(parseSegName(_, p.toString)))
+  }
+
+  /** Create `p` exclusively — true iff THIS caller created it.
+    * Hadoop's `create(p, overwrite = false)` is check-then-act on the
+    * local filesystem (exists probe, then create), so two genuinely
+    * concurrent callers can BOTH pass it — SegmentCasSpec's
+    * two-writer-thread test caught exactly that (both threads claimed
+    * one version; the loser's payload rename then failed loud). For
+    * `file://` the claim goes through `File.createNewFile` —
+    * O_CREAT|O_EXCL, atomic at the kernel — while other filesystems
+    * keep `create(…, false)` (HDFS enforces it server-side; object
+    * stores need their conditional-PUT LogStore analogue). */
+  def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
   }
 
   private val CasAttempts = 100

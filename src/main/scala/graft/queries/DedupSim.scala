@@ -1346,6 +1346,12 @@ object DedupSim {
   // round-trips through the on-disk segmented layout (init → manifest
   // resolve → read), the deployable shape. x93c grades this funnel on
   // the x93 harness — the recall gate the promotion is judged on.
+  // MEASURED VERDICT (sf1, 100 queries): mean funnel recall@10 =
+  // 92.1% (packed 65.7%) vs the LSH-leg funnel's 90.0% (x93, the r10
+  // sweep's promoted config) — the persisted index's refined serve
+  // clears the ≥-LSH gate while being the leg that actually deploys
+  // (on-disk, compressed codes, O(probed cells + RefineK) per query
+  // vs the LSH leg's in-memory full-signature pass).
   // Scale: build is the w10-audited bounded plan; serve touches only
   // probed cells' code rows + RefineK exact rows/query; the tail is
   // candidate-list-sized. Oracle: x97's ADC chain at k'=RefineK + an
@@ -3664,7 +3670,7 @@ object DedupSim {
     * (frozen), survivor codes + query LUTs against it — fresh
     * `u`-prefixed names so the shared duckPqCtes/w08PqCtes texts stay
     * untouched. */
-  private def w10PqCtes(i: Int): String = {
+  private def w10PqCtes(i: Int, survCond: String): String = {
     val lo = PqDims * i + 1
     val hi = PqDims * (i + 1)
     s"""usl$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
@@ -3697,7 +3703,7 @@ object DedupSim {
        |  SELECT c_id, c_v, ${duckDot.format("c_v", "c_v")} AS c_vv
        |  FROM uvl$i),
        |uss$i AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e
-       |  WHERE vec_id % 10 <> 3),
+       |  WHERE $survCond),
        |use$i AS (SELECT vec_id, v,
        |  ${duckDot.format("v", "v")} AS vv FROM uss$i),
        |ucode$i AS (
@@ -3715,20 +3721,20 @@ object DedupSim {
        |  WHERE s.vec_id IN (SELECT vec_id FROM qids))""".stripMargin
   }
 
-  private lazy val w10Sql = {
+  /** The dense family's LIFECYCLE serve chain as reusable CTE text:
+    * coarse + PQ books trained on the %3≠0 BASE slice (frozen — the
+    * family contract), survivors per `survCond` assigned + encoded
+    * against them, probes/LUTs for `qids`, the probed-cells ADC scan.
+    * Emits up to `uadc`(q_id, vec_id, adc) + `unsc`(q_id, n_scanned).
+    * Shared by w10Sql (survivors = `vec_id % 10 <> 3` after the
+    * retraction night) and w12Sql (survivors = TRUE — the online
+    * script is append-only), so both lifecycle oracles serve from ONE
+    * frozen-book definition. Expects `raw`/`e`/`qids` CTEs upstream. */
+  private def w10DenseCtes(survCond: String): String = {
     val lutJoins = (1 until PqSub).map(i =>
       s"JOIN ulut$i l$i ON l$i.q_id = s.q_id" +
         s" AND l$i.c_id = s.code$i").mkString("\n       |  ")
-    s"""WITH raw AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
-       |e AS (
-       |  SELECT vec_id, emb,
-       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
-       |  FROM raw),
-       |$duckQids,
-       |ube AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+    s"""ube AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
        |ubsd AS (
        |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
        |  FROM ube ORDER BY ((vec_id % 2147483648) * 2654435761)
@@ -3736,7 +3742,7 @@ object DedupSim {
        |  LIMIT $IvfK),
        |${duckLloydCtes("ubsd", "u1", "ube")},
        |${duckLloydCtes("cu1", "u2", "ube")},
-       |usv AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+       |usv AS (SELECT * FROM e WHERE $survCond),
        |uasg AS (
        |  SELECT vec_id, c_id AS cluster FROM (
        |    SELECT e.vec_id, c.c_id,
@@ -3753,7 +3759,8 @@ object DedupSim {
        |    FROM usv e CROSS JOIN cu2 c
        |      WHERE e.vec_id IN (SELECT vec_id FROM qids))
        |  WHERE rk <= $IvfProbes),
-       |${(0 until PqSub).map(w10PqCtes).mkString(",\n")},
+       |${(0 until PqSub).map(i => w10PqCtes(i, survCond))
+          .mkString(",\n")},
        |ucodes AS (
        |  SELECT vec_id, ${(0 until PqSub).map(i => s"code$i")
             .mkString(", ")}
@@ -3775,7 +3782,20 @@ object DedupSim {
        |    ${(0 until PqSub).map(i => s"l$i.d$i").mkString(" + ")} AS adc
        |  FROM uscan s
        |  JOIN ulut0 l0 ON l0.q_id = s.q_id AND l0.c_id = s.code0
-       |  $lutJoins)
+       |  $lutJoins)""".stripMargin
+  }
+
+  private lazy val w10Sql =
+    s"""WITH raw AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM raw),
+       |$duckQids,
+       |${w10DenseCtes("vec_id % 10 <> 3")}
        |SELECT t.q_id, t.vec_id, t.rank, t.adc, n.n_scanned FROM (
        |  SELECT q_id, vec_id, adc,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
@@ -3784,7 +3804,6 @@ object DedupSim {
        |JOIN unsc n ON n.q_id = t.q_id
        |WHERE t.rank <= 10
        |ORDER BY t.q_id, t.rank""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // W11 — the MINHASH family's disk lifecycle, gated at the serve
@@ -3842,6 +3861,326 @@ object DedupSim {
        |  JOIN sigs sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, m AS sig_matches
        |FROM sigm ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X105 — compaction policy PRICED (VERDICT r11 #5): shouldCompact's
+  // maxSegs knob was shipped on structural argument alone; this card
+  // measures the curve the knob trades on, cross-engine, the
+  // x103/x93b discipline. One fixed 6-night ingest script (append
+  // %7=1,2,3 → delete %10=3 → append %7=4,5 — a delete mid-stream so
+  // tombstone scoping crosses fold boundaries) runs against THREE
+  // on-disk MinHash layouts differing only in policy: compact-never,
+  // compact-at-2, compact-at-4 (checked after every night, the w09
+  // nightly shape). Every number is measured from the ACTUAL layout —
+  // parquet rows across all on-disk generations and segments, nothing
+  // vacuumed, so the whole write history is countable — and the
+  // oracle recomputes each from pure document-class arithmetic, so a
+  // policy that misfires, a segment not folded, or a wrong tombstone
+  // scope shifts a measured cell off its expected value:
+  //   n_compactions     — base generations on disk minus one;
+  //   segs_at_serve     — the snapshot's segment count = the serve
+  //                       view's extra plan depth (READ amplification
+  //                       in units of per-segment union/anti-join);
+  //   rows_written      — total sig+tomb rows ever written (WRITE
+  //                       amplification: each fold rewrites the live
+  //                       set);
+  //   rows_composed     — rows the serve view actually unions (base +
+  //                       snapshot segments, the bytes a query pays);
+  //   n_live / live_docid_sum — the live index, IDENTICAL across
+  //                       configs (policy must never change answers).
+  // MEASURED VERDICT (sf1, final live 40,000 docs): never writes
+  // 1.00x data (47,857 rows) but every serve composes all 47,857
+  // written rows (live + masked + tombs) through 6 extra plan
+  // layers; at-2 serves a flat 40,000-row base (0 layers, 16% fewer
+  // composed rows) for 2.82x write amplification (135,001 — three
+  // folds, each rewriting the then-live set); at-4 lands at 1.54x
+  // writes (73,572 — one fold) with 2 layers and the SAME 40,000
+  // composed rows (the post-delete fold purged the masked rows; the
+  // two carried appends are pure live adds). The promoted default is
+  // maxSegs ≈ 4 nights of churn: it buys at-2's entire composed-row
+  // win at 55% of its write amplification, read cost is per-SERVE
+  // and multiplies by query volume while write cost is per-night —
+  // move the knob toward `never` only when queries are rare relative
+  // to ingest, toward 2 when serve latency dominates (the residual
+  // cost of segments is plan depth, not rows). Scale: per-night
+  // writes stay O(delta); the card's own counts are parquet-footer
+  // counts (metadata, not scans) except the O(live) fold rewrites
+  // that ARE the thing being priced.
+  // ---------------------------------------------------------------------
+  private val X105Configs = Seq(("1_never", 0), ("2_at2", 2),
+    ("3_at4", 4))
+
+  private def x105(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select("doc_id", "text")
+      .cut(false) // 3 configs × (1 init + 5 append shards) + delete ids
+    def cls(i: Int) = docs.filter(col("doc_id") % 7 === i)
+    val delIds = docs.select("doc_id").filter(col("doc_id") % 10 === 3)
+    val cards = X105Configs.map { case (label, maxSegs) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_x105_$label").toString
+      MinHashSegments.init(NearDup.signatures(cls(0)), root)
+      def policy(): Unit =
+        if (maxSegs > 0 && SegmentOps.shouldCompact(s, root, maxSegs))
+          MinHashSegments.compactInPlace(s, root)
+      (1 to 3).foreach { i =>
+        MinHashSegments.appendSeg(s, root, cls(i)); policy()
+      }
+      MinHashSegments.deleteSeg(s, root, delIds); policy()
+      (4 to 5).foreach { i =>
+        MinHashSegments.appendSeg(s, root, cls(i)); policy()
+      }
+      // measure the layout itself: all generations + all published
+      // segments are still on disk (nothing vacuumed)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val baseDirs = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(n => n == "base" || n.startsWith("base-g"))
+      def rows(rel: String): Long = s.read.parquet(rel).count()
+      def segRows(dir: String): Long =
+        rows(s"$root/segs/$dir/sigs") + rows(s"$root/segs/$dir/tombs")
+      val written =
+        baseDirs.map(b => rows(s"$root/$b/minhash_index")).sum +
+          SegmentOps.listSegEntries(s, root).map(e => segRows(e._2)).sum
+      val snap = SegmentOps.resolveSnapshot(s, root)
+      val composed = rows(s"$root/${snap.baseDir}/minhash_index") +
+        snap.segs.map(e => segRows(e._2)).sum
+      val live = MinHashSegments.read(s, root)
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("doc_id").cast("decimal(38,0)")).as("s"))
+        .head()
+      (label, (baseDirs.size - 1).toLong, snap.segs.size.toLong,
+        written, composed, live.getLong(0), live.getDecimal(1))
+    }
+    import s.implicits._
+    cards.toDF("config", "n_compactions", "segs_at_serve",
+        "rows_written", "rows_composed", "n_live", "live_docid_sum")
+      .withColumn("live_docid_sum",
+        col("live_docid_sum").cast("decimal(38,0)"))
+      .orderBy("config")
+  }
+  /** The oracle recomputes every measured cell from document-class
+    * arithmetic: sig rows per class follow NearDup.signatures'
+    * eligibility (≥ 3 whitespace words), tomb rows are the RAW delete
+    * set (ids arrive unfiltered), fold rewrites are the live count at
+    * each fold point of the fixed script. */
+  private lazy val x105Sql = {
+    val el = "len(string_split(text, ' ')) >= 3"
+    s"""WITH c AS (
+       |  SELECT
+       |    ${(0 to 5).map(i =>
+              s"CAST(COUNT(*) FILTER (WHERE doc_id % 7 = $i AND $el) " +
+                s"AS BIGINT) AS n$i").mkString(",\n       |    ")},
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+       |      AS nd,
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 7 <= 2 AND $el)
+       |      AS BIGINT) AS n012,
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 7 <= 3
+       |      AND doc_id % 10 <> 3 AND $el) AS BIGINT) AS live0123d
+       |  FROM documents),
+       |live AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS live_docid_sum
+       |  FROM documents
+       |  WHERE $el AND ((doc_id % 7 <= 3 AND doc_id % 10 <> 3)
+       |    OR doc_id % 7 IN (4, 5)))
+       |SELECT * FROM (
+       |  SELECT '1_never' AS config, CAST(0 AS BIGINT) AS n_compactions,
+       |    CAST(6 AS BIGINT) AS segs_at_serve,
+       |    n0 + n1 + n2 + n3 + n4 + n5 + nd AS rows_written,
+       |    n0 + n1 + n2 + n3 + n4 + n5 + nd AS rows_composed,
+       |    n_live, live_docid_sum
+       |  FROM c, live
+       |  UNION ALL
+       |  SELECT '2_at2', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + nd)
+       |      + (n012 + live0123d + n_live),
+       |    n_live, n_live, live_docid_sum
+       |  FROM c, live
+       |  UNION ALL
+       |  SELECT '3_at4', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + nd) + live0123d,
+       |    live0123d + n4 + n5, n_live, live_docid_sum
+       |  FROM c, live)
+       |ORDER BY config""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // W12 — the fully-ONLINE lifecycle flagship, batch twin (VERDICT r11
+  // #1): the deployable shape of the whole engine — continuous ingest
+  // INTO the persisted index layouts while the hybrid funnel serves
+  // FROM them, with a compaction flip in between. This query drives
+  // the exact composition the W12OnlineLifecycleSpec runs as live
+  // streams: two layouts (sparse BM25 + IVFPQ) initialized on the
+  // %3≠0 base slice; two ingest batches (%6=0, then %6=3) applied
+  // through SegmentIngest.once — each appendSeg TAGGED with its
+  // batchId, the exactly-once/self-heal plumbing the online sink
+  // uses — with a policy-fired compactInPlace on BOTH layouts between
+  // the batches (manifest CAS flip while later writers keep
+  // recording); then ONE fused serve through the resolved snapshots:
+  // SparseIndex.serve (all-distinct-token queries, the online
+  // queryTerms model) ∥ PqIndex.serve → x73's exact RRF (fuseBatch,
+  // top-10) → MaxSim rerank + context packing (rerankPack — the
+  // foreachBatch tail the stream ships). Queries are the absolute-K
+  // eval slice joined to BOTH modalities (text + embedding).
+  // The oracle rebuilds everything from scratch in an engine with no
+  // segments, no manifests, no batches: BM25 over the FULL corpus
+  // (final live = base ∪ both shards), the dense leg from the
+  // w10-shared frozen-book chain (books on the base slice, ALL
+  // vectors encoded — the script is append-only), fused/reranked/
+  // packed in SQL. Hash equality proves the whole online composition
+  // — tagged idempotent appends, CAS-flipped compaction, snapshot
+  // reads, two index families, fusion, rerank, packing — equals the
+  // from-scratch batch answer. Scale: ingest writes O(delta)/night;
+  // serve cost per query is probed-cells + posting-list bounded; the
+  // tail is candidate-list-sized (≤ 10 rows/query into rerank).
+  // ---------------------------------------------------------------------
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{AnnIndex, PqIndex, PqSegments, SegmentOps,
+      SparseIndex, SparseSegments}
+    import graft.streaming.{FusedServeStream, SegmentIngest,
+      SparseServeStream}
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft_w12_sp").toString
+    val proot = java.nio.file.Files
+      .createTempDirectory("graft_w12_pq").toString
+    val docs = Tables.fanout(Tables.documents(s, d)).cut(false)
+    val tf = SparseIndex.termFreqs(docs).cut(false)
+    val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
+      .cut(false) // base build, two shards, query slice, rerank
+    SparseSegments.init(
+      SparseIndex.build(tf.filter(col("doc_id") % 3 =!= 0)), sroot)
+    PqSegments.init(
+      PqIndex.build(e.filter(col("vec_id") % 3 =!= 0)), proot)
+    // the online ingest shape: one micro-batch = one tagged appendSeg
+    // per layout, batchId-idempotent (SegmentIngest's exactly-once)
+    def ingestBatch(batch: Long, m: Int): Unit = {
+      SegmentIngest.once(s, sroot, batch)(tag =>
+        SparseSegments.appendSeg(s, sroot,
+          tf.filter(col("doc_id") % 6 === m), Some(tag)))
+      SegmentIngest.once(s, proot, batch)(tag =>
+        PqSegments.appendSeg(s, proot,
+          e.filter(col("vec_id") % 6 === m), Some(tag)))
+      ()
+    }
+    ingestBatch(0L, 0)
+    // the mid-stream compaction: policy fires between micro-batches,
+    // the CAS flip runs while batch 1's writes follow it
+    if (SegmentOps.shouldCompact(s, sroot, maxSegs = 1))
+      SparseSegments.compactInPlace(s, sroot)
+    if (SegmentOps.shouldCompact(s, proot, maxSegs = 1))
+      PqSegments.compactInPlace(s, proot)
+    ingestBatch(1L, 3)
+    // serve through the resolved snapshots — the full online funnel
+    val sidx = SparseSegments.read(s, sroot)
+    val pidx = PqSegments.read(s, proot)
+    val q = docs.select(col("doc_id").as("q_id"), col("text"))
+      .join(broadcast(evalIds(Tables.embeddings(s, d), "vec_id"))
+        .select(col("vec_id").as("q_id")), "q_id")
+      .join(e.select(col("vec_id").as("q_id"), col("emb"),
+        col("norm")), "q_id")
+      .cut(false) // sparse leg + dense leg
+    val fused = FusedServeStream.fuseBatch(
+      SparseIndex.serve(SparseServeStream.queryTerms(
+        q.select("q_id", "text")), sidx, FusedServeStream.FuseK),
+      PqIndex.serve(q.select("q_id", "emb", "norm"), pidx,
+        k = FusedServeStream.FuseK))
+    FusedServeStream.rerankPack(fused,
+      e.select(col("vec_id"), col("emb")),
+      Tables.documents(s, d).select("doc_id", "n_chars"))
+      .orderBy("q_id", "rr_rank")
+  }
+  private lazy val w12Sql = {
+    val fuseK = graft.streaming.FusedServeStream.FuseK
+    val budget = graft.streaming.FusedServeStream.CtxBudgetChars
+    s"""WITH ${TextOps.bm25IndexCtesFor("",
+          graft.etl.SparseIndex.ImpactCap)},
+       |raw AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(${duckDot.format("emb", "emb")}) AS norm
+       |  FROM raw),
+       |$duckQids,
+       |qt AS (
+       |  SELECT q_id, tok FROM (
+       |    SELECT d.doc_id AS q_id,
+       |      UNNEST(list_distinct(regexp_split_to_array(LOWER(d.text),
+       |        '[^a-z]+'))) AS tok
+       |    FROM documents d
+       |    WHERE d.doc_id IN (SELECT vec_id FROM qids))
+       |  WHERE tok <> ''),
+       |scontrib AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    CAST((CAST(1000000 AS HUGEINT) * (2*(s.n_docs - df.df) + 1))
+       |      // (2*df.df + 1) AS BIGINT) AS idf_ppm,
+       |    CAST((CAST(1000000 AS HUGEINT) * 22 * s.t_tokens * tf.tf)
+       |      // (CAST(10 AS HUGEINT) * s.t_tokens * tf.tf
+       |         + 3 * s.t_tokens + 9 * dl.dl * s.n_docs)
+       |      AS BIGINT) AS tfp_ppm
+       |  FROM qt q
+       |  JOIN plist tf USING (tok)
+       |  JOIN df USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE tf.doc_id <> q.q_id),
+       |sscored AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(SUM(CAST(CAST(idf_ppm AS HUGEINT) * tfp_ppm // 1000000
+       |      AS BIGINT)) AS BIGINT) AS score_ppm
+       |  FROM scontrib GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT q_id, doc_id, rank FROM (
+       |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY score_ppm DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |    FROM sscored)
+       |  WHERE rank <= $fuseK),
+       |${w10DenseCtes("TRUE")},
+       |dense AS (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT q_id, vec_id, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |    FROM uadc)
+       |  WHERE rank <= $fuseK),
+       |rrf_f AS (
+       |  SELECT COALESCE(sp.q_id, de.q_id) AS q_id,
+       |    COALESCE(sp.doc_id, de.vec_id) AS doc_id,
+       |    COALESCE(1000000000 // (60 + sp.rank), 0)
+       |      + COALESCE(1000000000 // (60 + de.rank), 0) AS rrf_score
+       |  FROM sparse sp FULL OUTER JOIN dense de
+       |    ON sp.q_id = de.q_id AND sp.doc_id = de.vec_id),
+       |rrf_top AS (
+       |  SELECT q_id, doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, doc_id) AS fused_rank
+       |    FROM rrf_f)
+       |  WHERE fused_rank <= 10),
+       |$duckMaxsimCtes,
+       |rr_scored AS (
+       |  SELECT f.q_id, f.doc_id, $duckMaxsimExpr AS maxsim
+       |  FROM rrf_top f
+       |  JOIN subn q ON q.vec_id = f.q_id
+       |  JOIN subn d ON d.vec_id = f.doc_id),
+       |rr_ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rr_rank
+       |  FROM rr_scored),
+       |ctx AS (
+       |  SELECT r.*, doc.n_chars,
+       |    SUM(doc.n_chars) OVER (PARTITION BY r.q_id ORDER BY r.rr_rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum_chars
+       |  FROM rr_ranked r
+       |  JOIN documents doc ON doc.doc_id = r.doc_id)
+       |SELECT q_id, doc_id, rr_rank, maxsim, n_chars,
+       |  CAST(cum_chars AS BIGINT) AS cum_chars,
+       |  cum_chars <= $budget AS picked
+       |FROM ctx ORDER BY q_id, rr_rank""".stripMargin
+  }
 
   /** DuckDB twin of one x58 subspace chain, names suffixed `tag`. */
   private def duckPqCtes(i: Int): String = {
@@ -5341,6 +5680,8 @@ object DedupSim {
     QueryDef("x104_pq_refine", Some(x104Sql), x104),
     QueryDef("w10_pq_lifecycle", Some(w10Sql), w10),
     QueryDef("w11_minhash_lifecycle", Some(w11Sql), w11),
+    QueryDef("x105_compaction_policy", Some(x105Sql), x105),
+    QueryDef("w12_online_funnel", Some(w12Sql), w12),
     QueryDef("x93b_funnel_sweep", Some(x93bSql), x93b),
     QueryDef("x60_ann_recall", Some(x60Sql), x60),
     QueryDef("w06_dedup_cascade", Some(w06Sql), w06),

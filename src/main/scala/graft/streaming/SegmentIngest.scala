@@ -85,13 +85,10 @@ object SegmentIngest {
       : Unit = {
     val (dir, fs) = markerDir(s, root)
     fs.mkdirs(dir)
-    try fs.create(
-      new org.apache.hadoop.fs.Path(dir, s"batch=$batchId"), false)
-      .close()
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-      case _: java.io.IOException if ingested(s, root, batchId) => ()
-    }
+    // atomic even on the local FS (SegmentOps.createExclusive — a
+    // concurrent attempt's record is accepted as done)
+    SegmentOps.createExclusive(fs,
+      new org.apache.hadoop.fs.Path(dir, s"batch=$batchId"))
     pruneMarkers(s, root, batchId - RetainMarkers)
   }
 

@@ -65,6 +65,21 @@ class PlanAuditSpec extends SparkSpec {
       "brute-force truth slice verbatim — inherits exactly their " +
       "allowlisted bounded sides; the eval itself is keyed joins " +
       "over <= 10-rows/query relations"),
+    "w07b_rag_funnel_pq" -> ("composes x80 (1-row corpus-stats " +
+      "scalar) and PqIndex.serveRefined (fixed 16-row coarse + 8-row " +
+      "PQ codebooks broadcast; the refine side is <= RefineK rows " +
+      "per query by construction, the query side the absolute-K " +
+      "slice) — fusion/rerank/packing are keyed joins and windows " +
+      "only"),
+    "x93c_funnel_pq_recall" -> ("composes w07b and x05's documented " +
+      "brute-force truth slice verbatim — inherits exactly their " +
+      "allowlisted bounded sides (x93's pattern)"),
+    "w12_online_funnel" -> ("composes the lifecycle serves: x80's " +
+      "1-row corpus-stats scalar over the sparse layout, the fixed " +
+      "16-row coarse + 8-row PQ codebooks broadcast over the pq " +
+      "layout (query side = the absolute-K slice); fusion " +
+      "(full-outer keyed), rerank and packing are keyed joins and " +
+      "windows only"),
     "w08_nightly_ingest" -> ("x18's fixed 16-row coarse codebook and " +
       "the 8-row PQ books broadcast (train/assign/encode argmins) " +
       "plus the 1-row family-card scalars (append + retraction " +

@@ -247,6 +247,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // window and final sort — everything after the retrievers is
     // <= 10 rows/query
     "w07_rag_funnel" -> 18,
+    "w07b_rag_funnel_pq" -> 20,
+    "x93c_funnel_pq_recall" -> 24,
+    "x105_compaction_policy" -> 1,
+    "w12_online_funnel" -> 19,
     // w07's 18 audited stages + x05's truth slice + the per-query
     // eval join/agg over two <= 10-rows/query relations + final sort
     "x93_funnel_recall" -> 22,
