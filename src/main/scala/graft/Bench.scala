@@ -95,7 +95,7 @@ object Bench {
     // r8 carry-overs that stay priority
     "x44_ngram_decontam", "q02_pk_uniqueness")
 
-  /** Prior-artifact first-run costs (the r11 closing bench: per row,
+  /** Prior-artifact first-run costs (the r12 closing bench: per row,
     * max of its `insession` first run — the cold number warming
     * prevents — and its steady value). VERDICT r10 #3's fix: within
     * each warm tier the heaviest-by-prior-cost rows start FIRST, so a
@@ -105,23 +105,23 @@ object Bench {
     * new registrations are covered by WarmPriority membership.
     * Refresh each round from the latest bench line. */
   val PriorFirstRunCost: Map[String, Double] = Map(
-    "w08_nightly_ingest" -> 9.199, "w10_pq_lifecycle" -> 8.213,
-    "x104_pq_refine" -> 6.156, "w09_segment_lifecycle" -> 5.852,
-    "x103_adaptive_probes" -> 5.296, "x93b_funnel_sweep" -> 5.262,
-    "x97_ivfpq_serve" -> 4.514, "w07_rag_funnel" -> 3.808,
-    "x102_incremental_cc" -> 3.782, "x93_funnel_recall" -> 3.678,
-    "x60_ann_recall" -> 3.535, "x95_pq_adc_serve" -> 3.483,
-    "w11_minhash_lifecycle" -> 3.298, "q29_mad_outliers" -> 3.241,
-    "w06_dedup_cascade" -> 3.205, "q47_bootstrap_ci" -> 3.17,
-    "x80_bm25" -> 2.94, "x59_pagerank" -> 2.785,
-    "q51_fd_discovery" -> 2.623, "x99_segmented_serve" -> 2.45,
-    "w02_full_etl" -> 2.371, "x87_centroid_drift" -> 2.332,
-    "q48_quantile_sketch_bound" -> 2.298, "q15_percentiles" -> 2.14,
-    "x20_segment_dedup" -> 2.111, "x18_knn_ivf" -> 2.033,
-    "x58_pq_codes" -> 2.011, "j06_range_join" -> 1.998,
-    "w05_neardup_funnel" -> 1.943, "x89_bpe_train" -> 1.864,
-    "x79_ann_index_build" -> 1.86, "q42_basket_affinity" -> 1.829,
-    "x90_bpe_apply" -> 1.826, "x101_cluster_weights" -> 1.804)
+    "w12_online_funnel" -> 9.732, "x105_compaction_policy" -> 9.554,
+    "w08_nightly_ingest" -> 6.965, "w07b_rag_funnel_pq" -> 6.747,
+    "w10_pq_lifecycle" -> 6.51, "x93c_funnel_pq_recall" -> 6.469,
+    "x93b_funnel_sweep" -> 5.569, "w09_segment_lifecycle" -> 5.047,
+    "x97_ivfpq_serve" -> 4.486, "x103_adaptive_probes" -> 4.449,
+    "x104_pq_refine" -> 4.337, "q29_mad_outliers" -> 3.96,
+    "q47_bootstrap_ci" -> 3.625, "x93_funnel_recall" -> 3.594,
+    "x60_ann_recall" -> 3.097, "x95_pq_adc_serve" -> 3.049,
+    "x59_pagerank" -> 2.851, "q51_fd_discovery" -> 2.764,
+    "x102_incremental_cc" -> 2.716, "w11_minhash_lifecycle" -> 2.677,
+    "q48_quantile_sketch_bound" -> 2.667, "w07_rag_funnel" -> 2.656,
+    "x20_segment_dedup" -> 2.619, "w02_full_etl" -> 2.467,
+    "x80_bm25" -> 2.433, "w06_dedup_cascade" -> 2.296,
+    "j06_range_join" -> 2.266, "q42_basket_affinity" -> 2.195,
+    "q15_percentiles" -> 2.167, "x58_pq_codes" -> 2.068,
+    "x99_segmented_serve" -> 2.067, "x87_centroid_drift" -> 1.956,
+    "q02_pk_uniqueness" -> 1.795, "x18_knn_ivf" -> 1.79)
 
   /** Build the single parseable bench line. Pure — spec-driven by
     * BenchLineSpec with a 250-query synthetic load to pin the
