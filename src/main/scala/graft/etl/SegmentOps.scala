@@ -173,13 +173,20 @@ object SegmentOps {
     val claim = new org.apache.hadoop.fs.Path(dir, s"claim_$v")
     if (fs.exists(fin) || fs.exists(claim)) return None // fast path
     if (!createExclusive(fs, claim)) return None
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
-    val out = fs.create(tmp, true)
-    try out.write((baseDir +: segNames).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, fin),
-      s"failed to publish manifest v$v under $dir")
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
+      val out = fs.create(tmp, true)
+      try out.write((baseDir +: segNames).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, fin),
+        s"failed to publish manifest v$v under $dir")
+    } catch {
+      // a failed payload publish must not leave the claim blocking
+      // this version for every later writer (a hard crash still can —
+      // the class doc names the recovery)
+      case e: Throwable => fs.delete(claim, false); throw e
+    }
     fs.delete(claim, false)
     Some(v)
   }

@@ -198,4 +198,97 @@ object FusedServeStream {
       legs.groupByKey(_.q_id).flatMapGroups((q, rows) =>
         step(fuseK, k)(q, rows, null))
   }
+
+  // --------------------------------------------------------------------
+  // The REFINED hybrid — w07b's online twin: the dense leg is the
+  // x104-promoted two-stage serve (ADC top-RefineK re-ranked by exact
+  // L2 — [[PqServeStream.candidatesRefined]] carries the exact L2
+  // along each scanned row, the one-pass trade documented there), the
+  // sparse leg and the RRF fuse are [[serve]]'s verbatim. One
+  // stateful fold, O(max(refineK, fuseK)) memory per group.
+  // FusedServeStreamSpec pins stream ≡ fuseBatch over
+  // SparseIndex.serve × PqIndex.serveRefined, chunk- and
+  // restart-independent.
+  // --------------------------------------------------------------------
+
+  final case class LegR(q_id: Long, doc_id: Long, leg: Int,
+      c_ppm: Long, adc: Double, l2: Double)
+
+  /** [[step]] with the dense leg refined: keep the ADC
+    * top-max(refineK, fuseK) (ties (adc, doc_id) — the batch cut's
+    * exact set), re-rank those by (l2, doc_id), fuse the top-`fuseK`
+    * of each leg, emit the fused top-`k`. */
+  def stepR(refineK: Int, fuseK: Int, k: Int)(qId: Long,
+      rows: Iterator[LegR], state: GroupState[Int]): Iterator[Fused] = {
+    val sp = mutable.HashMap.empty[Long, Long]
+    val worstFirst =
+      Ordering.by[(Double, Long, Double), (Double, Long)](t =>
+        (t._1, t._2))
+    val dnHeap =
+      mutable.PriorityQueue.empty[(Double, Long, Double)](worstFirst)
+    val adcKeep = math.max(refineK, fuseK)
+    rows.foreach { r =>
+      if (r.leg == 0)
+        sp.update(r.doc_id, sp.getOrElse(r.doc_id, 0L) + r.c_ppm)
+      else {
+        dnHeap.enqueue((r.adc, r.doc_id, r.l2))
+        if (dnHeap.size > adcKeep) dnHeap.dequeue()
+      }
+    }
+    val rSparse: Map[Long, Long] = sp.iterator.toArray
+      .sortBy { case (d, s) => (-s, d) }.take(fuseK)
+      .iterator.zipWithIndex
+      .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    val dnKept: Seq[(Double, Long, Double)] = dnHeap.dequeueAll
+    val rDense: Map[Long, Long] = dnKept
+      .map { case (_, d, l2) => (l2, d) }
+      .sorted
+      .take(fuseK)
+      .iterator.zipWithIndex
+      .map { case ((_, d), i) => d -> (i + 1L) }.toMap
+    (rSparse.keySet ++ rDense.keySet).toArray
+      .map { d =>
+        val rs = rSparse.getOrElse(d, 0L)
+        val rd = rDense.getOrElse(d, 0L)
+        val score = (if (rs > 0) 1000000000L / (60L + rs) else 0L) +
+          (if (rd > 0) 1000000000L / (60L + rd) else 0L)
+        (d, score, rs, rd)
+      }
+      .sortBy { case (d, s, _, _) => (-s, d) }
+      .take(k)
+      .iterator.zipWithIndex
+      .map { case ((d, s, rs, rd), i) =>
+        Fused(qId, d, (i + 1).toLong, s, rs, rd)
+      }
+  }
+
+  /** The refined hybrid serve for a (possibly streaming) query frame
+    * — the funnel w07b gates in batch, online. `vecs` is the
+    * full-precision (vec_id, emb) relation the refine re-ranks
+    * against (the index itself stays compressed). */
+  def serveRefined(queries: DataFrame, sparseIdx: SparseIndex.Index,
+      pqIdx: PqIndex.Index, vecs: DataFrame,
+      refineK: Int = PqIndex.RefineK,
+      nprobe: Int = graft.etl.AnnIndex.Probes,
+      fuseK: Int = FuseK, k: Int = 10): Dataset[Fused] = {
+    import queries.sparkSession.implicits._
+    val sp = SparseServeStream.contribs(
+      SparseServeStream.queryTerms(queries.select("q_id", "text")),
+      sparseIdx).toDF()
+      .select(col("q_id"), col("doc_id"), lit(0).as("leg"),
+        col("c_ppm"), lit(0.0).as("adc"), lit(0.0).as("l2"))
+    val dn = PqServeStream.candidatesRefined(
+      queries.select("q_id", "emb", "norm"), pqIdx, vecs, nprobe)
+      .toDF()
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        lit(1).as("leg"), lit(0L).as("c_ppm"), col("adc"), col("l2"))
+    val legs = sp.unionByName(dn).as[LegR]
+    if (queries.isStreaming)
+      legs.groupByKey(_.q_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(stepR(refineK, fuseK, k))
+    else
+      legs.groupByKey(_.q_id).flatMapGroups((q, rows) =>
+        stepR(refineK, fuseK, k)(q, rows, null))
+  }
 }

@@ -196,4 +196,56 @@ class FusedServeStreamSpec extends SparkSpec {
       s"streamed funnel tail drifted from the batch assembly: " +
         s"missing=${(batch -- finalKey(sunk)).take(3)}")
   }
+
+  test("refined hybrid: stream fold == fuseBatch over SparseIndex.serve x PqIndex.serveRefined") {
+    // w07b's online twin (the x104-promoted two-stage dense leg): the
+    // refined fused fold must agree rank for rank with the batch
+    // composition of the two gated serves, chunk-independent.
+    val spIdx = SparseIndex.build(
+      SparseIndex.termFreqs(Tables.documents(spark, sf)))
+    val e = AnnIndex.prep(Tables.embeddings(spark, sf)).cache()
+    val pqIdx = PqIndex.build(e)
+    val vecs = e.select(col("vec_id"), col("emb")).cache()
+    val q = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(e.select(col("vec_id").as("q_id"), col("emb"), col("norm")),
+        "q_id")
+      .cache()
+
+    val batch = key(FusedServeStream.fuseBatch(
+      SparseIndex.serve(SparseServeStream.queryTerms(
+        q.select("q_id", "text")), spIdx, FusedServeStream.FuseK),
+      PqIndex.serveRefined(q.select("q_id", "emb", "norm"), pqIdx,
+        vecs, k = FusedServeStream.FuseK)).collect())
+    assert(batch.nonEmpty)
+
+    val fold = key(
+      FusedServeStream.serveRefined(q, spIdx, pqIdx, vecs)
+        .toDF().collect())
+    assert(fold == batch,
+      s"refined batch fold drifted: missing=${(batch -- fold).take(3)} " +
+        s"extra=${(fold -- batch).take(3)}")
+
+    val qdir = java.nio.file.Files.createTempDirectory("fu_refined_q")
+    val in = s"$qdir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val stream = spark.readStream.schema(q.schema).parquet(in)
+    val out = FusedServeStream.serveRefined(stream, spIdx, pqIdx, vecs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fused_refined_stream").start()
+    try {
+      q.filter(col("q_id") % 200 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      out.processAllAvailable()
+      q.filter(col("q_id") % 200 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      out.processAllAvailable()
+      val streamed = key(spark.table("fused_refined_stream").collect())
+      assert(streamed == batch,
+        s"refined stream drifted: " +
+          s"missing=${(batch -- streamed).take(3)} " +
+          s"extra=${(streamed -- batch).take(3)}")
+    } finally out.stop()
+  }
 }
