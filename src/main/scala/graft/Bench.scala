@@ -105,7 +105,7 @@ object Bench {
     * new registrations are covered by WarmPriority membership.
     * Refresh each round from the latest bench line. */
   val PriorFirstRunCost: Map[String, Double] = Map(
-    "w12_online_funnel" -> 9.732, "x105_compaction_policy" -> 9.554,
+    "w12_online_funnel" -> 14.76, "x105_compaction_policy" -> 9.554,
     "w08_nightly_ingest" -> 6.965, "w07b_rag_funnel_pq" -> 6.747,
     "w10_pq_lifecycle" -> 6.51, "x93c_funnel_pq_recall" -> 6.469,
     "x93b_funnel_sweep" -> 5.569, "w09_segment_lifecycle" -> 5.047,

@@ -4039,16 +4039,20 @@ object DedupSim {
   // the batches (manifest CAS flip while later writers keep
   // recording); then ONE fused serve through the resolved snapshots:
   // SparseIndex.serve (all-distinct-token queries, the online
-  // queryTerms model) ∥ PqIndex.serve → x73's exact RRF (fuseBatch,
-  // top-10) → MaxSim rerank + context packing (rerankPack — the
-  // foreachBatch tail the stream ships). Queries are the absolute-K
-  // eval slice joined to BOTH modalities (text + embedding).
+  // queryTerms model) ∥ PqIndex.serveRefined (the x104-promoted
+  // two-stage dense leg — 92.1% recall@10 at sf1 — against the
+  // live corpus's full-precision vectors) → x73's exact RRF
+  // (fuseBatch, top-10) → MaxSim rerank + context packing
+  // (rerankPack — the foreachBatch tail the stream ships;
+  // FusedServeStream.serveRefined is this exact funnel online).
+  // Queries are the absolute-K eval slice joined to BOTH modalities
+  // (text + embedding).
   // The oracle rebuilds everything from scratch in an engine with no
   // segments, no manifests, no batches: BM25 over the FULL corpus
   // (final live = base ∪ both shards), the dense leg from the
   // w10-shared frozen-book chain (books on the base slice, ALL
-  // vectors encoded — the script is append-only), fused/reranked/
-  // packed in SQL. Hash equality proves the whole online composition
+  // vectors encoded — the script is append-only) with the x104-style
+  // exact-L2 refine tail, fused/reranked/packed in SQL. Hash equality proves the whole online composition
   // — tagged idempotent appends, CAS-flipped compaction, snapshot
   // reads, two index families, fusion, rerank, packing — equals the
   // from-scratch batch answer. Scale: ingest writes O(delta)/night;
@@ -4119,7 +4123,8 @@ object DedupSim {
     val fused = FusedServeStream.fuseBatch(
       SparseIndex.serve(SparseServeStream.queryTerms(
         q.select("q_id", "text")), sidx, FusedServeStream.FuseK),
-      PqIndex.serve(q.select("q_id", "emb", "norm"), pidx,
+      PqIndex.serveRefined(q.select("q_id", "emb", "norm"), pidx,
+        e.select(col("vec_id"), col("emb")),
         k = FusedServeStream.FuseK))
     FusedServeStream.rerankPack(fused,
       e.select(col("vec_id"), col("emb")),
@@ -4175,12 +4180,27 @@ object DedupSim {
        |    FROM sscored)
        |  WHERE rank <= $fuseK),
        |${w10DenseCtes("TRUE")},
-       |dense AS (
-       |  SELECT q_id, vec_id, rank FROM (
-       |    SELECT q_id, vec_id, CAST(ROW_NUMBER() OVER (
-       |      PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |adctop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY adc, vec_id) AS rk
        |    FROM uadc)
-       |  WHERE rank <= $fuseK),
+       |  WHERE rk <= ${math.max(graft.etl.PqIndex.RefineK,
+            graft.streaming.FusedServeStream.FuseK)}),
+       |qv AS (SELECT vec_id AS q_id, emb FROM e
+       |       WHERE vec_id IN (SELECT vec_id FROM qids)),
+       |dense AS (
+       |  SELECT q_id, vec_id, rrk AS rank FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+       |        ${duckDot.format("v.emb", "v.emb")}
+       |          - 2.0 * ${duckDot.format("v.emb", "qv.emb")}
+       |          + ${duckDot.format("qv.emb", "qv.emb")}, c.vec_id)
+       |        AS BIGINT) AS rrk
+       |    FROM adctop c
+       |    JOIN e v ON v.vec_id = c.vec_id
+       |    JOIN qv ON qv.q_id = c.q_id)
+       |  WHERE rrk <= $fuseK),
        |rrf_f AS (
        |  SELECT COALESCE(sp.q_id, de.q_id) AS q_id,
        |    COALESCE(sp.doc_id, de.vec_id) AS doc_id,

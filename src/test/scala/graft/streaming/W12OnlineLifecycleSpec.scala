@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * a SegmentIngest stream appends document shards into BOTH persisted
   * index layouts (sparse BM25 + IVFPQ) — with a kill and checkpoint
   * restart between micro-batches — while a FusedServeStream query
-  * stream serves the hybrid funnel (retrieval fold + rerankPack
-  * foreachBatch tail) FROM manifest-resolved snapshots, and a
+  * stream serves the hybrid funnel (retrieval fold with the
+  * x104-promoted REFINED dense leg + rerankPack foreachBatch tail)
+  * FROM manifest-resolved snapshots, and a
   * policy-fired compactInPlace flips both layouts BETWEEN ingest
   * batches while the query stream is LIVE. Pins:
   *  - snapshot consistency: the live query stream's answers — before
@@ -94,14 +95,14 @@ class W12OnlineLifecycleSpec extends SparkSpec {
         FusedServeStream.fuseBatch(
           SparseIndex.serve(SparseServeStream.queryTerms(
             qq.select("q_id", "text")), sIdx, FusedServeStream.FuseK),
-          PqIndex.serve(qq.select("q_id", "emb", "norm"), pIdx,
-            k = FusedServeStream.FuseK)),
+          PqIndex.serveRefined(qq.select("q_id", "emb", "norm"), pIdx,
+            embRel, k = FusedServeStream.FuseK)),
         embRel, docChars)
     val qin = s"$dir/qin"
     val qout = s"$dir/qout"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(qin))
-    val qs1 = FusedServeStream.serve(
-      spark.readStream.schema(q.schema).parquet(qin), sV1, pV1)
+    val qs1 = FusedServeStream.serveRefined(
+      spark.readStream.schema(q.schema).parquet(qin), sV1, pV1, embRel)
       .toDF().writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/qckpt")
       .foreachBatch { (fdf: DataFrame, _: Long) =>
@@ -155,8 +156,8 @@ class W12OnlineLifecycleSpec extends SparkSpec {
     val sV2 = SparseSegments.read(spark, sroot)
     val pV2 = PqSegments.read(spark, proot)
     val qout2 = s"$dir/qout2"
-    val qs2 = FusedServeStream.serve(
-      spark.readStream.schema(q.schema).parquet(qin), sV2, pV2)
+    val qs2 = FusedServeStream.serveRefined(
+      spark.readStream.schema(q.schema).parquet(qin), sV2, pV2, embRel)
       .toDF().writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/qckpt2")
       .foreachBatch { (fdf: DataFrame, _: Long) =>
