@@ -472,6 +472,24 @@ object SegmentOps {
 
   private def tagFile(tag: String): String = s"tag=$tag"
 
+  /** True iff any RETAINED manifest version names `segName`. The
+    * crash-gap healer's disambiguator: a tagged segment dir that no
+    * retained version names was published but never recorded (the
+    * crash fell between [[publishSeg]]'s rename and its manifest
+    * record) — safe to record now; one that a version names was
+    * recorded and possibly FOLDED since (compaction), and re-recording
+    * it would double-count. The two states are distinguishable for as
+    * long as the dir exists: [[vacuum]] releases a folded segment's
+    * dir and its recording versions TOGETHER, so a surviving dir
+    * implies its history survives too. Cost: one read per retained
+    * manifest version (bounded by the vacuum retention window). */
+  def recordedInAnyManifest(s: org.apache.spark.sql.SparkSession,
+      root: String, segName: String): Boolean = {
+    val (dir, fs) = manifestFs(s, root)
+    manifestVersions(fs, dir).exists(v =>
+      readManifest(s, root, v).segs.exists(_._2 == segName))
+  }
+
   /** The published segment dir names carrying `tag`, ascending — the
     * crash-gap retry probe: a tagged segment proves the operation
     * that used `tag` published before dying, so its retry can

@@ -16,19 +16,26 @@ import graft.etl.SegmentOps
   * batchId under the layout root and skip re-deliveries.
   *
   * [[once]] records AFTER the body, so a crash INSIDE the body leaves
-  * no marker and the retry re-runs it cleanly. The crash window
-  * BETWEEN the body's segment publication and the marker write is
-  * SELF-HEALING (VERDICT r11 #2): the body publishes its segment
-  * tagged with the batchId (the tag file rides inside the bundle
-  * rename, so it is exactly as atomic as the segment itself), and a
-  * retry that finds no marker but a tagged published segment knows
-  * the work landed — it completes the marker and skips the body,
-  * zero manual intervention. Contract for that guarantee: ONE
-  * segment publication per (layout, batch) — the foreachBatch shape,
-  * one shard → one appendSeg. A body that publishes several segments
-  * per batch falls back to the loud path (the families' disjointness
-  * requires refuse a half-replayed batch; vacuum collects the
-  * orphan).
+  * no marker and the retry re-runs it cleanly. The crash windows
+  * AFTER the body's segment publication are SELF-HEALING (VERDICT
+  * r11 #2): the body publishes its segment tagged with the batchId
+  * (the tag file rides inside the bundle rename, so it is exactly as
+  * atomic as the segment itself), and a retry that finds no marker
+  * but a tagged published segment knows the work landed — it
+  * completes whatever the crash cut short and skips the body. Two
+  * sub-windows, both healed: a crash INSIDE publishSeg (after the
+  * bundle rename, before its manifest record) leaves a tagged dir no
+  * manifest names — the retry completes the RECORD (guarded by
+  * [[graft.etl.SegmentOps.recordedInAnyManifest]]: a segment any
+  * retained version names was recorded and possibly FOLDED since,
+  * and re-recording it would silently double-count — the naive
+  * probe's trap); a crash after publishSeg leaves only the marker
+  * missing — the retry records it. Zero manual intervention either
+  * way. Contract for the guarantee: ONE segment publication per
+  * (layout, batch) — the foreachBatch shape, one shard → one
+  * appendSeg. A body that publishes several segments per batch falls
+  * back to the loud path (the families' disjointness requires refuse
+  * a half-replayed batch; vacuum collects the orphan).
   *
   * Marker writes are CREATE-EXCLUSIVE, so of two attempts racing the
   * record (Spark's documented zombie-driver foreachBatch overlap)
@@ -128,10 +135,19 @@ object SegmentIngest {
       (body: String => Unit): Boolean = {
     if (ingested(s, root, batchId)) return false
     val tag = batchTag(batchId)
-    if (SegmentOps.taggedSegs(s, root, tag).nonEmpty) {
-      // crash in the gap: the previous attempt published its segment
-      // but died before the marker — complete the record, skip the
-      // body (self-healing retry, VERDICT r11 #2)
+    val tagged = SegmentOps.taggedSegs(s, root, tag)
+    if (tagged.nonEmpty) {
+      // crash in the gap: the previous attempt PUBLISHED its segment
+      // but died before the marker — and possibly before publishSeg's
+      // own manifest record (the rename→record window). Complete
+      // whatever is missing, in order: the manifest record for any
+      // tagged segment NO retained manifest version names (a version
+      // naming it means it was recorded — and maybe folded since, so
+      // re-recording would double-count), then the marker. The body
+      // is never re-run (self-healing retry, VERDICT r11 #2).
+      tagged
+        .filterNot(SegmentOps.recordedInAnyManifest(s, root, _))
+        .foreach(SegmentOps.recordSegInManifest(s, root, _))
       record(s, root, batchId)
       return false
     }

@@ -114,6 +114,66 @@ class SegmentIngestSpec extends SparkSpec {
       fail("healed batch must stay a no-op")))
   }
 
+  test("crash INSIDE publishSeg's gap (bundle renamed, manifest record missing) heals by completing the record") {
+    val docs = Tables.documents(spark, sf).cache()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seg_ingest_pubgap").toString
+    MinHashSegments.init(
+      NearDup.signatures(docs.filter(col("doc_id") % 3 =!= 0)), root)
+    val shard = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text")
+    val batchId = 5L
+    MinHashSegments.appendSeg(spark, root, shard,
+      tag = Some(SegmentIngest.batchTag(batchId)))
+    // simulate the crash between publishSeg's rename and its manifest
+    // record: roll the record back by deleting the latest version
+    // (v2) — the tagged dir exists, no retained manifest names it
+    val v2 = new org.apache.hadoop.fs.Path(s"$root/manifest/v=2")
+    val fs = v2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(v2, false))
+    assert(SegmentOps.resolveSnapshot(spark, root).segs.isEmpty,
+      "rollback must hide the segment from the manifest")
+
+    val ran = SegmentIngest.once(spark, root, batchId) { _ =>
+      fail("publish-gap retry must not re-run the body")
+    }
+    assert(!ran)
+    assert(SegmentIngest.ingested(spark, root, batchId))
+    // the heal completed the RECORD: the snapshot names the segment
+    // and the served view equals the from-scratch signing — a heal
+    // that only wrote the marker would silently LOSE the shard
+    assert(SegmentOps.resolveSnapshot(spark, root).segs.map(_._1)
+      == Seq(0))
+    assert(sigKey(MinHashSegments.read(spark, root))
+      == sigKey(NearDup.signatures(docs)))
+  }
+
+  test("a tagged segment a compaction already folded is NOT re-recorded by the healer") {
+    val docs = Tables.documents(spark, sf).cache()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seg_ingest_folded").toString
+    MinHashSegments.init(
+      NearDup.signatures(docs.filter(col("doc_id") % 3 =!= 0)), root)
+    val batchId = 9L
+    MinHashSegments.appendSeg(spark, root,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text"),
+      tag = Some(SegmentIngest.batchTag(batchId)))
+    MinHashSegments.compactInPlace(spark, root) // folds the segment
+    // the marker is lost, the tagged dir survives (not vacuumed), and
+    // manifest HISTORY still names it — the healer must not re-record
+    // (re-adding a folded segment would double-count its rows)
+    val snapBefore = SegmentOps.resolveSnapshot(spark, root)
+    assert(snapBefore.segs.isEmpty)
+    assert(!SegmentIngest.once(spark, root, batchId)(_ =>
+      fail("folded-segment retry must not re-run the body")))
+    val snapAfter = SegmentOps.resolveSnapshot(spark, root)
+    assert(snapAfter.segs.isEmpty,
+      "healer re-recorded a folded segment — double count")
+    assert(SegmentIngest.ingested(spark, root, batchId))
+    assert(sigKey(MinHashSegments.read(spark, root))
+      == sigKey(NearDup.signatures(docs)))
+  }
+
   test("marker retention: old markers prune; stray marker entries fail loud") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_seg_ingest_prune").toString
