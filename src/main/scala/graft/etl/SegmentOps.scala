@@ -158,11 +158,19 @@ object SegmentOps {
     * of the version file itself leaks an EMPTY file to readers
     * between create and close — SegmentCasSpec's thread test caught
     * exactly that). The claim is deleted after the rename; a writer
-    * that crashes in the window leaves an orphan claim that blocks
-    * later WRITERS of that one version loudly (readers are
-    * unaffected) — delete the named claim to recover. On an object
-    * store without atomic create-exclusive the same role falls to a
-    * conditional PUT / DynamoDB-style lock, as in Delta's LogStore. */
+    * that crashes in the window leaves an orphan claim — later
+    * writers treat a claim older than [[claimTtlMs]] (session conf
+    * `graft.manifest.claimTtlMs`, default 10 min) with no published
+    * `v=<v>` as ABANDONED and steal it (ADVICE r12: without stealing,
+    * a crashed claimant blocked its version forever and a streaming
+    * ingest crash-looped until an operator deleted the claim by
+    * hand). Stealing is safe against a merely-SLOW claimant because
+    * each attempt writes a UNIQUE tmp payload and the `v=<v>` rename
+    * is the one true commit point: of a victim and its thief exactly
+    * one rename lands; the other sees the published version and loses
+    * the CAS cleanly (returns None). On an object store without
+    * atomic create-exclusive the same role falls to a conditional PUT
+    * / DynamoDB-style lock, as in Delta's LogStore. */
   def tryPublishManifest(s: org.apache.spark.sql.SparkSession,
       root: String, expectedVersion: Int, baseDir: String,
       segNames: Seq[String]): Option[Int] = {
@@ -171,24 +179,61 @@ object SegmentOps {
     val v = expectedVersion + 1
     val fin = new org.apache.hadoop.fs.Path(dir, s"v=$v")
     val claim = new org.apache.hadoop.fs.Path(dir, s"claim_$v")
-    if (fs.exists(fin) || fs.exists(claim)) return None // fast path
+    if (fs.exists(fin)) return None // fast path
+    if (fs.exists(claim) && !stealIfStale(s, fs, claim)) return None
     if (!createExclusive(fs, claim)) return None
     try {
-      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_v=$v")
+      // unique tmp per attempt: a stolen-claim victim and its thief
+      // must never share a payload file, or the victim's rename could
+      // publish the thief's bytes under the victim's name
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_tmp_v=$v.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write((baseDir +: segNames).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      require(fs.rename(tmp, fin),
-        s"failed to publish manifest v$v under $dir")
+      if (!fs.rename(tmp, fin)) {
+        fs.delete(tmp, false)
+        // rename onto an EXISTING version = this claim was stolen (or
+        // we are the thief and the victim just committed) — a clean
+        // lost race, not an IO fault: the caller's CAS loop re-derives
+        if (fs.exists(fin)) { fs.delete(claim, false); return None }
+        throw new IllegalStateException(
+          s"failed to publish manifest v$v under $dir " +
+            s"(rename $tmp -> $fin)")
+      }
     } catch {
       // a failed payload publish must not leave the claim blocking
       // this version for every later writer (a hard crash still can —
-      // the class doc names the recovery)
+      // until the TTL expires and a later writer steals it)
       case e: Throwable => fs.delete(claim, false); throw e
     }
     fs.delete(claim, false)
     Some(v)
+  }
+
+  /** Claim age (session conf `graft.manifest.claimTtlMs`, default 10
+    * minutes) beyond which a claim with no published version is
+    * treated as a dead writer's orphan and stolen. Generous vs any
+    * real payload write (one small file + one rename); tighten it in
+    * tests, not on clock-skewed production filesystems. */
+  def claimTtlMs(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("graft.manifest.claimTtlMs")
+      .map(_.toLong).getOrElse(10L * 60L * 1000L)
+
+  /** Delete `claim` iff it is older than the TTL — true when the
+    * caller may proceed to re-claim (also true when the claim
+    * vanished concurrently: another thief won the delete;
+    * create-exclusive still decides the re-claim race). */
+  private def stealIfStale(s: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path): Boolean = {
+    val age = try
+      System.currentTimeMillis() - fs.getFileStatus(claim)
+        .getModificationTime
+    catch { case _: java.io.FileNotFoundException => return true }
+    if (age <= claimTtlMs(s)) false
+    else { fs.delete(claim, false); true }
   }
 
   /** Publish manifest version latest+1 naming `baseDir` + `segNames`
@@ -247,7 +292,18 @@ object SegmentOps {
     finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty, s"manifest $p is empty")
-    Snapshot(v, lines.head, lines.tail.map(parseSegName(_, p.toString)))
+    // Compose in SEGMENT-NUMBER order, not manifest line order
+    // (ADVICE r12): segment numbers are monotone PUBLICATION order
+    // (publishSeg's collision check enforces uniqueness and
+    // next-number assignment), while concurrent recordSegInManifest
+    // writers can land their lines in either order. scopedUnion
+    // scopes tombstones by list position, so composing in line order
+    // would let a delete segment RECORDED after a later-numbered
+    // append wrongly mask that append — sorting here restores the
+    // publication-order scoping for every reader, whatever the CAS
+    // interleave wrote.
+    Snapshot(v, lines.head,
+      lines.tail.map(parseSegName(_, p.toString)).sortBy(_._1))
   }
 
   /** Create `p` exclusively — true iff THIS caller created it.
@@ -280,20 +336,26 @@ object SegmentOps {
   /** Record a just-published segment in the manifest (no-op unless the
     * layout already carries one — pre-manifest layouts keep their
     * directory-enumeration semantics untouched). CAS retry loop:
-    * appending one segment name COMMUTES with any concurrent
-    * publication (another append's record, a compaction flip), so on
+    * recording one segment name COMMUTES with any concurrent
+    * publication (another segment's record, a compaction flip), so on
     * a lost race we re-resolve the new current snapshot and re-apply
-    * the append to it — the composed manifest equals sequential
+    * the record to it — the composed manifest equals sequential
     * application in either order (SegmentCasSpec pins it, including
-    * under two genuinely concurrent writer threads). */
+    * under two genuinely concurrent writer threads). The commute
+    * holds for append/DELETE mixes too because readers compose in
+    * segment-NUMBER order, not manifest line order (readManifest's
+    * sort) — tombstone scoping follows publication order whatever
+    * interleave the CAS wrote. */
   def recordSegInManifest(s: org.apache.spark.sql.SparkSession,
       root: String, segName: String): Unit = {
     val (dir, fs) = manifestFs(s, root)
     if (manifestVersions(fs, dir).isEmpty) return
     var attempt = 0
+    var lastV = -1
     while (attempt < CasAttempts) {
       attempt += 1
       val snap = resolveSnapshot(s, root)
+      lastV = snap.version + 1
       if (tryPublishManifest(s, root, snap.version, snap.baseDir,
           snap.segs.map(_._2) :+ segName).isDefined) return
       // the winner may hold the claim but not have renamed yet — its
@@ -303,7 +365,9 @@ object SegmentOps {
     }
     throw new IllegalStateException(
       s"SegmentOps: gave up recording $segName under $root after " +
-        s"$CasAttempts manifest CAS attempts — livelocked writers?")
+        s"$CasAttempts manifest CAS attempts — livelocked writers, " +
+        s"or a crashed claimant's $dir/claim_$lastV awaiting its " +
+        "steal TTL (graft.manifest.claimTtlMs)")
   }
 
   /** Flip the manifest to a freshly-compacted base generation: CAS on
@@ -319,9 +383,11 @@ object SegmentOps {
       root: String, fromSnap: Snapshot, newBaseDir: String): Int = {
     val folded = fromSnap.segs.map(_._2).toSet
     var attempt = 0
+    var lastV = -1
     while (attempt < CasAttempts) {
       attempt += 1
       val cur = resolveSnapshot(s, root)
+      lastV = cur.version + 1
       require(cur.baseDir == fromSnap.baseDir,
         s"SegmentOps: concurrent compaction detected under $root — " +
           s"the base flipped from ${fromSnap.baseDir} to " +
@@ -335,7 +401,9 @@ object SegmentOps {
     }
     throw new IllegalStateException(
       s"SegmentOps: gave up flipping $root to $newBaseDir after " +
-        s"$CasAttempts manifest CAS attempts — livelocked writers?")
+        s"$CasAttempts manifest CAS attempts — livelocked writers, " +
+        s"or a crashed claimant's $root/manifest/claim_$lastV " +
+        "awaiting its steal TTL (graft.manifest.claimTtlMs)")
   }
 
   /** Next unused base-generation dir name (`base` for v1, `base-g<v>`
@@ -359,6 +427,19 @@ object SegmentOps {
     require(maxSegs > 0, "shouldCompact: maxSegs must be positive")
     resolveSnapshot(s, root).segs.size >= maxSegs
   }
+
+  /** The MEASURED default for [[shouldCompact]]'s `maxSegs`, priced by
+    * the x105_compaction_policy card (three real 6-night on-disk
+    * lifecycles, every cell oracle-recomputed): at ≈4 nights of churn
+    * the composed view already captures at-2's entire row win at 55%
+    * of its write amplification. Start new SegmentIngest-driven flows
+    * here; move toward `never` (no compaction) only when queries are
+    * rare relative to ingest, toward 2 when serve latency dominates
+    * (a segment's residual cost is plan depth, not rows). The w09/w12
+    * flagship scripts pin maxSegs=2 deliberately — their fixed,
+    * certified 2-batch scripts exist to EXERCISE a mid-script
+    * compaction flip, which ≥4 would never fire at that length. */
+  val DefaultMaxSegs = 4
 
   /** Delete everything the RETAINED manifest snapshots (the newest
     * `keepLast`, default 1 = current only) do not reference:
@@ -398,6 +479,14 @@ object SegmentOps {
       }
     versions.dropRight(keepLast).foreach(v =>
       drop(new org.apache.hadoop.fs.Path(mdir, s"v=$v")))
+    // crashed writers' payload debris (unique per attempt since the
+    // claim-steal change): any _tmp_v=* older than the claim TTL is
+    // dead — a live attempt holds its tmp only for one write+rename
+    val ttl = claimTtlMs(s)
+    fs.listStatus(mdir).toSeq
+      .filter(st => st.getPath.getName.startsWith("_tmp_v=") &&
+        System.currentTimeMillis() - st.getModificationTime > ttl)
+      .foreach(st => drop(st.getPath))
     removed.result()
   }
 

@@ -434,11 +434,12 @@ object DedupSim {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** 64-bit SimHash near-dup pairs via 4×16-bit band join (a doc pair
-    * within Hamming distance 3 must agree on ≥1 of 4 bands). */
-  private def x03b(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.fanout(minhashCorpus(s, d))
-      .withColumn("sig", graft.functions.SimHash64(split(col("text"), " ")))
+  /** The banded 64-bit SimHash pair pipeline shared by x03b (the
+    * production query) and x106 (its contract): 4×16-bit chunks,
+    * optional per-bucket size cap (the skew guard), candidate pairs
+    * agreeing on ≥1 band, exact-Hamming post-filter ≤ 3. */
+  private def simhashBandedPairs(sigs: DataFrame, cap: Option[Int])
+      : DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, 16 * b) & 65535)"))
@@ -448,10 +449,14 @@ object DedupSim {
     // Cap bucket size (drop over-full buckets) — the standard LSH skew
     // mitigation at scale; recall is covered by the other 3 bands.
     val wB = Window.partitionBy(col("chunk_idx"), col("chunk_val"))
-    val capped = chunks
-      .withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= 50)
-    val cand = capped.select(col("doc_id").as("doc_a"),
+    val capped = cap match {
+      case Some(c) => chunks
+        .withColumn("bsz", count(lit(1)).over(wB))
+        .filter(col("bsz") <= c)
+        .drop("bsz")
+      case None => chunks
+    }
+    capped.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a"), col("chunk_idx"), col("chunk_val"))
       .join(capped.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"), col("chunk_idx"), col("chunk_val")),
@@ -464,8 +469,145 @@ object DedupSim {
       // Hamming 3 must agree on >= 1 of 4 16-bit chunks); a wider filter
       // would only find distance-4 pairs probabilistically.
       .filter(col("hamming") <= 3)
-    cand.orderBy("doc_a", "doc_b")
   }
+
+  /** The production skew-guard bucket cap (x03b's and x106's). */
+  private val SimhashBucketCap = 50
+
+  /** 64-bit SimHash near-dup pairs via 4×16-bit band join (a doc pair
+    * within Hamming distance 3 must agree on ≥1 of 4 bands). */
+  private def x03b(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.fanout(minhashCorpus(s, d))
+      .withColumn("sig", graft.functions.SimHash64(split(col("text"), " ")))
+    simhashBandedPairs(sigs, Some(SimhashBucketCap))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // X106 — x03b's CONTRACT (VERDICT r12 #4): x03_simhash_pairs was the
+  // last no-oracle row without a gated bound (SimHash64's FNV-1a
+  // wrap-around arithmetic isn't portable SQL, so its raw pairs can't
+  // be recomputed by DuckDB). The q26c/x56 move: derive cells DuckDB
+  // CAN check — corpus-arithmetic counts plus contract BOOLEANS the
+  // oracle asserts TRUE — from an exact-Hamming twin on a bounded
+  // slice, so a wrong signature, a broken band split, or a cap that
+  // silently eats recall turns this row red instead of hiding behind
+  // a rows-only check.
+  //
+  // Legs (all over ONE signature pass, x56's discipline):
+  //  - corpus = x03b's corpus ∪ planted EXACT twins on the slice ids
+  //    (doc_id+2e6, same text → Hamming 0) — guaranteed truth pairs,
+  //    so the contract can never pass vacuously;
+  //  - truth = brute-force Hamming ≤ 3 over the slice (both-ends
+  //    mod-sampled; ids fold by % 1e6 so a doc's planted twins land
+  //    in the slice WITH it) — the x05/x94 bounded-slice pattern:
+  //    the modulus bounds the quadratic leg absolutely, and at a
+  //    larger corpus you RAISE it rather than grow the slice;
+  //  - theorem gate: un-capped banding over the slice ≡ truth in BOTH
+  //    directions (any pair within Hamming 3 agrees on ≥1 of 4
+  //    16-bit chunks — pigeonhole; and the band join's post-filter
+  //    makes ⊆ structural);
+  //  - production gate: x03b's capped pipeline over the FULL corpus,
+  //    restricted to slice pairs, must (a) stay ⊆ truth and (b) have
+  //    every miss EXPLAINED by the skew cap — each agreeing band of a
+  //    missed pair sat in an over-cap bucket. An unexplained miss
+  //    means lost recall the cap story doesn't cover → red.
+  // Scale: signatures once; the only quadratic leg is the slice
+  // cross-join (absolutely bounded by the modulus); banding is the
+  // production never-all-pairs shape; the miss audit is over
+  // missed-pair × 4 bands (candidate-list-sized).
+  // ---------------------------------------------------------------------
+  private val X106SliceMod = 23
+
+  private def x106(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") % X106SliceMod === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val sigs = Tables.fanout(minhashCorpus(s, d).unionByName(twins))
+      .withColumn("sig",
+        graft.functions.SimHash64(split(col("text"), " ")))
+      .cut(false)
+    val slice = sigs
+      .filter((col("doc_id") % 1000000L) % X106SliceMod === 0)
+      .cut(false)
+    val a = slice.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"))
+    val b = slice.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .cut(false)
+    // theorem gate: un-capped banding over the slice, both directions
+    val nocap = simhashBandedPairs(slice, None)
+    val theoremHolds =
+      truth.join(nocap, Seq("doc_a", "doc_b"), "left_anti").isEmpty &&
+        nocap.join(truth, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+    // production gate: the capped full-corpus pipeline (x03b's shape)
+    val prod = simhashBandedPairs(sigs, Some(SimhashBucketCap))
+      .cut(false)
+    val sliceIds = slice.select(col("doc_id")).cut(false)
+    val prodSlice = prod
+      .join(sliceIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sliceIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+    val foundSubset =
+      prodSlice.join(truth, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+    // every miss explained by the cap: each band the pair agrees on
+    // sat in an over-cap bucket of the FULL-corpus banding
+    val missed = truth
+      .join(prodSlice.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),
+        "left_anti")
+    val overCap = sigs.select(posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sig, 16 * b) & 65535)"))
+        .as(Seq("oc_idx", "oc_val")))
+      .groupBy("oc_idx", "oc_val")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > SimhashBucketCap)
+      .select("oc_idx", "oc_val")
+    val unexplained = missed
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("ca", expr("shiftright(sig_a, 16 * band) & 65535"))
+      .withColumn("cb", expr("shiftright(sig_b, 16 * band) & 65535"))
+      .filter(col("ca") === col("cb"))
+      .join(overCap, col("band") === col("oc_idx") &&
+        col("ca") === col("oc_val"), "left")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(when(col("oc_val").isNotNull, 1).otherwise(0))
+        .as("all_capped"))
+      .filter(col("all_capped") === 0)
+    val capMissesExplained = unexplained.isEmpty
+    // never-vacuous gate: every planted exact twin lands in truth at
+    // Hamming 0
+    val twinPairs = twins
+      .select((col("doc_id") - 2000000L).as("doc_a"),
+        col("doc_id").as("doc_b"))
+    val truthCoversPlanted = twinPairs
+      .join(truth.filter(col("hamming") === 0), Seq("doc_a", "doc_b"),
+        "left_anti").isEmpty
+    import s.implicits._
+    Seq((slice.count(), twinPairs.count(), truthCoversPlanted,
+        theoremHolds, foundSubset, capMissesExplained))
+      .toDF("n_slice_docs", "n_planted_twin_pairs",
+        "truth_covers_planted", "theorem_holds", "found_subset_truth",
+        "cap_misses_explained")
+  }
+  /** The oracle recomputes the two counts from corpus arithmetic
+    * (slice = originals % 23 + ALL their exact twins + the planted
+    * near-dups whose origin is in the slice — ids fold by % 1e6) and
+    * asserts the four contract booleans TRUE. */
+  private val x106Sql =
+    s"""SELECT
+       |  (SELECT CAST(2 * COUNT(*) FILTER (WHERE doc_id % $X106SliceMod = 0)
+       |     + COUNT(*) FILTER (WHERE doc_id % $X106SliceMod = 0
+       |                          AND doc_id % 10 = 0) AS BIGINT)
+       |   FROM documents) AS n_slice_docs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |   WHERE doc_id % $X106SliceMod = 0) AS n_planted_twin_pairs,
+       |  TRUE AS truth_covers_planted,
+       |  TRUE AS theorem_holds,
+       |  TRUE AS found_subset_truth,
+       |  TRUE AS cap_misses_explained""".stripMargin
 
   // ---------------------------------------------------------------------
   // X4 — exact n-gram Jaccard similarity over a candidate sample (the
@@ -3653,6 +3795,9 @@ object DedupSim {
       PqIndex.build(e.filter(col("vec_id") % 3 =!= 0)), root)
     PqSegments.appendSeg(s, root, e.filter(col("vec_id") % 6 === 0))
     PqSegments.appendSeg(s, root, e.filter(col("vec_id") % 6 === 3))
+    // maxSegs=2 PINNED (not SegmentOps.DefaultMaxSegs=4): this fixed,
+    // certified script exercises a mid-script compaction flip, which
+    // the measured default would never fire at 2 batches (x105)
     if (SegmentOps.shouldCompact(s, root, maxSegs = 2))
       PqSegments.compactInPlace(s, root)
     PqSegments.deleteSeg(s, root,
@@ -3840,6 +3985,9 @@ object DedupSim {
       docs.filter(col("doc_id") % 6 === 0))
     MinHashSegments.appendSeg(s, root,
       docs.filter(col("doc_id") % 6 === 3))
+    // maxSegs=2 PINNED (not SegmentOps.DefaultMaxSegs=4): this fixed,
+    // certified script exercises a mid-script compaction flip, which
+    // the measured default would never fire at 2 batches (x105)
     if (SegmentOps.shouldCompact(s, root, maxSegs = 2))
       MinHashSegments.compactInPlace(s, root)
     MinHashSegments.deleteSeg(s, root,
@@ -3912,9 +4060,16 @@ object DedupSim {
 
   private def x105(s: SparkSession, d: String): DataFrame = {
     import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    // EAGER cut (not lazy): the shared input must be fully
+    // materialized BEFORE the per-config thread pool below spawns —
+    // three driver threads racing the first materialization of one
+    // lazy localCheckpoint (layered under the harness's own 8-way
+    // query concurrency) is the one structural hazard this query had,
+    // and the suspected cause of the r12 driver-row hash flake
+    // (VERDICT r12 #1). DeterminismSpec's stress test pins the fix.
     val docs = Tables.fanout(Tables.documents(s, d))
       .select("doc_id", "text")
-      .cut(false) // 3 configs × (1 init + 5 append shards) + delete ids
+      .cut() // 3 configs × (1 init + 5 append shards) + delete ids
     def cls(i: Int) = docs.filter(col("doc_id") % 7 === i)
     val delIds = docs.select("doc_id").filter(col("doc_id") % 10 === 3)
     // the three policy layouts are fully independent (own roots) —
@@ -3972,6 +4127,15 @@ object DedupSim {
         }
       }), scala.concurrent.duration.Duration.Inf)
     finally pool.shutdown()
+    // forensics (VERDICT r12 #1): name every measured cell on stderr
+    // so a future driver-row hash mismatch points at the exact cell,
+    // not just the 3-row card
+    cards.foreach { case (l, nc, ss, w, c, nl, ds) =>
+      System.err.println(
+        s"""GRAFT_FORENSICS x105 {"config":"$l","n_compactions":$nc,""" +
+          s""""segs_at_serve":$ss,"rows_written":$w,""" +
+          s""""rows_composed":$c,"n_live":$nl,"live_docid_sum":$ds}""")
+    }
     import s.implicits._
     cards.toDF("config", "n_compactions", "segs_at_serve",
         "rows_written", "rows_composed", "n_live", "live_docid_sum")
@@ -4068,10 +4232,14 @@ object DedupSim {
       .createTempDirectory("graft_w12_sp").toString
     val proot = java.nio.file.Files
       .createTempDirectory("graft_w12_pq").toString
-    val docs = Tables.fanout(Tables.documents(s, d)).cut(false)
-    val tf = SparseIndex.termFreqs(docs).cut(false)
+    // EAGER cuts: all three shared inputs materialize BEFORE par()'s
+    // thread pairs touch them — same determinism-under-concurrency
+    // hardening as x105 (VERDICT r12 #1; this query shares the
+    // pool-over-lazy-cut pattern that flaked there)
+    val docs = Tables.fanout(Tables.documents(s, d)).cut()
+    val tf = SparseIndex.termFreqs(docs).cut()
     val e = AnnIndex.prep(Tables.fanout(Tables.embeddings(s, d)))
-      .cut(false) // base build, two shards, query slice, rerank
+      .cut() // base build, two shards, query slice, rerank
     // the two layouts are independent (own roots, own manifests) —
     // every lifecycle phase runs them on parallel driver threads (the
     // writeOrdered discipline; the online deployment's two sinks are
@@ -5709,6 +5877,7 @@ object DedupSim {
     QueryDef("x02_dedup_minhash_lsh", Some(x02Sql), x02),
     QueryDef("x03_simhash16", Some(x03Sql), x03),
     QueryDef("x03_simhash_pairs", None, x03b),
+    QueryDef("x106_simhash_contract", Some(x106Sql), x106),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),

@@ -2153,6 +2153,9 @@ object TextOps {
       tf.filter(col("doc_id") % 3 === 2))
     SparseSegments.appendSeg(s, root,
       tf.filter(col("doc_id") % 3 === 0))
+    // maxSegs=2 PINNED (not SegmentOps.DefaultMaxSegs=4): this fixed,
+    // certified script exercises a mid-script compaction flip, which
+    // the measured default would never fire at 2 batches (x105)
     if (SegmentOps.shouldCompact(s, root, maxSegs = 2) ||
         SparseSegments.dirtyBucketFraction(s, root) >= 0.5)
       SparseSegments.compactInPlace(s, root)

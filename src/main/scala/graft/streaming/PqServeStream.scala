@@ -168,7 +168,17 @@ object PqServeStream {
   // --------------------------------------------------------------------
 
   /** [[candidates]] plus the per-row exact L2 against `vecs`
-    * (vec_id, emb — the same relation the batch refine joins). */
+    * (vec_id, emb — the same relation the batch refine joins).
+    *
+    * PRECONDITION (ADVICE r12): `vecs` must cover EVERY indexed
+    * vec_id. The inner join here runs BEFORE the fold, so a scanned
+    * candidate missing from `vecs` is dropped pre-heap (the next ADC
+    * candidate silently promotes) and excluded from n_scanned —
+    * whereas batch PqIndex.serveRefined counts it in n_scanned and
+    * cuts the ADC top-refineK before its refine join. Stream ≡ batch
+    * (the spec-pinned bit-exactness) only under full coverage; a
+    * partial refine relation diverges silently, so validate coverage
+    * upstream rather than relying on the twin check to catch it. */
   def candidatesRefined(queries: DataFrame, idx: PqIndex.Index,
       vecs: DataFrame, nprobe: Int = graft.etl.AnnIndex.Probes)
       : Dataset[CandR] = {

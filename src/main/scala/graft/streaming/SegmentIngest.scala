@@ -37,6 +37,19 @@ import graft.etl.SegmentOps
   * back to the loud path (the families' disjointness requires refuse
   * a half-replayed batch; vacuum collects the orphan).
   *
+  * RETENTION PRECONDITION (ADVICE r12): the tag probe needs the
+  * tagged dir to SURVIVE until the retry runs. If a compaction folds
+  * an un-markered batch's segment AND `vacuum(keepLast = 1)` releases
+  * it before the retry, taggedSegs comes back empty and the body
+  * re-runs: an append still fails LOUD (the folded base already holds
+  * the docs, tripping the disjointness require), but a DELETE batch
+  * would re-apply silently — harmless for the delete itself
+  * (re-tombstoning), yet it narrows exactly-once to effectively-once.
+  * Operationally: while an ingest may hold an un-markered batch, run
+  * vacuum with keepLast large enough to span a batch's
+  * publish-to-marker window (any keepLast ≥ 2 spans it, since the
+  * window closes on the very next once() call for that batch).
+  *
   * Marker writes are CREATE-EXCLUSIVE, so of two attempts racing the
   * record (Spark's documented zombie-driver foreachBatch overlap)
   * exactly one creates it — and since both attempts carry the same

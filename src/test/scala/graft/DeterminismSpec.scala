@@ -47,4 +47,50 @@ class DeterminismSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, old)
   }
+
+  // ---------------------------------------------------------------
+  // Determinism UNDER LOAD — the gate class the per-registration
+  // pipeline was missing (VERDICT r12 #1/#7): every other gate runs a
+  // query ONCE, so a low-frequency nondeterminism (the r12 driver-row
+  // x105 hash flake) slips through. The layout-measuring queries —
+  // the ones that build on-disk lifecycles on driver-side thread
+  // pools and measure cells back off the disk — are re-run N times
+  // WHILE a background thread keeps the session busy with unrelated
+  // queries (the driver's 8-way Verify concurrency in miniature), and
+  // every repetition must be bit-identical.
+  // ---------------------------------------------------------------
+  private val layoutMeasuring = Seq(
+    "x105_compaction_policy", // 3-config pool over a shared cut input
+    "w12_online_funnel")      // par() pairs over three shared cut inputs
+
+  test("layout-measuring queries are bit-identical across repeated " +
+      "runs under concurrent query load") {
+    val reps = 3
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // ambient load: an unrelated mix cycling on a background thread
+    val noise = Seq("a01_daily_user_rollup", "q09_topk_time_window",
+      "x01_dedup_exact")
+    val loader = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        SparkEntry.queries(noise(i % noise.size))(spark, sf).collect()
+        i += 1
+      }
+    })
+    loader.setDaemon(true)
+    loader.start()
+    try layoutMeasuring.foreach { name =>
+      val runs = (1 to reps).map(_ =>
+        SparkEntry.queries(name)(spark, sf).collect().toSeq
+          .map(_.toSeq))
+      runs.sliding(2).foreach { case Seq(a, b) =>
+        assert(a == b,
+          s"$name drifted between repetitions under load — " +
+            "the determinism-under-load gate is red")
+      }
+    } finally {
+      stop.set(true)
+      loader.join(30000)
+    }
+  }
 }

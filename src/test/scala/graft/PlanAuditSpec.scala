@@ -99,6 +99,10 @@ class PlanAuditSpec extends SparkSpec {
       "probe relation — the same fixed 16-row coarse codebook and " +
       "8-row PQ books broadcast, the same unhinted LUTs/truth slice, " +
       "the same documented brute-force truth cartesian"),
+    "x106_simhash_contract" -> ("the exact-Hamming truth leg is a " +
+      "deliberate cross-join over the mod-sampled slice — absolutely " +
+      "bounded by the modulus (x05's documented bounded-slice " +
+      "pattern); the banded legs and the miss audit are keyed joins"),
     "x05_knn_cosine" -> ("documented brute-force recall baseline: the " +
       "query slice is joined unkeyed against the corpus on purpose"),
     "x05_knn_lsh" -> ("plane-index relation: ≤ floor(log2 n)+2 rows " +

@@ -199,6 +199,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x51_minhash_error" -> 11,
     "x03_simhash16" -> 3,
     "x03_simhash_pairs" -> 6,
+    // card query: the contract legs run as driver-side bounded
+    // actions (x105's pattern); the returned 1-row card plans none
+    "x106_simhash_contract" -> 0,
     "x04_ngram_jaccard" -> 12,
     "x05_knn_cosine" -> 4,
     "x05_knn_lsh" -> 10,

@@ -105,6 +105,58 @@ class SegmentCasSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent compaction"))
   }
 
+  test("a reader composes segments in NUMBER order whatever order the CAS recorded them") {
+    // ADVICE r12 (medium): concurrent recordSegInManifest writers can
+    // land lines out of segment-number order, and scopedUnion scopes
+    // tombstones by list POSITION — a delete recorded after a
+    // later-numbered append must still scope only over what was
+    // PUBLISHED before it (its number), or the append is wrongly
+    // masked. readManifest's sort is the fix; this pins it.
+    val root = tmpRoot("graft_cas_order")
+    SegmentOps.publishManifest(spark, root, "base", Seq.empty)
+    SegmentOps.recordSegInManifest(spark, root, "seg=1-a") // append 1st
+    SegmentOps.recordSegInManifest(spark, root, "seg=0-d") // delete 2nd
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(_._1) == Seq(0, 1),
+      "snapshot must order segments by number (publication order), " +
+        s"got ${snap.segs.map(_._2)}")
+  }
+
+  private def plantClaim(root: String, v: Int, ageMs: Long): Unit = {
+    val claim = new org.apache.hadoop.fs.Path(s"$root/manifest/claim_$v")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(claim, true).close()
+    fs.setTimes(claim, System.currentTimeMillis() - ageMs, -1)
+  }
+
+  test("a crashed claimant's stale claim is stolen after the TTL; a fresh claim still blocks") {
+    val root = tmpRoot("graft_cas_steal")
+    SegmentOps.publishManifest(spark, root, "base", Seq.empty)
+    // fresh claim (a live writer): the CAS loses cleanly, steals nothing
+    plantClaim(root, 2, ageMs = 0L)
+    assert(SegmentOps.tryPublishManifest(spark, root, 1, "base",
+      Seq("seg=0-a")).isEmpty)
+    assert(SegmentOps.resolveSnapshot(spark, root).version == 1)
+    // backdate it past the TTL: the next writer steals and publishes
+    plantClaim(root, 2, ageMs = SegmentOps.claimTtlMs(spark) + 60000L)
+    assert(SegmentOps.tryPublishManifest(spark, root, 1, "base",
+      Seq("seg=0-a")).contains(2))
+    assert(SegmentOps.resolveSnapshot(spark, root).segs.map(_._2)
+      == Seq("seg=0-a"))
+  }
+
+  test("recordSegInManifest heals through an orphan claim instead of crash-looping") {
+    // ADVICE r12 (low): pre-steal, a claim orphaned by a hard crash
+    // blocked its version forever — every later record spun the CAS
+    // loop and threw until an operator deleted the claim by hand
+    val root = tmpRoot("graft_cas_orphan")
+    SegmentOps.publishManifest(spark, root, "base", Seq.empty)
+    plantClaim(root, 2, ageMs = SegmentOps.claimTtlMs(spark) + 60000L)
+    SegmentOps.recordSegInManifest(spark, root, "seg=0-a")
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.version == 2 && snap.segs.map(_._2) == Seq("seg=0-a"))
+  }
+
   test("manifest debris fails loud by name") {
     val root = tmpRoot("graft_cas_debris")
     SegmentOps.publishManifest(spark, root, "base", Seq.empty)
