@@ -519,16 +519,23 @@ object DedupSim {
   // ---------------------------------------------------------------------
   private val X106SliceMod = 23
 
+  /** Planted-twin id offset: ≡ 0 (mod [[X106SliceMod]]) so a twin
+    * shares its origin's slice residue WITHOUT assuming dense ids
+    * (sf1's doc_ids are sparse, up to ~9e7 — any fold-by-range trick
+    * breaks there), and far beyond every real or near-dup id so twins
+    * never collide. */
+  private val X106TwinOffset = 2300000000L
+
   private def x106(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val twins = docs.filter(col("doc_id") % X106SliceMod === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + X106TwinOffset).as("doc_id"), col("text"))
     val sigs = Tables.fanout(minhashCorpus(s, d).unionByName(twins))
       .withColumn("sig",
         graft.functions.SimHash64(split(col("text"), " ")))
       .cut(false)
     val slice = sigs
-      .filter((col("doc_id") % 1000000L) % X106SliceMod === 0)
+      .filter(col("doc_id") % X106SliceMod === 0)
       .cut(false)
     val a = slice.select(col("doc_id").as("doc_a"),
       col("sig").as("sig_a"))
@@ -539,19 +546,14 @@ object DedupSim {
       .filter(col("hamming") <= 3)
       .cut(false)
     // theorem gate: un-capped banding over the slice, both directions
-    val nocap = simhashBandedPairs(slice, None)
-    val theoremHolds =
-      truth.join(nocap, Seq("doc_a", "doc_b"), "left_anti").isEmpty &&
-        nocap.join(truth, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+    val nocap = simhashBandedPairs(slice, None).cut(false)
     // production gate: the capped full-corpus pipeline (x03b's shape)
     val prod = simhashBandedPairs(sigs, Some(SimhashBucketCap))
-      .cut(false)
     val sliceIds = slice.select(col("doc_id")).cut(false)
     val prodSlice = prod
       .join(sliceIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(sliceIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-    val foundSubset =
-      prodSlice.join(truth, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+      .cut(false)
     // every miss explained by the cap: each band the pair agrees on
     // sat in an over-cap bucket of the FULL-corpus banding
     val missed = truth
@@ -576,30 +578,46 @@ object DedupSim {
       .agg(min(when(col("oc_val").isNotNull, 1).otherwise(0))
         .as("all_capped"))
       .filter(col("all_capped") === 0)
-    val capMissesExplained = unexplained.isEmpty
     // never-vacuous gate: every planted exact twin lands in truth at
     // Hamming 0
     val twinPairs = twins
-      .select((col("doc_id") - 2000000L).as("doc_a"),
+      .select((col("doc_id") - X106TwinOffset).as("doc_a"),
         col("doc_id").as("doc_b"))
-    val truthCoversPlanted = twinPairs
-      .join(truth.filter(col("hamming") === 0), Seq("doc_a", "doc_b"),
-        "left_anti").isEmpty
-    import s.implicits._
-    Seq((slice.count(), twinPairs.count(), truthCoversPlanted,
-        theoremHolds, foundSubset, capMissesExplained))
-      .toDF("n_slice_docs", "n_planted_twin_pairs",
-        "truth_covers_planted", "theorem_holds", "found_subset_truth",
-        "cap_misses_explained")
+    // assemble the card as ONE composed plan (the a17/q14 scalar
+    // crossJoin pattern — every 1-row census below is 1×1 by
+    // construction): a single job evaluates the legs in parallel
+    // stages instead of seven sequential driver actions (measured
+    // 12 s → ~5 s at sf0.1), and the lazy cuts above dedupe the
+    // shared legs within it
+    def c1(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    c1(slice, "n_slice_docs")
+      .crossJoin(c1(twinPairs, "n_planted_twin_pairs"))
+      .crossJoin(c1(twinPairs.join(truth.filter(col("hamming") === 0),
+        Seq("doc_a", "doc_b"), "left_anti"), "n_twin_missing"))
+      .crossJoin(c1(truth.join(nocap, Seq("doc_a", "doc_b"),
+        "left_anti"), "n_thm_missing"))
+      .crossJoin(c1(nocap.join(truth, Seq("doc_a", "doc_b"),
+        "left_anti"), "n_thm_extra"))
+      .crossJoin(c1(prodSlice.join(truth, Seq("doc_a", "doc_b"),
+        "left_anti"), "n_found_outside_truth"))
+      .crossJoin(c1(unexplained, "n_unexplained"))
+      .select(col("n_slice_docs"), col("n_planted_twin_pairs"),
+        (col("n_twin_missing") === 0).as("truth_covers_planted"),
+        (col("n_thm_missing") === 0 && col("n_thm_extra") === 0)
+          .as("theorem_holds"),
+        (col("n_found_outside_truth") === 0).as("found_subset_truth"),
+        (col("n_unexplained") === 0).as("cap_misses_explained"))
   }
-  /** The oracle recomputes the two counts from corpus arithmetic
-    * (slice = originals % 23 + ALL their exact twins + the planted
-    * near-dups whose origin is in the slice — ids fold by % 1e6) and
-    * asserts the four contract booleans TRUE. */
+  /** The oracle recomputes the two counts from corpus arithmetic —
+    * slice rows = originals ≡ 0 (mod 23) + each one's exact twin
+    * (offset ≡ 0 mod 23, so twins share the residue) + the planted
+    * near-dups landing on the residue (+1e6 ≡ 6 mod 23, so origin
+    * ≡ 17) — and asserts the four contract booleans TRUE. */
   private val x106Sql =
     s"""SELECT
        |  (SELECT CAST(2 * COUNT(*) FILTER (WHERE doc_id % $X106SliceMod = 0)
-       |     + COUNT(*) FILTER (WHERE doc_id % $X106SliceMod = 0
+       |     + COUNT(*) FILTER (WHERE doc_id % $X106SliceMod = 17
        |                          AND doc_id % 10 = 0) AS BIGINT)
        |   FROM documents) AS n_slice_docs,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents

@@ -60,8 +60,12 @@ class DeterminismSpec extends SparkSpec {
   // every repetition must be bit-identical.
   // ---------------------------------------------------------------
   private val layoutMeasuring = Seq(
-    "x105_compaction_policy", // 3-config pool over a shared cut input
-    "w12_online_funnel")      // par() pairs over three shared cut inputs
+    "x105_compaction_policy",  // 3-config pool over a shared cut input
+    "w12_online_funnel",       // par() pairs over three shared cut inputs
+    "w08_nightly_ingest",      // four families' append/retraction cards
+    "w09_segment_lifecycle",   // sparse nightly: measured from disk
+    "w10_pq_lifecycle",        // dense nightly: measured from disk
+    "w11_minhash_lifecycle")   // minhash nightly: measured from disk
 
   test("layout-measuring queries are bit-identical across repeated " +
       "runs under concurrent query load") {

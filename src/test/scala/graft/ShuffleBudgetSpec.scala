@@ -199,9 +199,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x51_minhash_error" -> 11,
     "x03_simhash16" -> 3,
     "x03_simhash_pairs" -> 6,
-    // card query: the contract legs run as driver-side bounded
-    // actions (x105's pattern); the returned 1-row card plans none
-    "x106_simhash_contract" -> 0,
+    // one composed card plan (the a17/q14 scalar-crossJoin pattern):
+    // 7 census legs over the lazily-cut sigs/slice/truth/banding
+    // relations — each leg's agg+anti-join shuffles count once
+    "x106_simhash_contract" -> 18,
     "x04_ngram_jaccard" -> 12,
     "x05_knn_cosine" -> 4,
     "x05_knn_lsh" -> 10,
