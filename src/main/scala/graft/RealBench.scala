@@ -32,6 +32,18 @@ object RealBench {
       .config("spark.local.dir", GraftSession.localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the warehouse write is many small hive-partitioned files on a
+      // syscall-expensive microVM: direct task commits (v2) + no
+      // _SUCCESS markers halve the rename/create traffic. Fine HERE
+      // because a failed bench run is discarded wholesale; the
+      // engine's own segment publications don't rely on the committer
+      // (publishSeg's tmp+rename is atomicity at the bundle level)
+      .config(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config(
+        "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tSession = (System.nanoTime() - t0) / 1e9
