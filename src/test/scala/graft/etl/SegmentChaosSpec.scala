@@ -224,8 +224,20 @@ class SegmentChaosSpec extends SparkSpec {
             s"$root/${SegmentOps.nextBaseDir(snap)}/junk"))
         }
         compact(root)
+        // vacuum under the schedule, honoring the self-heal retention
+        // precondition (SegmentIngest doc): keepLast ≥ 2 spans any
+        // un-markered batch's publish-to-marker window, so releasing
+        // the superseded generation here must never break a later heal
+        if (rng.nextBoolean())
+          SegmentOps.vacuum(spark, root, keepLast = 2)
       }
       runBatch(fam, root, 0L, kills(0))(t => fam.append(root, 1, t))
+      // mid-schedule serve on a seeded coin: the layout must already
+      // equal the oracle BETWEEN batches, not only at the end
+      if (rng.nextBoolean())
+        assert(fam.layoutKey(root) == fam.oracleKey(Seq(1), false),
+          s"$ctx kills=${kills.mkString(",")}: mid-schedule serve " +
+            "drifted after batch 0's heal")
       maybeCompact()
       runBatch(fam, root, 1L, kills(1))(t => fam.append(root, 2, t))
       maybeCompact()
