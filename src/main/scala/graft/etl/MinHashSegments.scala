@@ -148,6 +148,63 @@ object MinHashSegments {
     writeSeg(s, deleteSegOf(read(s, root), docIds), root, n, 'd', tag)
   }
 
+  /** TIERED compaction: fold the `k` OLDEST segments of the current
+    * snapshot into ONE merged segment — cost O(sum of the folded
+    * segments' rows), never O(live). This is the LSM move that makes
+    * full base folds RARE at scale: a 100 TB base is never rewritten
+    * for nightly churn; only the young deltas merge. Soundness of the
+    * range-merge algebra (TieredMergeSpec pins each clause):
+    *
+    *  - merged adds = the range's own scoped union over an EMPTY base
+    *    (segment i's tombs mask range adds j < i — delete-then-revise
+    *    WITHIN the range collapses to the revision);
+    *  - merged tombs = the union of the range's tombs (each masked
+    *    base + earlier-range adds; the latter is baked into the adds,
+    *    so at the merged segment's position — FIRST, before every
+    *    survivor — they mask exactly the base, as before);
+    *  - survivors keep their numbers and positions: their tombs still
+    *    mask base + merged adds, their adds still win over merged
+    *    tombs (scoping is positional and the merged segment reuses
+    *    the range's HIGHEST number, so number-sorted reads place it
+    *    exactly at the range's slot).
+    *
+    * Publication is crash-safe in two atomic steps: the merged bundle
+    * lands under `seg=<n>-m-g<v>` WITHOUT a manifest record
+    * ([[SegmentOps.publishSegDir]]), then one CAS flip swaps the
+    * folded prefix for it ([[SegmentOps.flipMerged]] — concurrent
+    * appends carry, concurrent folds fail loud). A crash between the
+    * two leaves an unreferenced dir that [[SegmentOps.vacuum]]
+    * collects; the folded originals stay on disk (old snapshots keep
+    * replaying) until vacuum releases them with their versions. */
+  def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    require(snap.version > 0,
+      "MinHashSegments.mergeSegs: tiered merge requires a manifest " +
+        "(directory-enumeration layouts cannot hold two dirs per " +
+        "segment number)")
+    require(k >= 2 && k <= snap.segs.size,
+      s"MinHashSegments.mergeSegs: k=$k outside 2..${snap.segs.size}")
+    val range = snap.segs.take(k)
+    val segs = range.map { case (_, d, kd) => readSeg(s, root, d, kd) }
+    val addsM = SegmentOps.scopedUnion(
+      SegmentOps.emptyLike(segs.head.sigsAdd),
+      segs.map(_.sigsAdd), segs.map(_.tombs), "doc_id")
+    val tombsM = segs.map(_.tombs)
+      .reduce(_ unionByName _).distinct()
+    // keep the vacuous-table elision for uniform ranges: an all-append
+    // range's merged tombs are provably empty, so publish it as kind
+    // 'a' and readers rebuild them as a statically-empty
+    // LocalRelation (join elision) instead of scanning a 0-row file
+    val kinds = range.map(_._3).toSet
+    val kind = if (kinds == Set('a')) 'a'
+      else if (kinds == Set('d')) 'd' else 'm'
+    val name = s"seg=${range.last._1}-$kind-g${snap.version + 1}"
+    SegmentOps.publishSegDir(s, root, name,
+      Seq("sigs" -> addsM, "tombs" -> tombsM))
+    SegmentOps.flipMerged(s, root, snap, k, name)
+    ()
+  }
+
   /** Fold the segments into a fresh base at `outRoot`; the signature
     * length carries over from the layout's meta table. */
   def compact(s: SparkSession, root: String, outRoot: String): Unit =

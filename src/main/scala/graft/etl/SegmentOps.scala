@@ -132,10 +132,17 @@ object SegmentOps {
           i.forall(_.isDigit) => (i.toInt, n, k.head)
       case Array(i) if i.nonEmpty && i.forall(_.isDigit) =>
         (i.toInt, n, '?') // untagged legacy dir — read in full
+      // a MERGED segment (tiered compaction): seg=<n>-m-g<v> — the
+      // number is the merged range's HIGHEST (so number-sorted reads
+      // keep it at the range's scope position), the g<v> suffix makes
+      // the dir name unique while the folded originals await vacuum
+      case Array(i, k, g) if k.length == 1 && i.nonEmpty &&
+          i.forall(_.isDigit) && g.length > 1 && g.head == 'g' &&
+          g.tail.forall(_.isDigit) => (i.toInt, n, k.head)
       case _ => throw new IllegalStateException(
         s"SegmentOps: unrecognized segment name '$n' in $where — " +
-          "expected seg=<n>-<kind> (or legacy seg=<n>); remove or " +
-          "rename the stray entry")
+          "expected seg=<n>-<kind>[-g<v>] (or legacy seg=<n>); remove " +
+          "or rename the stray entry")
     }
   }
 
@@ -557,6 +564,75 @@ object SegmentOps {
         s"${expected.mkString("{", ", ", "}")} (concurrent " +
         "publishers violate the single-writer contract)")
     recordSegInManifest(s, root, name)
+  }
+
+  /** Publish a segment bundle under an EXPLICIT dir name WITHOUT
+    * recording it in the manifest — the first half of a tiered merge
+    * ([[flipMerged]] is the atomic second half; until that CAS lands
+    * the dir is invisible to every manifest reader, and a crash in
+    * between leaves pure debris that [[vacuum]] collects because no
+    * retained version ever names it). Same tmp+rename atomicity and
+    * lost-race detector as [[publishSeg]]; no number-uniqueness check
+    * against OTHER dirs — a merged segment deliberately reuses its
+    * folded range's highest number while those originals still exist
+    * on disk (the `-g<v>` suffix keeps dir names unique). */
+  def publishSegDir(s: org.apache.spark.sql.SparkSession, root: String,
+      name: String,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    parseSegName(name, root) // fail loud on a malformed name
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_$name")
+    val fin = new org.apache.hadoop.fs.Path(s"$root/segs/$name")
+    val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(fin), s"segment dir $name already published")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // a dead writer's debris
+    graft.sources.Sources.writeOrdered(tables, tmp.toString)
+    require(fs.rename(tmp, fin),
+      s"failed to publish segment $name (rename $tmp -> $fin)")
+    val children = fs.listStatus(fin).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).toSet
+    require(children == tables.map(_._1).toSet,
+      s"segment $name publication raced another writer — $fin holds " +
+        s"${children.mkString("{", ", ", "}")} instead of " +
+        s"${tables.map(_._1).toSet.mkString("{", ", ", "}")}")
+  }
+
+  /** Flip the manifest after a TIERED MERGE: replace the `rangeLen`
+    * oldest segments of `fromSnap` (the exact prefix the merge
+    * folded) with the already-published `mergedName`. CAS loop: a
+    * concurrent APPEND records at the END of the list and is carried;
+    * a concurrent compaction (base changed) or concurrent merge (the
+    * folded prefix no longer heads the list) fails loud — folds of
+    * one layout cannot merge. Returns the published version. */
+  def flipMerged(s: org.apache.spark.sql.SparkSession, root: String,
+      fromSnap: Snapshot, rangeLen: Int, mergedName: String): Int = {
+    require(rangeLen >= 2 && rangeLen <= fromSnap.segs.size,
+      s"flipMerged: rangeLen $rangeLen outside 2..${fromSnap.segs.size}")
+    val range = fromSnap.segs.take(rangeLen).map(_._2)
+    var attempt = 0
+    var lastV = -1
+    while (attempt < CasAttempts) {
+      attempt += 1
+      val cur = resolveSnapshot(s, root)
+      lastV = cur.version + 1
+      require(cur.baseDir == fromSnap.baseDir,
+        s"SegmentOps: concurrent compaction detected under $root — " +
+          s"the base flipped from ${fromSnap.baseDir} to " +
+          s"${cur.baseDir} while this merge ran")
+      require(cur.segs.take(rangeLen).map(_._2) == range,
+        s"SegmentOps: concurrent merge detected under $root — the " +
+          s"folded prefix ${range.mkString(", ")} no longer heads " +
+          "the snapshot; only one merger may run per layout")
+      val segs = mergedName +: cur.segs.drop(rangeLen).map(_._2)
+      tryPublishManifest(s, root, cur.version, cur.baseDir, segs) match {
+        case Some(v) => return v
+        case None => Thread.sleep(10) // see recordSegInManifest
+      }
+    }
+    throw new IllegalStateException(
+      s"SegmentOps: gave up flipping merge $mergedName under $root " +
+        s"after $CasAttempts manifest CAS attempts — livelocked " +
+        s"writers, or a crashed claimant's $root/manifest/claim_$lastV " +
+        "awaiting its steal TTL (graft.manifest.claimTtlMs)")
   }
 
   private def tagFile(tag: String): String = s"tag=$tag"

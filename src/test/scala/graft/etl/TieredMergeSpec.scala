@@ -1,0 +1,163 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tiered compaction contract ([[MinHashSegments.mergeSegs]]): folding
+  * the k oldest segments into ONE merged segment must be invisible to
+  * every reader (view ≡ pre-merge ≡ re-signing the survivors), must
+  * preserve tombstone scoping across the merge boundary in BOTH
+  * directions, must cost O(folded deltas) — the base is never
+  * rewritten — and must compose with the manifest layer's concurrency
+  * and crash rules (append carries through the flip; a crash between
+  * bundle publish and flip leaves vacuum-collectable debris; old
+  * snapshots replay until vacuumed).
+  */
+class TieredMergeSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select("doc_id", "text").cache()
+
+  private def cls(i: Int): DataFrame = docs.filter(col("doc_id") % 4 === i)
+
+  private def sigKey(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def baseMtimes(root: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(p, "minhash_index"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+  }
+
+  test("merge of an append run == unmerged view == re-signing; base never rewritten") {
+    val root = tmpRoot("graft_merge_appends")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    MinHashSegments.appendSeg(spark, root, cls(1))
+    MinHashSegments.appendSeg(spark, root, cls(2))
+    MinHashSegments.appendSeg(spark, root, cls(3))
+    val before = sigKey(MinHashSegments.read(spark, root))
+    val mt0 = baseMtimes(root)
+    MinHashSegments.mergeSegs(spark, root, 2) // folds segs 0,1
+    assert(baseMtimes(root) == mt0,
+      "tiered merge must never touch base files")
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.size == 2,
+      s"expected [merged, seg2], got ${snap.segs.map(_._2)}")
+    // all-append range keeps kind 'a' (vacuous-tombs elision) and
+    // reuses the range's highest number so sorted reads keep its slot
+    assert(snap.segs.head._3 == 'a' && snap.segs.head._1 == 1,
+      s"merged entry should be (1, 'a'), got ${snap.segs.head}")
+    assert(sigKey(MinHashSegments.read(spark, root)) == before)
+    assert(before == sigKey(NearDup.signatures(docs)))
+    // folded originals stay on disk until vacuum releases them with
+    // their versions; afterwards only the named dirs remain
+    val removed = SegmentOps.vacuum(spark, root)
+    assert(removed.exists(_.contains("seg=0-a")) &&
+      removed.exists(_.contains("seg=1-a")),
+      s"vacuum must release the folded originals, removed: $removed")
+    assert(sigKey(MinHashSegments.read(spark, root)) == before)
+  }
+
+  test("tombstone scoping straddles the merge boundary both ways") {
+    // delete-then-revise WITHIN the merged range: the merge collapses
+    // it to the revision; a delete AFTER the merge still masks
+    // merged adds; base stays masked by merged tombs
+    val root = tmpRoot("graft_merge_scope")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    MinHashSegments.appendSeg(spark, root, cls(1))
+    val revIds = docs.select("doc_id")
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0)
+    MinHashSegments.deleteSeg(spark, root, revIds) // deletes base docs
+    val revised = docs.join(revIds, Seq("doc_id"), "left_semi")
+      .withColumn("text", concat(col("text"), lit(" revised")))
+    MinHashSegments.appendSeg(spark, root, revised)
+    // segs: [a(c1), d(rev), a(revised)] — merge ALL THREE: the
+    // within-range scoping must keep c1 + revised, the merged tombs
+    // must keep masking the base originals
+    MinHashSegments.mergeSegs(spark, root, 3)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(e => (e._1, e._3)) == Seq((2, 'm')),
+      s"expected one merged 'm' segment, got ${snap.segs}")
+    val corpus = cls(0).unionByName(cls(1)) // what the layout holds
+    val expect = NearDup.signatures(
+      corpus.join(revIds, Seq("doc_id"), "left_anti")
+        .unionByName(revised))
+    assert(sigKey(MinHashSegments.read(spark, root)) == sigKey(expect),
+      "delete-then-revise inside the merged range drifted")
+    // now delete some MERGED adds after the merge: the later delete
+    // segment must mask the merged segment's rows
+    val delAfter = docs.select("doc_id").filter(col("doc_id") % 4 === 1
+      && col("doc_id") % 5 === 0)
+    MinHashSegments.deleteSeg(spark, root, delAfter)
+    val expect2 = NearDup.signatures(
+      corpus.join(revIds, Seq("doc_id"), "left_anti")
+        .unionByName(revised)
+        .join(delAfter, Seq("doc_id"), "left_anti"))
+    assert(sigKey(MinHashSegments.read(spark, root)) == sigKey(expect2),
+      "a post-merge delete failed to mask merged adds")
+  }
+
+  test("repeated merges re-fold a merged segment; old snapshots replay until vacuumed") {
+    val root = tmpRoot("graft_merge_repeat")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    MinHashSegments.appendSeg(spark, root, cls(1))
+    MinHashSegments.appendSeg(spark, root, cls(2))
+    MinHashSegments.mergeSegs(spark, root, 2) // m1 = c1+c2 at n=1
+    val vAfterFirst = SegmentOps.resolveSnapshot(spark, root).version
+    MinHashSegments.appendSeg(spark, root, cls(3))
+    MinHashSegments.mergeSegs(spark, root, 2) // m2 = m1+c3 at n=2
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.size == 1 && snap.segs.head._1 == 2)
+    assert(sigKey(MinHashSegments.read(spark, root))
+      == sigKey(NearDup.signatures(docs)))
+    // time travel to the first merge's snapshot still replays
+    assert(sigKey(MinHashSegments.readAt(spark, root, vAfterFirst))
+      == sigKey(NearDup.signatures(
+        docs.filter(col("doc_id") % 4 =!= 3))))
+  }
+
+  test("a concurrent append carries through the merge flip; a concurrent merge fails loud") {
+    val root = tmpRoot("graft_merge_carry")
+    SegmentOps.publishManifest(spark, root, "base",
+      Seq("seg=0-a", "seg=1-a", "seg=2-a"))
+    val from = SegmentOps.resolveSnapshot(spark, root)
+    // an append lands between the fold and the flip
+    SegmentOps.recordSegInManifest(spark, root, "seg=3-a")
+    val v = SegmentOps.flipMerged(spark, root, from, 2, "seg=1-a-g2")
+    val snap = SegmentOps.resolveSnapshotAt(spark, root, v)
+    assert(snap.segs.map(_._2) == Seq("seg=1-a-g2", "seg=2-a", "seg=3-a"),
+      s"carry failed: ${snap.segs.map(_._2)}")
+    // a second merger that folded the SAME prefix must refuse — the
+    // prefix no longer heads the snapshot
+    val e = intercept[IllegalArgumentException](
+      SegmentOps.flipMerged(spark, root, from, 2, "seg=1-a-g9"))
+    assert(e.getMessage.contains("concurrent merge"))
+  }
+
+  test("a crash between bundle publish and flip leaves vacuum-collectable debris") {
+    val root = tmpRoot("graft_merge_crash")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    MinHashSegments.appendSeg(spark, root, cls(1))
+    MinHashSegments.appendSeg(spark, root, cls(2))
+    val before = sigKey(MinHashSegments.read(spark, root))
+    // the crashed merge: bundle published, flip never ran
+    SegmentOps.publishSegDir(spark, root, "seg=1-a-g2",
+      Seq("sigs" -> NearDup.signatures(cls(1).unionByName(cls(2))),
+        "tombs" -> SegmentOps.emptyLike(docs.select("doc_id"))))
+    // invisible to readers (no manifest names it)
+    assert(SegmentOps.resolveSnapshot(spark, root).segs.map(_._2)
+      == Seq("seg=0-a", "seg=1-a"))
+    assert(sigKey(MinHashSegments.read(spark, root)) == before)
+    // vacuum collects the orphan, the retry merges cleanly
+    val removed = SegmentOps.vacuum(spark, root)
+    assert(removed.exists(_.contains("seg=1-a-g2")),
+      s"orphan merged dir not collected: $removed")
+    MinHashSegments.mergeSegs(spark, root, 2)
+    assert(sigKey(MinHashSegments.read(spark, root)) == before)
+  }
+}
