@@ -176,15 +176,29 @@ object MinHashSegments {
     * two leaves an unreferenced dir that [[SegmentOps.vacuum]]
     * collects; the folded originals stay on disk (old snapshots keep
     * replaying) until vacuum releases them with their versions. */
-  def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit = {
+  def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit =
+    mergeSegsAt(s, root, 0, k)
+
+  /** TIERED compaction of an ARBITRARY contiguous range: fold the `k`
+    * segments starting at snapshot position `from` into one merged
+    * segment. The range-merge algebra is positional ([[mergeSegs]]'s
+    * doc; [[SegmentOps.flipMergedAt]] for why any contiguous range is
+    * sound): survivors on BOTH sides keep their positions, so a later
+    * survivor's tombs still mask merged adds and merged tombs still
+    * mask everything before the range. The mid-range form is what
+    * lets [[SegmentOps.tieredPlan]]'s schedule skip a standing merged
+    * segment and fold only the young churn behind it. */
+  def mergeSegsAt(s: SparkSession, root: String, from: Int, k: Int)
+      : Unit = {
     val snap = SegmentOps.resolveSnapshot(s, root)
     require(snap.version > 0,
-      "MinHashSegments.mergeSegs: tiered merge requires a manifest " +
+      "MinHashSegments.mergeSegsAt: tiered merge requires a manifest " +
         "(directory-enumeration layouts cannot hold two dirs per " +
         "segment number)")
-    require(k >= 2 && k <= snap.segs.size,
-      s"MinHashSegments.mergeSegs: k=$k outside 2..${snap.segs.size}")
-    val range = snap.segs.take(k)
+    require(from >= 0 && k >= 2 && from + k <= snap.segs.size,
+      s"MinHashSegments.mergeSegsAt: range [$from, ${from + k}) " +
+        s"outside the snapshot's ${snap.segs.size} segments (k >= 2)")
+    val range = snap.segs.slice(from, from + k)
     val segs = range.map { case (_, d, kd) => readSeg(s, root, d, kd) }
     val addsM = SegmentOps.scopedUnion(
       SegmentOps.emptyLike(segs.head.sigsAdd),
@@ -201,9 +215,20 @@ object MinHashSegments {
     val name = s"seg=${range.last._1}-$kind-g${snap.version + 1}"
     SegmentOps.publishSegDir(s, root, name,
       Seq("sigs" -> addsM, "tombs" -> tombsM))
-    SegmentOps.flipMerged(s, root, snap, k, name)
+    SegmentOps.flipMergedAt(s, root, snap, from, k, name)
     ()
   }
+
+  /** [[SegmentOps.tieredMaintainWith]] instantiated for this family:
+    * the leveled schedule to quiescence, base never touched; pair
+    * with [[SegmentOps.shouldCompact]] + [[compactInPlace]] for the
+    * rare full fold. Returns the number of merges performed. */
+  def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
+      fanout: Int = 4, ratio: Double = 1.5): Int =
+    SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
+      d => s.read.parquet(s"$root/segs/$d/sigs").count() +
+        s.read.parquet(s"$root/segs/$d/tombs").count(),
+      mergeSegsAt(s, root, _, _))
 
   /** Fold the segments into a fresh base at `outRoot`; the signature
     * length carries over from the layout's meta table. */

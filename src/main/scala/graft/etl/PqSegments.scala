@@ -127,6 +127,64 @@ object PqSegments {
     writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n, 'd', tag)
   }
 
+  /** TIERED compaction: fold the `k` oldest segments into ONE merged
+    * segment — the prefix special case of [[mergeSegsAt]]. */
+  def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit =
+    mergeSegsAt(s, root, 0, k)
+
+  /** TIERED compaction of an arbitrary contiguous range — the dense
+    * family's twin of [[MinHashSegments.mergeSegsAt]], same positional
+    * algebra applied to BOTH per-row tables (cells and codes share the
+    * vec_id key, so one range's scoped union folds each): merged adds
+    * = the range's own scoped union over an empty base (within-range
+    * delete-then-revise collapses to the revision), merged tombs = the
+    * range's tomb union (at the range's slot they mask exactly what
+    * the range masked: base + every earlier position), survivors on
+    * both sides keep their scoping. Books stay FROZEN — a merge, like
+    * a compaction, never retrains. Crash-safe in two atomic steps
+    * ([[SegmentOps.publishSegDir]] then [[SegmentOps.flipMergedAt]]);
+    * a crash between them leaves vacuum-collectable debris. */
+  def mergeSegsAt(s: SparkSession, root: String, from: Int, k: Int)
+      : Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    require(snap.version > 0,
+      "PqSegments.mergeSegsAt: tiered merge requires a manifest " +
+        "(directory-enumeration layouts cannot hold two dirs per " +
+        "segment number)")
+    require(from >= 0 && k >= 2 && from + k <= snap.segs.size,
+      s"PqSegments.mergeSegsAt: range [$from, ${from + k}) outside " +
+        s"the snapshot's ${snap.segs.size} segments (k >= 2)")
+    val range = snap.segs.slice(from, from + k)
+    val segs = range.map { case (_, d, kd) => readSeg(s, root, d, kd) }
+    val tombsSeq = segs.map(_.tombs)
+    val cellsM = SegmentOps.scopedUnion(
+      SegmentOps.emptyLike(segs.head.cellsAdd),
+      segs.map(_.cellsAdd), tombsSeq, "vec_id")
+    val codesM = SegmentOps.scopedUnion(
+      SegmentOps.emptyLike(segs.head.codesAdd),
+      segs.map(_.codesAdd), tombsSeq, "vec_id")
+    val tombsM = tombsSeq.reduce(_ unionByName _).distinct()
+    val kinds = range.map(_._3).toSet
+    val kind = if (kinds == Set('a')) 'a'
+      else if (kinds == Set('d')) 'd' else 'm'
+    val name = s"seg=${range.last._1}-$kind-g${snap.version + 1}"
+    SegmentOps.publishSegDir(s, root, name,
+      Seq("cells" -> cellsM, "codes" -> codesM, "tombs" -> tombsM))
+    SegmentOps.flipMergedAt(s, root, snap, from, k, name)
+    ()
+  }
+
+  /** [[SegmentOps.tieredMaintainWith]] instantiated for this family:
+    * the leveled schedule to quiescence, base never touched; pair
+    * with [[SegmentOps.shouldCompact]] + [[compactInPlace]] for the
+    * rare full fold. Returns the number of merges performed. */
+  def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
+      fanout: Int = 4, ratio: Double = 1.5): Int =
+    SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
+      d => Seq("cells", "codes", "tombs")
+        .map(t => s.read.parquet(s"$root/segs/$d/$t").count()).sum,
+      mergeSegsAt(s, root, _, _))
+
   /** Fold the segments into a fresh base at `outRoot` (the books and
     * coarse codebook pass through FROZEN — compaction never retrains).
     * Swapping `outRoot` in for `root` is the caller's pointer flip. */

@@ -596,18 +596,35 @@ object SegmentOps {
         s"${tables.map(_._1).toSet.mkString("{", ", ", "}")}")
   }
 
-  /** Flip the manifest after a TIERED MERGE: replace the `rangeLen`
-    * oldest segments of `fromSnap` (the exact prefix the merge
-    * folded) with the already-published `mergedName`. CAS loop: a
-    * concurrent APPEND records at the END of the list and is carried;
-    * a concurrent compaction (base changed) or concurrent merge (the
-    * folded prefix no longer heads the list) fails loud — folds of
-    * one layout cannot merge. Returns the published version. */
+  /** Flip the manifest after a TIERED MERGE of the `rangeLen` oldest
+    * segments — the prefix special case of [[flipMergedAt]]. */
   def flipMerged(s: org.apache.spark.sql.SparkSession, root: String,
-      fromSnap: Snapshot, rangeLen: Int, mergedName: String): Int = {
-    require(rangeLen >= 2 && rangeLen <= fromSnap.segs.size,
-      s"flipMerged: rangeLen $rangeLen outside 2..${fromSnap.segs.size}")
-    val range = fromSnap.segs.take(rangeLen).map(_._2)
+      fromSnap: Snapshot, rangeLen: Int, mergedName: String): Int =
+    flipMergedAt(s, root, fromSnap, 0, rangeLen, mergedName)
+
+  /** Flip the manifest after a TIERED MERGE: replace the `rangeLen`
+    * segments of `fromSnap` starting at position `from` (the exact
+    * contiguous range the merge folded) with the already-published
+    * `mergedName`. The range-merge algebra is POSITIONAL, so any
+    * contiguous range is sound, not just the oldest prefix: the
+    * merged segment reuses the range's highest number, number-sorted
+    * reads keep it at the range's slot, its tombs mask exactly what
+    * the range's tombs masked outside the range (base + every earlier
+    * position), and survivors on both sides keep their positions —
+    * tombs after the range still mask merged adds, adds before it are
+    * still masked by merged tombs. CAS loop: a concurrent APPEND
+    * records at the END of the list and is carried; a concurrent
+    * compaction (base changed) or concurrent merge (the folded range
+    * no longer sits at its positions) fails loud — folds of one
+    * layout cannot merge. Returns the published version. */
+  def flipMergedAt(s: org.apache.spark.sql.SparkSession, root: String,
+      fromSnap: Snapshot, from: Int, rangeLen: Int,
+      mergedName: String): Int = {
+    require(from >= 0 && rangeLen >= 2 &&
+        from + rangeLen <= fromSnap.segs.size,
+      s"flipMergedAt: range [$from, ${from + rangeLen}) outside the " +
+        s"snapshot's ${fromSnap.segs.size} segments (rangeLen >= 2)")
+    val range = fromSnap.segs.slice(from, from + rangeLen).map(_._2)
     var attempt = 0
     var lastV = -1
     while (attempt < CasAttempts) {
@@ -618,11 +635,13 @@ object SegmentOps {
         s"SegmentOps: concurrent compaction detected under $root — " +
           s"the base flipped from ${fromSnap.baseDir} to " +
           s"${cur.baseDir} while this merge ran")
-      require(cur.segs.take(rangeLen).map(_._2) == range,
+      require(cur.segs.slice(from, from + rangeLen).map(_._2) == range,
         s"SegmentOps: concurrent merge detected under $root — the " +
-          s"folded prefix ${range.mkString(", ")} no longer heads " +
-          "the snapshot; only one merger may run per layout")
-      val segs = mergedName +: cur.segs.drop(rangeLen).map(_._2)
+          s"folded range ${range.mkString(", ")} no longer sits at " +
+          s"positions [$from, ${from + rangeLen}); only one merger " +
+          "may run per layout")
+      val segs = (cur.segs.take(from).map(_._2) :+ mergedName) ++
+        cur.segs.drop(from + rangeLen).map(_._2)
       tryPublishManifest(s, root, cur.version, cur.baseDir, segs) match {
         case Some(v) => return v
         case None => Thread.sleep(10) // see recordSegInManifest
@@ -633,6 +652,118 @@ object SegmentOps {
         s"after $CasAttempts manifest CAS attempts — livelocked " +
         s"writers, or a crashed claimant's $root/manifest/claim_$lastV " +
         "awaiting its steal TTL (graft.manifest.claimTtlMs)")
+  }
+
+  /** True iff a segment dir name is a MERGED segment (published by a
+    * tiered merge — the `-g<v>` third component). */
+  def isMergedName(dirName: String): Boolean =
+    dirName.stripPrefix("seg=").split("-").length == 3
+
+  /** One segment's planning stats: whether it was produced by a
+    * tiered merge, and its total row count (adds + tombs). `rows` is
+    * consulted ONLY by the merged-run rule — callers that cannot fire
+    * it (fewer than `fanout` contiguous merged segments) may pass 0
+    * without measuring anything. */
+  final case class SegStat(isMerged: Boolean, rows: Long)
+
+  /** Pure size-tiered merge planner (the LSM schedule). Returns the
+    * contiguous range `(from, len)` the next tiered merge should
+    * fold, or None when the layout is in shape.
+    *
+    * Rule 1 — the NIGHTLY rule, structural (no sizes consulted):
+    * merge the oldest maximal run of >= `minRun` contiguous FRESH
+    * (never-merged) segments. A night's deltas are peers; the
+    * standing merged segment is deliberately NEVER re-absorbed by
+    * nightly churn — that re-absorption is exactly the naive
+    * merge-oldest-k trap the x107 card measured at ~3.5x the fold's
+    * write amplification (each night rewrites everything already
+    * merged).
+    *
+    * Rule 2 — the GEOMETRIC rule: when no fresh run exists, merge the
+    * oldest maximal run of >= `fanout` contiguous MERGED segments
+    * whose sizes all sit within `ratio` (max/min rows). Each such
+    * fold multiplies the survivor's size by ~`fanout`, and the size
+    * guard keeps a freshly-merged small segment from dragging a
+    * long-standing large one back into churn — so a row is rewritten
+    * O(log_fanout n) times over the layout's life, the LSM bound.
+    *
+    * Neither rule ever touches the base: the full fold
+    * ([[shouldCompact]] + compactInPlace, priced by x105) remains the
+    * separate escape hatch for when accumulated merged churn
+    * approaches base size. */
+  /** Run [[tieredPlan]]'s schedule to quiescence for ANY segment
+    * family: merge whatever the planner picks, re-plan, repeat until
+    * it returns None (a nightly fresh-run fold can complete a merged
+    * run the geometric rule then folds — the cascade IS the
+    * schedule). `rowsOf` counts one segment dir's total rows (the
+    * family knows its table names) and is consulted ONLY when a
+    * contiguous merged run of >= `fanout` exists — the nightly rule
+    * is structural and costs one manifest read. `mergeAt` is the
+    * family's range fold ([[MinHashSegments.mergeSegsAt]] et al.).
+    * Returns the number of merges performed. */
+  def tieredMaintainWith(s: org.apache.spark.sql.SparkSession,
+      root: String, minRun: Int, fanout: Int, ratio: Double)(
+      rowsOf: String => Long, mergeAt: (Int, Int) => Unit): Int = {
+    var merges = 0
+    var planned = true
+    while (planned) {
+      val snap = resolveSnapshot(s, root)
+      val merged = snap.segs.map(e => isMergedName(e._2))
+      val needRows = {
+        var run = 0
+        var any = false
+        merged.foreach { m =>
+          run = if (m) run + 1 else 0
+          if (run >= fanout) any = true
+        }
+        any
+      }
+      val stats = snap.segs.zip(merged).map { case ((_, d, _), m) =>
+        SegStat(m, if (needRows && m) rowsOf(d) else 0L)
+      }
+      tieredPlan(stats, minRun, fanout, ratio) match {
+        case Some((from, len)) => mergeAt(from, len); merges += 1
+        case None => planned = false
+      }
+    }
+    merges
+  }
+
+  def tieredPlan(segs: Seq[SegStat], minRun: Int = 2, fanout: Int = 4,
+      ratio: Double = 1.5): Option[(Int, Int)] = {
+    require(minRun >= 2, s"tieredPlan: minRun $minRun must be >= 2")
+    require(fanout >= 2, s"tieredPlan: fanout $fanout must be >= 2")
+    require(ratio >= 1.0, s"tieredPlan: ratio $ratio must be >= 1.0")
+    // rule 1: oldest maximal fresh run of >= minRun
+    var i = 0
+    while (i < segs.size) {
+      if (!segs(i).isMerged) {
+        var j = i
+        while (j < segs.size && !segs(j).isMerged) j += 1
+        if (j - i >= minRun) return Some((i, j - i))
+        i = j
+      } else i += 1
+    }
+    // rule 2: oldest maximal similar-size merged run of >= fanout
+    i = 0
+    while (i < segs.size) {
+      if (segs(i).isMerged) {
+        var j = i
+        var lo = segs(i).rows
+        var hi = segs(i).rows
+        while (j + 1 < segs.size && segs(j + 1).isMerged && {
+          val r = segs(j + 1).rows
+          val nlo = math.min(lo, r)
+          val nhi = math.max(hi, r)
+          nhi.toDouble <= ratio * math.max(nlo, 1L).toDouble && {
+            lo = nlo; hi = nhi; true
+          }
+        }) j += 1
+        if (j + 1 - i >= fanout) return Some((i, j + 1 - i))
+        i = j + 1
+      } else i += 1
+    }
+    None
   }
 
   private def tagFile(tag: String): String = s"tag=$tag"

@@ -274,13 +274,14 @@ object SparseSegments {
     def t(name: String) =
       s.read.parquet(s"$root/segs/$dirName/$name")
     def emptyT(name: String) = SegmentOps.emptyLike(t(name))
+    // kind 'm' (a mixed-range MERGED segment) carries real rows in
+    // every table — only the pure kinds get the vacuous-table elision
     Seg(
-      tfAdd = if (kind == 'a' || kind == '?') t("tf") else emptyT("tf"),
+      tfAdd = if (kind == 'd') emptyT("tf") else t("tf"),
       dfd = t("dfd"),
-      dlAdd = if (kind == 'a' || kind == '?') t("dl") else emptyT("dl"),
+      dlAdd = if (kind == 'd') emptyT("dl") else t("dl"),
       statsd = t("statsd"),
-      tombs = if (kind == 'd' || kind == '?') t("tombs")
-        else emptyT("tombs"))
+      tombs = if (kind == 'a') emptyT("tombs") else t("tombs"))
   }
 
   private def readSegs(s: SparkSession, root: String,
@@ -359,6 +360,74 @@ object SparseSegments {
     val n = listSegs(s, root).lastOption.fold(0)(_ + 1)
     writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n, 'd', tag)
   }
+
+  /** TIERED compaction: fold the `k` oldest segments into ONE merged
+    * segment — the prefix special case of [[mergeSegsAt]]. */
+  def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit =
+    mergeSegsAt(s, root, 0, k)
+
+  /** TIERED compaction of an arbitrary contiguous range — the sparse
+    * family's twin of [[MinHashSegments.mergeSegsAt]]. The per-doc
+    * tables (tf, dl) fold by the same positional algebra (the range's
+    * own scoped union over an empty base; merged tombs = the range's
+    * tomb union, masking exactly base + every earlier position). The
+    * family's SIGNED tables fold by telescoping: merged dfd = the
+    * range's dfd summed per term — zero-sum rows are KEPT (a -1/+1
+    * cancellation means df is unchanged but the postings behind it
+    * changed doc identity, so the term must stay in the view's
+    * dirty-term set for re-truncation; dropping it would serve the
+    * base's stale stored plist) — and merged statsd = the 1-row sum.
+    * Crash-safe in two atomic steps ([[SegmentOps.publishSegDir]]
+    * then [[SegmentOps.flipMergedAt]]); a crash between them leaves
+    * vacuum-collectable debris. */
+  def mergeSegsAt(s: SparkSession, root: String, from: Int, k: Int)
+      : Unit = {
+    val snap = SegmentOps.resolveSnapshot(s, root)
+    require(snap.version > 0,
+      "SparseSegments.mergeSegsAt: tiered merge requires a manifest " +
+        "(directory-enumeration layouts cannot hold two dirs per " +
+        "segment number)")
+    require(from >= 0 && k >= 2 && from + k <= snap.segs.size,
+      s"SparseSegments.mergeSegsAt: range [$from, ${from + k}) " +
+        s"outside the snapshot's ${snap.segs.size} segments (k >= 2)")
+    val range = snap.segs.slice(from, from + k)
+    val segs = range.map { case (_, d, kd) => readSeg(s, root, d, kd) }
+    val tombsSeq = segs.map(_.tombs)
+    val tfM = SegmentOps.scopedUnion(
+      SegmentOps.emptyLike(segs.head.tfAdd),
+      segs.map(_.tfAdd.select("doc_id", "tok", "tf")), tombsSeq,
+      "doc_id")
+    val dlM = SegmentOps.scopedUnion(
+      SegmentOps.emptyLike(segs.head.dlAdd),
+      segs.map(_.dlAdd), tombsSeq, "doc_id")
+    val dfdM = segs.map(_.dfd).reduce(_ unionByName _)
+      .groupBy("tok").agg(sum("dfd").as("dfd"))
+    val statsdM = segs.map(_.statsd).reduce(_ unionByName _)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("t_tokens"), lit(0L)).as("t_tokens"))
+    val tombsM = tombsSeq.reduce(_ unionByName _).distinct()
+    val kinds = range.map(_._3).toSet
+    val kind = if (kinds == Set('a')) 'a'
+      else if (kinds == Set('d')) 'd' else 'm'
+    val name = s"seg=${range.last._1}-$kind-g${snap.version + 1}"
+    SegmentOps.publishSegDir(s, root, name,
+      Seq("tf" -> tfM, "dfd" -> dfdM, "dl" -> dlM,
+        "statsd" -> statsdM, "tombs" -> tombsM))
+    SegmentOps.flipMergedAt(s, root, snap, from, k, name)
+    ()
+  }
+
+  /** [[SegmentOps.tieredMaintainWith]] instantiated for this family:
+    * the leveled schedule to quiescence, base never touched; pair
+    * with the [[dirtyBucketFraction]]-OR-[[SegmentOps.shouldCompact]]
+    * trigger + [[compactInPlace]] for the rare full fold. Returns the
+    * number of merges performed. */
+  def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
+      fanout: Int = 4, ratio: Double = 1.5): Int =
+    SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
+      d => Seq("tf", "dfd", "dl", "statsd", "tombs")
+        .map(t => s.read.parquet(s"$root/segs/$d/$t").count()).sum,
+      mergeSegsAt(s, root, _, _))
 
   /** Fold the segments into a fresh base at `outRoot` — the periodic
     * maintenance that resets the view's per-segment plan depth. The

@@ -4362,6 +4362,160 @@ object DedupSim {
   }
 
   // ---------------------------------------------------------------------
+  // X108 — the LEVELED schedule priced against x107's naive tiered
+  // merge. x107's honest self-criticism: merge-oldest-2 re-absorbs the
+  // standing merged segment every night (~3.5x the fold's extra rows
+  // on this corpus). SegmentOps.tieredPlan is the fix — the nightly
+  // rule merges only the oldest run of >= 2 contiguous FRESH segments
+  // (structural: a night's deltas are peers; a merged segment is never
+  // dragged back into nightly churn), and the geometric rule folds
+  // merged runs only at fanout >= 4 similar-size peers (O(log n)
+  // rewrites per row, the LSM bound — exercised by TieredMergeSpec's
+  // long-horizon schedule; at 6 nights it never fires, and that
+  // non-firing is itself part of the priced verdict). This card runs
+  // x105/x107's EXACT 6-night script under both schedules and
+  // measures the same cells from the real layouts; the oracle
+  // recomputes every cell from document-class arithmetic. The leveled
+  // trace is fully structural — no size thresholds — so the oracle's
+  // branch replay is scale-independent: m12 = c1+c2 (night 2),
+  // mX = (c3 minus the delete) + tombs (night 4 folds the fresh
+  // [a3, d] run; within-range scoping collapses delete-after-append),
+  // m45 = c4+c5 (night 6) — final [m12, mX, m45], 3 merges vs naive's
+  // 4, ~half of naive's merge rows (sf0.001: 471 vs 988 extra), base
+  // untouched in both. The trade
+  // priced: leveled's composed view is slightly larger — m12 still
+  // carries classes 1-2's later-deleted ids (standing rows, masked at
+  // read by mX's tombs; naive's nightly re-fold collapsed them out) —
+  // and depth is 3 vs naive's 2. The schedule buys its ~2x write
+  // saving with one extra plan-depth unit and those masked standing
+  // rows; the x105 full fold remains the escape hatch that reclaims
+  // them when merged churn approaches base size. Same eager-cut +
+  // forensics + determinism-under-load discipline as x105/x107.
+  // ---------------------------------------------------------------------
+  private def x108(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select("doc_id", "text")
+      .cut() // EAGER: materialized before the config pool (x105's rule)
+    def cls(i: Int) = docs.filter(col("doc_id") % 7 === i)
+    val delIds = docs.select("doc_id").filter(col("doc_id") % 10 === 3)
+    val configs = Seq("1_tiered_naive", "2_leveled")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val cards = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(configs.map { label =>
+        scala.concurrent.Future {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_x108_$label").toString
+          MinHashSegments.init(NearDup.signatures(cls(0)), root)
+          def policy(): Unit = label match {
+            case "1_tiered_naive" =>
+              if (SegmentOps.resolveSnapshot(s, root).segs.size >= 3)
+                MinHashSegments.mergeSegs(s, root, 2)
+            case _ =>
+              MinHashSegments.tieredMaintain(s, root)
+              ()
+          }
+          (1 to 3).foreach { i =>
+            MinHashSegments.appendSeg(s, root, cls(i)); policy()
+          }
+          MinHashSegments.deleteSeg(s, root, delIds); policy()
+          (4 to 5).foreach { i =>
+            MinHashSegments.appendSeg(s, root, cls(i)); policy()
+          }
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val baseDirs = fs.listStatus(rootP).toSeq
+            .map(_.getPath.getName)
+            .filter(n => n == "base" || n.startsWith("base-g"))
+          def rows(rels: Seq[String]): Long =
+            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+          val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
+          val mergedDirs = segDirs.filter(SegmentOps.isMergedName)
+          def segRows(dirs: Seq[String]): Long =
+            rows(dirs.map(d => s"$root/segs/$d/sigs")) +
+              rows(dirs.map(d => s"$root/segs/$d/tombs"))
+          val written =
+            rows(baseDirs.map(b => s"$root/$b/minhash_index")) +
+              segRows(segDirs)
+          val snap = SegmentOps.resolveSnapshot(s, root)
+          val composed =
+            rows(Seq(s"$root/${snap.baseDir}/minhash_index")) +
+              segRows(snap.segs.map(_._2))
+          val live = MinHashSegments.read(s, root)
+            .agg(count(lit(1)).as("n_live"),
+              sum(col("doc_id").cast("decimal(38,0)")).as("s"))
+            .head()
+          (label,
+            (baseDirs.size - 1).toLong + mergedDirs.size.toLong,
+            snap.segs.size.toLong, written, composed,
+            live.getLong(0), live.getDecimal(1))
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    cards.foreach { case (l, nr, ss, w, c, nl, ds) =>
+      System.err.println(
+        s"""GRAFT_FORENSICS x108 {"config":"$l","n_rewrites":$nr,""" +
+          s""""segs_at_serve":$ss,"rows_written":$w,""" +
+          s""""rows_composed":$c,"n_live":$nl,"live_docid_sum":$ds}""")
+    }
+    import s.implicits._
+    cards.toDF("config", "n_rewrites", "segs_at_serve",
+        "rows_written", "rows_composed", "n_live", "live_docid_sum")
+      .withColumn("live_docid_sum",
+        col("live_docid_sum").cast("decimal(38,0)"))
+      .orderBy("config")
+  }
+  /** The oracle replays both schedules in document-class arithmetic.
+    * Naive tiered is x107's trace. Leveled (tieredPlan, structural):
+    * night 2 folds [a1,a2] -> m12 (n1+n2); night 4 folds the fresh
+    * run [a3,d] -> mX (adds n3d = eligible class 3 minus the delete,
+    * tombs nd); night 6 folds [a4,a5] -> m45 (n4+n5); the geometric
+    * rule never reaches fanout=4 merged peers. Final [m12, mX, m45]
+    * — 3 merges, base never rewritten. */
+  private lazy val x108Sql = {
+    val el = "len(string_split(text, ' ')) >= 3"
+    s"""WITH c AS (
+       |  SELECT
+       |    ${(0 to 5).map(i =>
+              s"CAST(COUNT(*) FILTER (WHERE doc_id % 7 = $i AND $el) " +
+                s"AS BIGINT) AS n$i").mkString(",\n       |    ")},
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+       |      AS nd,
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 3
+       |      AND doc_id % 10 <> 3 AND $el) AS BIGINT) AS n3d,
+       |    CAST(COUNT(*) FILTER (WHERE doc_id % 7 IN (1, 2, 3)
+       |      AND doc_id % 10 <> 3 AND $el) AS BIGINT) AS n123d
+       |  FROM documents),
+       |live AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS live_docid_sum
+       |  FROM documents
+       |  WHERE $el AND ((doc_id % 7 <= 3 AND doc_id % 10 <> 3)
+       |    OR doc_id % 7 IN (4, 5)))
+       |SELECT * FROM (
+       |  SELECT '1_tiered_naive' AS config,
+       |    CAST(4 AS BIGINT) AS n_rewrites,
+       |    CAST(2 AS BIGINT) AS segs_at_serve,
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + nd)
+       |      + (n1 + n2) + (n1 + n2 + n3)
+       |      + (n123d + nd) + (n123d + n4 + nd) AS rows_written,
+       |    n0 + (n123d + n4 + nd) + n5 AS rows_composed,
+       |    n_live, live_docid_sum
+       |  FROM c, live
+       |  UNION ALL
+       |  SELECT '2_leveled', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + nd)
+       |      + (n1 + n2) + (n3d + nd) + (n4 + n5),
+       |    n0 + (n1 + n2) + (n3d + nd) + (n4 + n5),
+       |    n_live, live_docid_sum
+       |  FROM c, live)
+       |ORDER BY config""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // W12 — the fully-ONLINE lifecycle flagship, batch twin (VERDICT r11
   // #1): the deployable shape of the whole engine — continuous ingest
   // INTO the persisted index layouts while the hybrid funnel serves
@@ -6051,6 +6205,7 @@ object DedupSim {
     QueryDef("x03_simhash_pairs", None, x03b),
     QueryDef("x106_simhash_contract", Some(x106Sql), x106),
     QueryDef("x107_tiered_compaction", Some(x107Sql), x107),
+    QueryDef("x108_leveled_compaction", Some(x108Sql), x108),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),

@@ -255,6 +255,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x93c_funnel_pq_recall" -> 24,
     "x105_compaction_policy" -> 1,
     "x107_tiered_compaction" -> 1,
+    "x108_leveled_compaction" -> 1,
     "w12_online_funnel" -> 20,
     // w07's 18 audited stages + x05's truth slice + the per-query
     // eval join/agg over two <= 10-rows/query relations + final sort

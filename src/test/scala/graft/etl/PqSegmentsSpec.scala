@@ -70,6 +70,65 @@ class PqSegmentsSpec extends SparkSpec {
     assertSameIndex(live2, foldIn)
   }
 
+  test("tiered merge (mid-range) + leveled maintain == fold-in; base untouched") {
+    val ee = e
+    val root = java.nio.file.Files
+      .createTempDirectory("pq_merge").toString
+    val baseIdx = PqIndex.build(ee.filter(col("vec_id") % 3 =!= 0))
+    PqSegments.init(baseIdx, root)
+    val sA = ee.filter(col("vec_id") % 3 === 0 &&
+      col("vec_id") % 2 === 0)
+    val sB = ee.filter(col("vec_id") % 3 === 0 &&
+      col("vec_id") % 2 === 1)
+    val del = ee.select("vec_id").distinct()
+      .filter(col("vec_id") % 10 === 3)
+    PqSegments.appendSeg(spark, root, sA)
+    PqSegments.appendSeg(spark, root, sB)
+    PqSegments.deleteSeg(spark, root, del)
+    val baseP = new org.apache.hadoop.fs.Path(s"$root/base")
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseState(): Set[(String, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getModificationTime)))
+      walk(baseP).toSet
+    }
+    val mt0 = baseState()
+    val before = PqSegments.read(spark, root)
+    // mid-range merge [a(sB), d]: mixed kinds -> 'm', survivor a(sA)
+    // before the range keeps its slot
+    PqSegments.mergeSegsAt(spark, root, from = 1, k = 2)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(x => (x._1, x._3)) == Seq((0, 'a'), (2, 'm')),
+      s"unexpected layout ${snap.segs}")
+    val foldIn = PqIndex.delete(
+      PqIndex.append(PqIndex.append(baseIdx, sA), sB), del)
+    assertSameIndex(PqSegments.read(spark, root), foldIn)
+    assertSameIndex(before, foldIn)
+    // leveled maintain: [a, m] has no fresh run of >= 2 and no
+    // merged run of >= fanout — the standing merged segment is never
+    // re-absorbed
+    assert(PqSegments.tieredMaintain(spark, root) == 0)
+    // the revise path through the merge: re-append the deleted ids
+    // (negated) as two fresh shards; maintain folds ONLY the fresh run
+    val revised = ee.join(del, Seq("vec_id"), "left_semi")
+      .withColumn("emb", expr("transform(emb, x -> -x)"))
+    PqSegments.appendSeg(spark, root,
+      revised.filter(col("vec_id") % 2 === 0))
+    PqSegments.appendSeg(spark, root,
+      revised.filter(col("vec_id") % 2 === 1))
+    assert(PqSegments.tieredMaintain(spark, root) == 1)
+    val snap2 = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap2.segs.map(x => (x._1, x._3)) ==
+      Seq((0, 'a'), (2, 'm'), (4, 'a')),
+      s"maintain should fold only the fresh run, got ${snap2.segs}")
+    val foldIn2 = PqIndex.append(foldIn, revised)
+    assertSameIndex(PqSegments.read(spark, root), foldIn2)
+    assert(baseState() == mt0,
+      "tiered merges must never touch base files")
+  }
+
   test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
     val ee = e
     val root = java.nio.file.Files

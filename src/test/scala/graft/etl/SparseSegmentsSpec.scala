@@ -103,6 +103,97 @@ class SparseSegmentsSpec extends SparkSpec {
     assert(costs.last > flat, s"stack $costs vs flat $flat")
   }
 
+  test("tiered merge keeps zero-sum dfd terms dirty (stale-plist guard)") {
+    // The killer case for a merge that drops telescoped-to-zero df
+    // deltas: delete base docs, re-append their exact TEXTS under NEW
+    // ids — every touched term's dfd sums to 0 across the range, but
+    // the postings behind it changed doc identity, so the base's
+    // stored plist rows (old ids) are stale and the term MUST stay in
+    // the view's dirty-term set for re-truncation. cap=5 overflows
+    // every list at sf0.001, so serving a stale plist would surface
+    // as plist drift against the from-scratch rebuild.
+    val t = tf
+    val root = java.nio.file.Files
+      .createTempDirectory("sparse_merge_zero").toString
+    SparseSegments.init(SparseIndex.build(t, cap), root, cap)
+    val delIds = t.select("doc_id").distinct()
+      .filter(col("doc_id") % 5 === 0)
+    assert(delIds.count() > 0)
+    val maxId = t.agg(max(col("doc_id"))).head().getLong(0)
+    val clonesTf = t.join(delIds, Seq("doc_id"), "left_semi")
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+    SparseSegments.deleteSeg(spark, root, delIds)
+    SparseSegments.appendSeg(spark, root, clonesTf)
+    SparseSegments.mergeSegs(spark, root, 2)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(x => (x._1, x._3)) == Seq((1, 'm')),
+      s"unexpected layout ${snap.segs}")
+    // the merged dfd must retain the cancelled terms as (tok, 0) rows
+    val dfdM = spark.read
+      .parquet(s"$root/segs/${snap.segs.head._2}/dfd")
+    val zeroRows = dfdM.filter(col("dfd") === 0L).count()
+    assert(zeroRows > 0,
+      "merged dfd dropped its zero-sum terms — the dirty set lost " +
+        "terms whose postings changed doc identity")
+    val rebuilt = SparseIndex.build(
+      t.join(delIds, Seq("doc_id"), "left_anti")
+        .unionByName(clonesTf), cap)
+    assertSameIndex(SparseSegments.read(spark, root), rebuilt)
+  }
+
+  test("mid-range tiered merge + leveled maintain == rebuild; base untouched") {
+    val t = tf
+    val root = java.nio.file.Files
+      .createTempDirectory("sparse_merge_mid").toString
+    SparseSegments.init(
+      SparseIndex.build(t.filter(col("doc_id") % 4 === 0), cap),
+      root, cap)
+    val baseP = new org.apache.hadoop.fs.Path(s"$root/base")
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseState(): Set[(String, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getModificationTime)))
+      walk(baseP).toSet
+    }
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") % 4 === 1))
+    val mt0 = baseState()
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") % 4 === 2))
+    val del = t.select("doc_id").distinct()
+      .filter(col("doc_id") % 4 <= 1 && col("doc_id") % 3 === 0)
+    SparseSegments.deleteSeg(spark, root, del) // hits base + seg 0
+    // mid-range merge [a(%4=2), d]: the merged tombs must still mask
+    // the base AND the pre-range survivor a(%4=1)
+    SparseSegments.mergeSegsAt(spark, root, from = 1, k = 2)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(x => (x._1, x._3)) == Seq((0, 'a'), (2, 'm')),
+      s"unexpected layout ${snap.segs}")
+    val rebuilt = SparseIndex.build(
+      t.filter(col("doc_id") % 4 <= 2)
+        .join(del, Seq("doc_id"), "left_anti"), cap)
+    assertSameIndex(SparseSegments.read(spark, root), rebuilt)
+    // leveled maintain: [a, m] plans nothing; two fresh appends fold
+    // to one merged segment, the standing 'm' is never re-absorbed
+    assert(SparseSegments.tieredMaintain(spark, root) == 0)
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") % 4 === 3 && col("doc_id") % 2 === 1))
+    SparseSegments.appendSeg(spark, root,
+      t.filter(col("doc_id") % 4 === 3 && col("doc_id") % 2 === 0))
+    assert(SparseSegments.tieredMaintain(spark, root) == 1)
+    val snap2 = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap2.segs.map(x => (x._1, x._3)) ==
+      Seq((0, 'a'), (2, 'm'), (4, 'a')),
+      s"maintain should fold only the fresh run, got ${snap2.segs}")
+    val rebuilt2 = SparseIndex.build(
+      t.join(del, Seq("doc_id"), "left_anti"), cap)
+    assertSameIndex(SparseSegments.read(spark, root), rebuilt2)
+    assert(baseState() == mt0,
+      "tiered merges must never touch base files")
+  }
+
   test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
     val t = tf
     val root = java.nio.file.Files

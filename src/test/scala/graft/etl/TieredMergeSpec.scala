@@ -139,6 +139,122 @@ class TieredMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent merge"))
   }
 
+  test("mid-range merge: survivors on BOTH sides keep their scoping") {
+    // layout [a1, a2, d(rev), a4] with the delete INSIDE the merged
+    // range revising docs from a1 (before the range) and the base;
+    // merge positions [1, 3) — the merged tombs must still mask a1
+    // and base, and the post-range survivor must be untouched
+    val root = tmpRoot("graft_merge_mid")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    MinHashSegments.appendSeg(spark, root, cls(1))
+    MinHashSegments.appendSeg(spark, root, cls(2))
+    val revIds = docs.select("doc_id")
+      .filter(col("doc_id") % 4 <= 1 && col("doc_id") % 3 === 0)
+    MinHashSegments.deleteSeg(spark, root, revIds) // hits base + a1
+    MinHashSegments.appendSeg(spark, root, cls(3))
+    val before = sigKey(MinHashSegments.read(spark, root))
+    MinHashSegments.mergeSegsAt(spark, root, from = 1, k = 2)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    // merged range [a2(n=1), d(n=2)] reuses highest number 2, mixed
+    // kinds -> 'm'; survivors a1 (before) and a3-dir (after) keep
+    // their slots in number order
+    assert(snap.segs.map(e => (e._1, e._3)) ==
+      Seq((0, 'a'), (2, 'm'), (3, 'a')),
+      s"unexpected layout ${snap.segs}")
+    assert(sigKey(MinHashSegments.read(spark, root)) == before,
+      "mid-range merge changed the composed view")
+    val expect = NearDup.signatures(
+      docs.filter(col("doc_id") % 4 <= 2)
+        .join(revIds, Seq("doc_id"), "left_anti")
+        .unionByName(cls(3)))
+    assert(before == sigKey(expect), "pre-merge view was already wrong")
+  }
+
+  test("tieredPlan: fresh runs first, merged segments never re-absorbed nightly") {
+    import SegmentOps.{SegStat, tieredPlan}
+    def fresh(r: Long) = SegStat(isMerged = false, rows = r)
+    def merged(r: Long) = SegStat(isMerged = true, rows = r)
+    // the x107 trap layout: standing merged + young fresh churn —
+    // the plan must fold ONLY the fresh run, never the merged head
+    assert(tieredPlan(Seq(merged(100), fresh(10), fresh(12)))
+      == Some((1, 2)))
+    // a single fresh segment is not a run
+    assert(tieredPlan(Seq(merged(100), fresh(10))).isEmpty)
+    // the OLDEST maximal fresh run wins, and runs don't jump gaps
+    assert(tieredPlan(Seq(fresh(1), fresh(1), merged(50), fresh(1),
+      fresh(1), fresh(1))) == Some((0, 2)))
+    // geometric rule: 4 similar-size merged peers fold together...
+    assert(tieredPlan(Seq(merged(10), merged(11), merged(9),
+      merged(10))) == Some((0, 4)))
+    // ...but a standing large merged segment breaks the window (the
+    // ratio guard) — the young peers alone are below fanout
+    assert(tieredPlan(Seq(merged(1000), merged(10), merged(11),
+      merged(9))).isEmpty)
+    // ...until they reach fanout among themselves
+    assert(tieredPlan(Seq(merged(1000), merged(10), merged(11),
+      merged(9), merged(10))) == Some((1, 4)))
+    // empty and all-below-threshold layouts plan nothing
+    assert(tieredPlan(Seq.empty).isEmpty)
+    assert(tieredPlan(Seq(merged(10), merged(11))).isEmpty)
+  }
+
+  test("tieredMaintain long horizon: geometric rule fires; view == re-signing") {
+    // 4 synthetic nights with fanout=2 so the merged-run rule fires
+    // inside the horizon: nightly pairs fold to merged segs, the
+    // similar-size merged pair then folds again in the SAME maintain
+    // call (the cascade) — every row rewritten O(log) times, base
+    // never touched
+    val root = tmpRoot("graft_merge_horizon")
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    val mt0 = baseMtimes(root)
+    val nights = Seq(cls(1), cls(2), cls(3))
+    var merges = 0
+    nights.foreach { delta =>
+      MinHashSegments.appendSeg(spark, root, delta)
+      merges += MinHashSegments.tieredMaintain(spark, root,
+        minRun = 2, fanout = 2, ratio = 3.0)
+    }
+    // trace: n1 [a1] 0; n2 [a1,a2]->m12 (1); n3 [m12,a3] — fresh run
+    // len 1, merged run len 1: no fire. Append one more class-sized
+    // delta (re-keyed clone of class 1 beyond the id space) to
+    // complete both runs and cascade: [m12, a3, a4'] -> fresh? no —
+    // a3,a4' fold (fresh run), then [m12, m34'] folds (geometric,
+    // ratio 3 admits 2n vs 2n)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val clone = cls(1).withColumn("doc_id", col("doc_id") + maxId + 1)
+    MinHashSegments.appendSeg(spark, root, clone)
+    merges += MinHashSegments.tieredMaintain(spark, root,
+      minRun = 2, fanout = 2, ratio = 3.0)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.size == 1 &&
+      SegmentOps.isMergedName(snap.segs.head._2),
+      s"cascade should leave one merged segment, got ${snap.segs}")
+    assert(merges == 3, s"expected 3 merges (m12, then m34' + the " +
+      s"geometric cascade in one maintain call), got $merges")
+    assert(baseMtimes(root) == mt0,
+      "tiered maintenance must never touch base files")
+    assert(sigKey(MinHashSegments.read(spark, root))
+      == sigKey(NearDup.signatures(docs.unionByName(clone))))
+  }
+
+  test("flipMergedAt: a concurrent append carries; a moved range fails loud") {
+    val root = tmpRoot("graft_merge_mid_carry")
+    SegmentOps.publishManifest(spark, root, "base",
+      Seq("seg=0-a", "seg=1-a", "seg=2-a", "seg=3-a"))
+    val from = SegmentOps.resolveSnapshot(spark, root)
+    SegmentOps.recordSegInManifest(spark, root, "seg=4-a")
+    val v = SegmentOps.flipMergedAt(spark, root, from, 1, 2,
+      "seg=2-a-g3")
+    val snap = SegmentOps.resolveSnapshotAt(spark, root, v)
+    assert(snap.segs.map(_._2) ==
+      Seq("seg=0-a", "seg=2-a-g3", "seg=3-a", "seg=4-a"),
+      s"mid-range carry failed: ${snap.segs.map(_._2)}")
+    // the same range can no longer be flipped — positions moved
+    val e = intercept[IllegalArgumentException](
+      SegmentOps.flipMergedAt(spark, root, from, 1, 2, "seg=2-a-g9"))
+    assert(e.getMessage.contains("concurrent merge"))
+  }
+
   test("a crash between bundle publish and flip leaves vacuum-collectable debris") {
     val root = tmpRoot("graft_merge_crash")
     MinHashSegments.init(NearDup.signatures(cls(0)), root)
