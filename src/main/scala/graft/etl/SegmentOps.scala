@@ -575,7 +575,18 @@ object SegmentOps {
     * lost-race detector as [[publishSeg]]; no number-uniqueness check
     * against OTHER dirs — a merged segment deliberately reuses its
     * folded range's highest number while those originals still exist
-    * on disk (the `-g<v>` suffix keeps dir names unique). */
+    * on disk (the `-g<v>` suffix keeps dir names unique).
+    *
+    * ORPHAN STEAL (the claim-steal analogue): a merge that crashed in
+    * the publish→flip window leaves `name` on disk unreferenced, and
+    * since the manifest version did not advance, the RETRY builds the
+    * exact same name — without the steal it would crash-loop until an
+    * operator ran vacuum by hand. A same-name dir that NO retained
+    * manifest version references is therefore deleted and overwritten:
+    * under the single-merger contract it can only be this merge's own
+    * crashed predecessor (any referenced dir has `g<v'>` with v' at
+    * most the current version, and a new merge always names
+    * current+1). A REFERENCED same-name dir still fails loud. */
   def publishSegDir(s: org.apache.spark.sql.SparkSession, root: String,
       name: String,
       tables: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
@@ -583,7 +594,12 @@ object SegmentOps {
     val tmp = new org.apache.hadoop.fs.Path(s"$root/segs/_tmp_$name")
     val fin = new org.apache.hadoop.fs.Path(s"$root/segs/$name")
     val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(!fs.exists(fin), s"segment dir $name already published")
+    if (fs.exists(fin)) {
+      require(!recordedInAnyManifest(s, root, name),
+        s"segment dir $name already published and referenced by a " +
+          "retained manifest version")
+      fs.delete(fin, true) // a crashed predecessor's orphan bundle
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true) // a dead writer's debris
     graft.sources.Sources.writeOrdered(tables, tmp.toString)
     require(fs.rename(tmp, fin),

@@ -4516,6 +4516,151 @@ object DedupSim {
   }
 
   // ---------------------------------------------------------------------
+  // X109 — the GEOMETRIC rule firing on disk, priced. x108's 6-night
+  // script never accumulates fanout merged peers, so its verdict
+  // prices only the nightly rule; this card is the other half — a
+  // 6-append-night script (classes 1-6 over the %7 base) driven at
+  // fanout=2 (the demo knob; production default 4 just needs a longer
+  // horizon) so the schedule's FULL shape executes: nightly pairs
+  // fold to merged segs, the two similar-size merged segs (ratio
+  // ~1.0 <= 1.5) CASCADE into one inside a single maintain call
+  // (night 4), and the ratio guard then PROTECTS the standing 4-class
+  // segment from the younger 2-class pair (ratio ~2.0 > 1.5) — both
+  // decisions sit far from the 1.5 cut at every sf (class sizes are
+  // uniform to a few %), so the oracle's branch replay is robust.
+  // Priced against fold-at-4 (x105's default policy) and never:
+  // fold-at-4 lands the same serve depth (2) with fewer extra rows
+  // on THIS corpus (one fold of base+4 classes ~ 5n vs leveled's
+  // 10n re-merge rows) but pays it as a BASE REWRITE — the O(live)
+  // I/O spike that is unpayable when the base is the 100 TB part —
+  // while leveled's 4 rewrites are all O(churn) and the base is
+  // never touched. n_base_rewrites is therefore a first-class cell:
+  // the card shows the crossover variable (base:churn ratio) instead
+  // of crowning one policy. Same eager-cut + forensics +
+  // determinism-under-load discipline as x105/x107/x108.
+  // ---------------------------------------------------------------------
+  private def x109(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select("doc_id", "text")
+      .cut() // EAGER: materialized before the config pool (x105's rule)
+    def cls(i: Int) = docs.filter(col("doc_id") % 7 === i)
+    val configs = Seq("1_never", "2_fold_at4", "3_leveled_f2")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val cards = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(configs.map { label =>
+        scala.concurrent.Future {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_x109_$label").toString
+          MinHashSegments.init(NearDup.signatures(cls(0)), root)
+          def policy(): Unit = label match {
+            case "2_fold_at4" =>
+              if (SegmentOps.shouldCompact(s, root, maxSegs = 4))
+                MinHashSegments.compactInPlace(s, root)
+            case "3_leveled_f2" =>
+              MinHashSegments.tieredMaintain(s, root, minRun = 2,
+                fanout = 2, ratio = 1.5)
+              ()
+            case _ => ()
+          }
+          (1 to 6).foreach { i =>
+            MinHashSegments.appendSeg(s, root, cls(i)); policy()
+          }
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val baseDirs = fs.listStatus(rootP).toSeq
+            .map(_.getPath.getName)
+            .filter(n => n == "base" || n.startsWith("base-g"))
+          def rows(rels: Seq[String]): Long =
+            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+          val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
+          val mergedDirs = segDirs.filter(SegmentOps.isMergedName)
+          def segRows(dirs: Seq[String]): Long =
+            rows(dirs.map(d => s"$root/segs/$d/sigs")) +
+              rows(dirs.map(d => s"$root/segs/$d/tombs"))
+          val written =
+            rows(baseDirs.map(b => s"$root/$b/minhash_index")) +
+              segRows(segDirs)
+          val snap = SegmentOps.resolveSnapshot(s, root)
+          val composed =
+            rows(Seq(s"$root/${snap.baseDir}/minhash_index")) +
+              segRows(snap.segs.map(_._2))
+          val live = MinHashSegments.read(s, root)
+            .agg(count(lit(1)).as("n_live"),
+              sum(col("doc_id").cast("decimal(38,0)")).as("s"))
+            .head()
+          (label, (baseDirs.size - 1).toLong, mergedDirs.size.toLong,
+            snap.segs.size.toLong, written, composed,
+            live.getLong(0), live.getDecimal(1))
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    cards.foreach { case (l, nb, nm, ss, w, c, nl, ds) =>
+      System.err.println(
+        s"""GRAFT_FORENSICS x109 {"config":"$l","n_base_rewrites":$nb,""" +
+          s""""n_merges":$nm,"segs_at_serve":$ss,"rows_written":$w,""" +
+          s""""rows_composed":$c,"n_live":$nl,"live_docid_sum":$ds}""")
+    }
+    import s.implicits._
+    cards.toDF("config", "n_base_rewrites", "n_merges",
+        "segs_at_serve", "rows_written", "rows_composed", "n_live",
+        "live_docid_sum")
+      .withColumn("live_docid_sum",
+        col("live_docid_sum").cast("decimal(38,0)"))
+      .orderBy("config")
+  }
+  /** The oracle replays the three policies in document-class
+    * arithmetic (append-only, classes 1-6 on the %7 base). Leveled
+    * f=2 trace: n2 folds [a1,a2]->m12; n4 folds [a3,a4]->m34 and the
+    * geometric rule cascades [m12,m34]->m1234 in the same maintain
+    * call; n6 folds [a5,a6]->m56 and the ratio guard (4n vs 2n > 1.5)
+    * protects m1234 — final [m1234, m56]. Fold-at-4 fires once at n4
+    * (base+c1..c4 rewritten), finishing [base-g, a5, a6]. */
+  private lazy val x109Sql = {
+    val el = "len(string_split(text, ' ')) >= 3"
+    s"""WITH c AS (
+       |  SELECT
+       |    ${(0 to 6).map(i =>
+              s"CAST(COUNT(*) FILTER (WHERE doc_id % 7 = $i AND $el) " +
+                s"AS BIGINT) AS n$i").mkString(",\n       |    ")}
+       |  FROM documents),
+       |live AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS live_docid_sum
+       |  FROM documents WHERE $el)
+       |SELECT * FROM (
+       |  SELECT '1_never' AS config,
+       |    CAST(0 AS BIGINT) AS n_base_rewrites,
+       |    CAST(0 AS BIGINT) AS n_merges,
+       |    CAST(6 AS BIGINT) AS segs_at_serve,
+       |    n0 + n1 + n2 + n3 + n4 + n5 + n6 AS rows_written,
+       |    n0 + n1 + n2 + n3 + n4 + n5 + n6 AS rows_composed,
+       |    n_live, live_docid_sum
+       |  FROM c, live
+       |  UNION ALL
+       |  SELECT '2_fold_at4', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(2 AS BIGINT),
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + n6)
+       |      + (n0 + n1 + n2 + n3 + n4),
+       |    n0 + n1 + n2 + n3 + n4 + n5 + n6,
+       |    n_live, live_docid_sum
+       |  FROM c, live
+       |  UNION ALL
+       |  SELECT '3_leveled_f2', CAST(0 AS BIGINT), CAST(4 AS BIGINT),
+       |    CAST(2 AS BIGINT),
+       |    (n0 + n1 + n2 + n3 + n4 + n5 + n6)
+       |      + (n1 + n2) + (n3 + n4)
+       |      + (n1 + n2 + n3 + n4) + (n5 + n6),
+       |    n0 + (n1 + n2 + n3 + n4) + (n5 + n6),
+       |    n_live, live_docid_sum
+       |  FROM c, live)
+       |ORDER BY config""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // W12 — the fully-ONLINE lifecycle flagship, batch twin (VERDICT r11
   // #1): the deployable shape of the whole engine — continuous ingest
   // INTO the persisted index layouts while the hybrid funnel serves
@@ -6206,6 +6351,7 @@ object DedupSim {
     QueryDef("x106_simhash_contract", Some(x106Sql), x106),
     QueryDef("x107_tiered_compaction", Some(x107Sql), x107),
     QueryDef("x108_leveled_compaction", Some(x108Sql), x108),
+    QueryDef("x109_geometric_schedule", Some(x109Sql), x109),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),

@@ -63,6 +63,7 @@ class DeterminismSpec extends SparkSpec {
     "x105_compaction_policy",  // 3-config pool over a shared cut input
     "x107_tiered_compaction",  // same pool shape, tiered merges
     "x108_leveled_compaction", // same pool shape, leveled schedule
+    "x109_geometric_schedule", // same pool shape, geometric cascade
     "w12_online_funnel",       // par() pairs over three shared cut inputs
     "w08_nightly_ingest",      // four families' append/retraction cards
     "w09_segment_lifecycle",   // sparse nightly: measured from disk

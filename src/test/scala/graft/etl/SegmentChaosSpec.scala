@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   * init → ingest batches → policy compactions, where each batch may
   * be replaced by a simulated crash at a randomized kill point, the
   * standard heal path (the SegmentIngest.once retry) then runs, and
-  * the layout must ALWAYS serve exactly the fold-in oracle.
+  * the layout must ALWAYS serve exactly the fold-in oracle. The
+  * between-batch maintenance coin chooses between the FULL fold
+  * (compactInPlace) and the LEVELED tiered schedule (tieredMaintain
+  * at fanout=2, so range merges actually fire at this depth) — the
+  * merge path must compose with every kill point, the tag probes
+  * (folded originals keep their tag dirs until vacuum) and the
+  * keepLast=2 vacuum coin exactly as the fold path does.
   *
   * Kill points (each reconstructed by on-disk state surgery, the
   * SegmentIngestSpec technique — the state after the surgery is
@@ -199,31 +205,44 @@ class SegmentChaosSpec extends SparkSpec {
   }
 
   private def fams = Seq(
-    ("minhash", MinHashFam, MinHashSegments.compactInPlace(spark, _)),
-    ("sparse", SparseFam, SparseSegments.compactInPlace(spark, _)),
-    ("pq", PqFam, PqSegments.compactInPlace(spark, _)))
+    ("minhash", MinHashFam, MinHashSegments.compactInPlace(spark, _),
+      (r: String) => MinHashSegments.tieredMaintain(spark, r,
+        minRun = 2, fanout = 2, ratio = 3.0)),
+    ("sparse", SparseFam, SparseSegments.compactInPlace(spark, _),
+      (r: String) => SparseSegments.tieredMaintain(spark, r,
+        minRun = 2, fanout = 2, ratio = 3.0)),
+    ("pq", PqFam, PqSegments.compactInPlace(spark, _),
+      (r: String) => PqSegments.tieredMaintain(spark, r,
+        minRun = 2, fanout = 2, ratio = 3.0)))
 
   test("21 seeded kill-point schedules always heal to the fold-in oracle") {
     (0 until 21).foreach { seed =>
       val rng = new scala.util.Random(seed)
-      val (famName, fam, compact) = fams(seed % 3)
+      val (famName, fam, compact, maintain) = fams(seed % 3)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_chaos_${famName}_$seed").toString
       val ctx = s"seed=$seed fam=$famName"
       fam.init(root)
       // script: append 1 | append 2 | delete — each batch gets a
-      // seeded kill point; a seeded coin fires compaction (with or
-      // without a partial-base crash) between batches
+      // seeded kill point; a seeded coin fires maintenance between
+      // batches: either the full fold or the leveled tiered schedule
+      // (fanout=2 so merges actually fire at this depth), with or
+      // without a partial-base crash before a full fold
       val kills = Seq.fill(3)(KillPoints(rng.nextInt(KillPoints.size)))
       def maybeCompact(): Unit = if (rng.nextInt(3) == 0) {
         if (rng.nextBoolean()) {
-          // COMPACT_PARTIAL_BASE: a compactor died mid-base-write —
-          // plant junk at the next generation's dir name
-          val snap = SegmentOps.resolveSnapshot(spark, root)
-          fsOf(root).mkdirs(new org.apache.hadoop.fs.Path(
-            s"$root/${SegmentOps.nextBaseDir(snap)}/junk"))
+          maintain(root)
+          ()
+        } else {
+          if (rng.nextBoolean()) {
+            // COMPACT_PARTIAL_BASE: a compactor died mid-base-write —
+            // plant junk at the next generation's dir name
+            val snap = SegmentOps.resolveSnapshot(spark, root)
+            fsOf(root).mkdirs(new org.apache.hadoop.fs.Path(
+              s"$root/${SegmentOps.nextBaseDir(snap)}/junk"))
+          }
+          compact(root)
         }
-        compact(root)
         // vacuum under the schedule, honoring the self-heal retention
         // precondition (SegmentIngest doc): keepLast ≥ 2 spans any
         // un-markered batch's publish-to-marker window, so releasing

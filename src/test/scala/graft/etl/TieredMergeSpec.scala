@@ -255,25 +255,44 @@ class TieredMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent merge"))
   }
 
-  test("a crash between bundle publish and flip leaves vacuum-collectable debris") {
+  test("a crash between bundle publish and flip: the retry steals the orphan, no vacuum needed") {
     val root = tmpRoot("graft_merge_crash")
     MinHashSegments.init(NearDup.signatures(cls(0)), root)
     MinHashSegments.appendSeg(spark, root, cls(1))
     MinHashSegments.appendSeg(spark, root, cls(2))
     val before = sigKey(MinHashSegments.read(spark, root))
-    // the crashed merge: bundle published, flip never ran
-    SegmentOps.publishSegDir(spark, root, "seg=1-a-g2",
+    // the crashed merge: bundle published under the name a real
+    // mergeSegs would build (current version + 1), flip never ran
+    val orphan =
+      s"seg=1-a-g${SegmentOps.resolveSnapshot(spark, root).version + 1}"
+    SegmentOps.publishSegDir(spark, root, orphan,
       Seq("sigs" -> NearDup.signatures(cls(1).unionByName(cls(2))),
         "tombs" -> SegmentOps.emptyLike(docs.select("doc_id"))))
     // invisible to readers (no manifest names it)
     assert(SegmentOps.resolveSnapshot(spark, root).segs.map(_._2)
       == Seq("seg=0-a", "seg=1-a"))
     assert(sigKey(MinHashSegments.read(spark, root)) == before)
-    // vacuum collects the orphan, the retry merges cleanly
-    val removed = SegmentOps.vacuum(spark, root)
-    assert(removed.exists(_.contains("seg=1-a-g2")),
-      s"orphan merged dir not collected: $removed")
+    // the retry builds the SAME name (the manifest version never
+    // advanced) and must STEAL the unreferenced orphan instead of
+    // crash-looping until a manual vacuum (publishSegDir's doc)
     MinHashSegments.mergeSegs(spark, root, 2)
+    val snap = SegmentOps.resolveSnapshot(spark, root)
+    assert(snap.segs.map(_._2) == Seq(orphan),
+      s"retry did not publish over the orphan: ${snap.segs}")
+    assert(sigKey(MinHashSegments.read(spark, root)) == before)
+    // a REFERENCED same-name dir still fails loud (never steal a
+    // live segment)
+    val e = intercept[IllegalArgumentException](
+      SegmentOps.publishSegDir(spark, root, orphan,
+        Seq("sigs" -> NearDup.signatures(cls(1)))))
+    assert(e.getMessage.contains("referenced"))
+    // an orphan nobody retries remains vacuum-collectable
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/segs/seg=1-a-g99"))
+    val removed = SegmentOps.vacuum(spark, root)
+    assert(removed.exists(_.contains("seg=1-a-g99")),
+      s"unclaimed orphan not collected: $removed")
     assert(sigKey(MinHashSegments.read(spark, root)) == before)
   }
 }
