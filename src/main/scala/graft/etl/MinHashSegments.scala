@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 /** LOG-STRUCTURED persistence for the MinHash family's signature
   * index ([[NearDup.writeIndex]]) — the third leg of the O(delta)
@@ -126,6 +126,76 @@ object MinHashSegments {
     val base = s.read.parquet(s"$root/${snap.baseDir}/minhash_index")
     val segs = snap.segs.map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
+  }
+
+  /** STATE-DIFF CDC between two retained snapshots: one row per
+    * changed doc_id with `op` ∈ added / removed / updated — the
+    * incremental-consumption primitive (re-embed, re-shard or
+    * re-audit ONLY what changed since the last run, instead of
+    * diffing two 100 TB corpus states). Semantics are state diff,
+    * not operation log: a delete-then-reappend of IDENTICAL content
+    * reports nothing, a revise reports `updated` (signatures are
+    * content fingerprints, so sig-row inequality is the change test).
+    *
+    * Cost: when no compaction or merge crossed the window (`toV`'s
+    * segment list extends `fromV`'s over the same base), the FAST
+    * path reads only the window's segments plus ONE semi-join of the
+    * old snapshot against the window's tombstones (broadcast-sized at
+    * the nightly grain; output is delta-sized) — O(delta), never a
+    * two-state diff. When a fold DID cross the window the fast
+    * decomposition no longer exists and the fallback computes the
+    * honest O(live) content diff — same answer, priced differently
+    * (x110's card proves the two paths cell-identical). Both
+    * snapshots must still be retained (vacuum keepLast covers the
+    * consumer's lag window). */
+  def changesBetween(s: SparkSession, root: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV <= toV,
+      s"MinHashSegments.changesBetween: fromV $fromV > toV $toV")
+    val a = SegmentOps.resolveSnapshotAt(s, root, fromV)
+    val b = SegmentOps.resolveSnapshotAt(s, root, toV)
+    def tagged(df: DataFrame, op: String): DataFrame =
+      df.select(col("doc_id"), lit(op).as("op"))
+    val fast = a.baseDir == b.baseDir &&
+      b.segs.take(a.segs.size) == a.segs
+    val (added, removed, updated) =
+      if (fast) {
+        val news = b.segs.drop(a.segs.size)
+          .map { case (_, d, k) => readSeg(s, root, d, k) }
+        if (news.isEmpty)
+          return s.range(0).select(col("id").as("doc_id"),
+            lit("").as("op"))
+        // ids that survive WITHIN the window (scoped: a later tomb
+        // masks an earlier window add; re-adds win over their tombs)
+        val adds = SegmentOps.scopedUnion(
+          SegmentOps.emptyLike(news.head.sigsAdd),
+          news.map(_.sigsAdd), news.map(_.tombs), "doc_id")
+        val tombs = news.map(_.tombs).reduce(_ unionByName _)
+          .distinct()
+        // the ONE pass over the old state: which tombed ids were
+        // actually live at fromV (delta-sized output)
+        val tombedLiveA = readSnap(s, root, a)
+          .join(tombs, Seq("doc_id"), "left_semi")
+        val tombedIds = tombedLiveA.select("doc_id")
+        val addsIds = adds.select("doc_id")
+        (addsIds.join(tombedIds, Seq("doc_id"), "left_anti"),
+          tombedIds.join(addsIds, Seq("doc_id"), "left_anti"),
+          // re-added tombed ids whose signature ROW changed
+          adds.join(tombedIds, Seq("doc_id"), "left_semi")
+            .except(tombedLiveA).select("doc_id"))
+      } else {
+        val va = readSnap(s, root, a)
+        val vb = readSnap(s, root, b)
+        val vaIds = va.select("doc_id")
+        val vbIds = vb.select("doc_id")
+        (vbIds.join(vaIds, Seq("doc_id"), "left_anti"),
+          vaIds.join(vbIds, Seq("doc_id"), "left_anti"),
+          va.except(vb).select("doc_id")
+            .join(vbIds, Seq("doc_id"), "left_semi"))
+      }
+    tagged(added, "added")
+      .unionByName(tagged(removed, "removed"))
+      .unionByName(tagged(updated, "updated"))
   }
 
   /** Append a disjoint shard as a new segment — an O(delta) write

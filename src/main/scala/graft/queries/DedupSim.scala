@@ -4661,6 +4661,146 @@ object DedupSim {
   }
 
   // ---------------------------------------------------------------------
+  // X110 — snapshot CDC: MinHashSegments.changesBetween as an
+  // oracle-gated card. The incremental-consumption primitive for a
+  // 100 TB corpus: a downstream job (re-embedding, re-sharding,
+  // re-audit) asks "what changed since the snapshot I last consumed"
+  // and gets one delta-sized answer instead of diffing two corpus
+  // states. The card runs an 8-night script — x105's 6 nights plus a
+  // revise pair (delete live %14==2 ids, re-append their texts
+  // rewritten) — under two configs, captures the manifest version
+  // after night 3, and diffs it against the final version:
+  // 1_fast never compacts, so the window's segment list extends the
+  // captured snapshot's and the FAST path runs (window segments + ONE
+  // tombstone semi-join against the old state, O(delta)); 2_folded
+  // runs tieredMaintain nightly, merges cross the window, and the
+  // O(live) content-diff FALLBACK runs. Both must produce the
+  // identical state diff — added = classes 4-5 (appended after the
+  // capture), removed = the night-4 delete's eligible class 0-3 ids,
+  // updated = the revised surviving class 0-3 ids (signature-row
+  // inequality is the change test; the rewrite REPLACES the shingle
+  // set outright) — and the fast_path cell gates that each
+  // config exercised its intended path. The oracle recomputes every
+  // cell from class arithmetic; the diff is a STATE diff, so it is
+  // invariant to which merges 2_folded's schedule fired — no
+  // size-threshold branch can reach the oracle. Same eager-cut +
+  // forensics + determinism-under-load discipline as x105..x109.
+  // ---------------------------------------------------------------------
+  private def x110(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select("doc_id", "text")
+      .cut() // EAGER: materialized before the config pool (x105's rule)
+    def cls(i: Int) = docs.filter(col("doc_id") % 7 === i)
+    val delIds = docs.select("doc_id").filter(col("doc_id") % 10 === 3)
+    // live after night 6: eligible ∧ ((cls ≤ 3 ∧ not deleted) ∨ cls 4-5)
+    val liveAfter6 = (col("doc_id") % 7 <= 3 &&
+      col("doc_id") % 10 =!= 3) || col("doc_id") % 7 >= 4
+    // restrict to ORIGINALLY-ELIGIBLE docs (>= 3 words, the signature
+    // kernel's gate): revising a sub-threshold doc would make its
+    // longer v2 text newly eligible — an `added` the class arithmetic
+    // cannot see
+    // the revised text REPLACES the original (disjoint shingle set —
+    // a mere suffix only ADDS shingles, each permutation's min can
+    // only decrease, and long docs often keep their whole signature;
+    // the state diff would then correctly report fewer `updated` rows
+    // than the class arithmetic)
+    val revDocs = docs
+      .filter(liveAfter6 && col("doc_id") % 14 === 2 &&
+        size(split(col("text"), " ")) >= 3)
+      .withColumn("text",
+        concat(lit("v2 rewritten edition of doc "),
+          col("doc_id").cast("string"), lit(" end")))
+      .cut()
+    val revIds = revDocs.select("doc_id")
+    val configs = Seq("1_fast", "2_folded")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val cards = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(configs.map { label =>
+        scala.concurrent.Future {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_x110_$label").toString
+          MinHashSegments.init(NearDup.signatures(cls(0)), root)
+          def policy(): Unit = if (label == "2_folded") {
+            MinHashSegments.tieredMaintain(s, root)
+            ()
+          }
+          (1 to 3).foreach { i =>
+            MinHashSegments.appendSeg(s, root, cls(i)); policy()
+          }
+          val vMid = SegmentOps.resolveSnapshot(s, root).version
+          MinHashSegments.deleteSeg(s, root, delIds); policy()
+          (4 to 5).foreach { i =>
+            MinHashSegments.appendSeg(s, root, cls(i)); policy()
+          }
+          MinHashSegments.deleteSeg(s, root, revIds); policy()
+          MinHashSegments.appendSeg(s, root, revDocs); policy()
+          val vEnd = SegmentOps.resolveSnapshot(s, root).version
+          val a = SegmentOps.resolveSnapshotAt(s, root, vMid)
+          val b = SegmentOps.resolveSnapshotAt(s, root, vEnd)
+          val fastPath = a.baseDir == b.baseDir &&
+            b.segs.take(a.segs.size) == a.segs
+          val rows = MinHashSegments
+            .changesBetween(s, root, vMid, vEnd)
+            .groupBy("op")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("doc_id").cast("decimal(38,0)"))
+                .as("docid_sum"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1),
+              r.getDecimal(2)))
+            .sortBy(_._1)
+          (label, fastPath, rows)
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    val flat = cards.flatMap { case (l, fp, rows) =>
+      rows.map { case (op, n, ds) => (l, op, n, ds, fp) }
+    }
+    flat.foreach { case (l, op, n, ds, fp) =>
+      System.err.println(
+        s"""GRAFT_FORENSICS x110 {"config":"$l","op":"$op",""" +
+          s""""n_docs":$n,"docid_sum":$ds,"fast_path":$fp}""")
+    }
+    import s.implicits._
+    flat.toDF("config", "op", "n_docs", "docid_sum", "fast_path")
+      .withColumn("docid_sum", col("docid_sum").cast("decimal(38,0)"))
+      .orderBy("config", "op")
+  }
+  /** The oracle recomputes the state diff from class arithmetic:
+    * added = eligible classes 4-5 (appended inside the window),
+    * removed = the night-4 delete's eligible class 0-3 ids, updated =
+    * the surviving class 0-3 ids the revise pair rewrote. 1_fast must
+    * report fast_path TRUE (no fold crossed the window), 2_folded
+    * FALSE — the same six value cells either way. */
+  private lazy val x110Sql = {
+    val el = "len(string_split(text, ' ')) >= 3"
+    s"""WITH ops(config, fast_path) AS (
+       |  VALUES ('1_fast', TRUE), ('2_folded', FALSE)),
+       |cells AS (
+       |  SELECT 'added' AS op,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS docid_sum
+       |  FROM documents WHERE $el AND doc_id % 7 IN (4, 5)
+       |  UNION ALL
+       |  SELECT 'removed', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0))
+       |  FROM documents
+       |  WHERE $el AND doc_id % 7 <= 3 AND doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT 'updated', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(doc_id) AS DECIMAL(38,0))
+       |  FROM documents
+       |  WHERE $el AND doc_id % 7 <= 3 AND doc_id % 10 <> 3
+       |    AND doc_id % 14 = 2)
+       |SELECT config, op, n_docs, docid_sum, fast_path
+       |FROM ops, cells
+       |ORDER BY config, op""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // W12 — the fully-ONLINE lifecycle flagship, batch twin (VERDICT r11
   // #1): the deployable shape of the whole engine — continuous ingest
   // INTO the persisted index layouts while the hybrid funnel serves
@@ -6352,6 +6492,7 @@ object DedupSim {
     QueryDef("x107_tiered_compaction", Some(x107Sql), x107),
     QueryDef("x108_leveled_compaction", Some(x108Sql), x108),
     QueryDef("x109_geometric_schedule", Some(x109Sql), x109),
+    QueryDef("x110_snapshot_cdc", Some(x110Sql), x110),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),

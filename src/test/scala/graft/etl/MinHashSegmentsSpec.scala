@@ -93,6 +93,68 @@ class MinHashSegmentsSpec extends SparkSpec {
       == sigKey(resigned))
   }
 
+  test("changesBetween: fast path == fallback == expected state diff") {
+    val d = docs
+    val root = java.nio.file.Files
+      .createTempDirectory("mh_cdc").toString
+    MinHashSegments.init(
+      NearDup.signatures(d.filter(col("doc_id") % 4 <= 1)), root)
+    MinHashSegments.appendSeg(spark, root,
+      d.filter(col("doc_id") % 4 === 2))
+    val vMid = SegmentOps.resolveSnapshot(spark, root).version
+    // the window: a delete, an append, a CONTENT revise, and a
+    // SAME-CONTENT revise (must report nothing — state diff, not log)
+    val delIds = d.select("doc_id").distinct()
+      .filter(col("doc_id") % 10 === 3)
+    MinHashSegments.deleteSeg(spark, root, delIds)
+    MinHashSegments.appendSeg(spark, root,
+      d.filter(col("doc_id") % 4 === 3))
+    val rv = d.filter(col("doc_id") % 4 === 0 &&
+      col("doc_id") % 10 =!= 3 && col("doc_id") % 8 === 4 &&
+      size(split(col("text"), " ")) >= 3)
+    val sv = d.filter(col("doc_id") % 4 === 1 &&
+      col("doc_id") % 10 =!= 3 && col("doc_id") % 8 === 5 &&
+      size(split(col("text"), " ")) >= 3)
+    assert(rv.count() > 0 && sv.count() > 0)
+    // the revised text REPLACES the original (disjoint shingle set):
+    // merely appending words only ADDS shingles, each permutation's
+    // min can only decrease, and for long docs the whole signature
+    // often survives unchanged — a correct state diff then reports
+    // nothing, which is not the case this clause wants to pin
+    MinHashSegments.deleteSeg(spark, root, rv.select("doc_id"))
+    MinHashSegments.appendSeg(spark, root,
+      rv.withColumn("text", concat(lit("v2 rewritten edition of doc "),
+        col("doc_id").cast("string"), lit(" end"))))
+    MinHashSegments.deleteSeg(spark, root, sv.select("doc_id"))
+    MinHashSegments.appendSeg(spark, root, sv)
+    val vEnd = SegmentOps.resolveSnapshot(spark, root).version
+    def key(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val el = NearDup.signatures(d).select("doc_id")
+    val expected =
+      key(el.filter(col("doc_id") % 4 === 3)
+          .withColumn("op", lit("added"))) ++
+        key(el.filter(col("doc_id") % 4 <= 2 &&
+            col("doc_id") % 10 === 3)
+          .withColumn("op", lit("removed"))) ++
+        key(rv.select("doc_id").withColumn("op", lit("updated")))
+    val fast = MinHashSegments.changesBetween(spark, root, vMid, vEnd)
+    assert(key(fast) == expected, "fast-path CDC drifted")
+    // fold the early segments: the window no longer extends the
+    // captured snapshot, so the SAME call must take the O(live)
+    // content-diff fallback — and produce the identical state diff
+    MinHashSegments.mergeSegs(spark, root, 3)
+    val a = SegmentOps.resolveSnapshotAt(spark, root, vMid)
+    val b = SegmentOps.resolveSnapshot(spark, root)
+    assert(b.segs.take(a.segs.size) != a.segs,
+      "merge should have broken the fast-path precondition")
+    val slow = MinHashSegments
+      .changesBetween(spark, root, vMid, b.version)
+    assert(key(slow) == expected, "fallback CDC drifted")
+    // an empty window reports no changes
+    assert(MinHashSegments.changesBetween(spark, root, vEnd, vEnd)
+      .count() == 0L)
+  }
+
   test("view plan cost grows LINEARLY per segment — the priced LSM trade") {
     // the sparse/pq families' growth gate for the third family: an
     // append-only signature stack must cost a CONSTANT plan delta per
