@@ -149,54 +149,11 @@ object MinHashSegments {
     * snapshots must still be retained (vacuum keepLast covers the
     * consumer's lag window). */
   def changesBetween(s: SparkSession, root: String, fromV: Int,
-      toV: Int): DataFrame = {
-    require(fromV <= toV,
-      s"MinHashSegments.changesBetween: fromV $fromV > toV $toV")
-    val a = SegmentOps.resolveSnapshotAt(s, root, fromV)
-    val b = SegmentOps.resolveSnapshotAt(s, root, toV)
-    def tagged(df: DataFrame, op: String): DataFrame =
-      df.select(col("doc_id"), lit(op).as("op"))
-    val fast = a.baseDir == b.baseDir &&
-      b.segs.take(a.segs.size) == a.segs
-    val (added, removed, updated) =
-      if (fast) {
-        val news = b.segs.drop(a.segs.size)
-          .map { case (_, d, k) => readSeg(s, root, d, k) }
-        if (news.isEmpty)
-          return s.range(0).select(col("id").as("doc_id"),
-            lit("").as("op"))
-        // ids that survive WITHIN the window (scoped: a later tomb
-        // masks an earlier window add; re-adds win over their tombs)
-        val adds = SegmentOps.scopedUnion(
-          SegmentOps.emptyLike(news.head.sigsAdd),
-          news.map(_.sigsAdd), news.map(_.tombs), "doc_id")
-        val tombs = news.map(_.tombs).reduce(_ unionByName _)
-          .distinct()
-        // the ONE pass over the old state: which tombed ids were
-        // actually live at fromV (delta-sized output)
-        val tombedLiveA = readSnap(s, root, a)
-          .join(tombs, Seq("doc_id"), "left_semi")
-        val tombedIds = tombedLiveA.select("doc_id")
-        val addsIds = adds.select("doc_id")
-        (addsIds.join(tombedIds, Seq("doc_id"), "left_anti"),
-          tombedIds.join(addsIds, Seq("doc_id"), "left_anti"),
-          // re-added tombed ids whose signature ROW changed
-          adds.join(tombedIds, Seq("doc_id"), "left_semi")
-            .except(tombedLiveA).select("doc_id"))
-      } else {
-        val va = readSnap(s, root, a)
-        val vb = readSnap(s, root, b)
-        val vaIds = va.select("doc_id")
-        val vbIds = vb.select("doc_id")
-        (vbIds.join(vaIds, Seq("doc_id"), "left_anti"),
-          vaIds.join(vbIds, Seq("doc_id"), "left_anti"),
-          va.except(vb).select("doc_id")
-            .join(vbIds, Seq("doc_id"), "left_semi"))
-      }
-    tagged(added, "added")
-      .unionByName(tagged(removed, "removed"))
-      .unionByName(tagged(updated, "updated"))
-  }
+      toV: Int): DataFrame =
+    SegmentOps.changesBetweenWith(s, root, fromV, toV, "doc_id")(
+      { case (_, d, k) =>
+        val seg = readSeg(s, root, d, k); (seg.sigsAdd, seg.tombs) },
+      snap => readSnap(s, root, snap))
 
   /** Append a disjoint shard as a new segment — an O(delta) write
     * published atomically; the delta is signed at the layout's STORED

@@ -127,6 +127,20 @@ object PqSegments {
     writeSeg(s, deleteSegOf(read(s, root), vecIds), root, n, 'd', tag)
   }
 
+  /** Snapshot CDC — the dense family's twin of
+    * [[MinHashSegments.changesBetween]] (see there for semantics and
+    * the fast-path cost contract). The content grain is the ENCODED
+    * state (the frozen-book code rows): a vector revise whose
+    * quantized codes come out identical reports nothing — the layout
+    * diff answers "did the INDEX change", which is exactly what a
+    * downstream re-serve or cache invalidation consumes. */
+  def changesBetween(s: SparkSession, root: String, fromV: Int,
+      toV: Int): DataFrame =
+    SegmentOps.changesBetweenWith(s, root, fromV, toV, "vec_id")(
+      { case (_, d, k) =>
+        val seg = readSeg(s, root, d, k); (seg.codesAdd, seg.tombs) },
+      snap => readSnap(s, root, snap).codes)
+
   /** TIERED compaction: fold the `k` oldest segments into ONE merged
     * segment — the prefix special case of [[mergeSegsAt]]. */
   def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit =

@@ -675,6 +675,77 @@ object SegmentOps {
   def isMergedName(dirName: String): Boolean =
     dirName.stripPrefix("seg=").split("-").length == 3
 
+  /** Generic snapshot CDC — the shared engine behind each family's
+    * `changesBetween` ([[MinHashSegments.changesBetween]] for the
+    * semantics and cost contract). One row per changed `idCol` with
+    * `op` ∈ added / removed / updated, STATE-DIFF semantics at the
+    * family's content grain: `segTables` maps one window segment to
+    * its (content adds, tombstones) pair, `stateRows` composes a
+    * snapshot's full live content relation. The row diff is
+    * SYMMETRIC (A∖B ∪ B∖A per id): a family whose content is
+    * multi-row per id (sparse tf) can change by rows GROWING as well
+    * as shrinking, and a one-direction except would miss pure
+    * growth. Fast path iff `toV`'s segment list extends `fromV`'s
+    * over the same base — window segments + one semi-join of the old
+    * state against the window's tombstones; O(live) two-state
+    * content diff otherwise. */
+  def changesBetweenWith(s: org.apache.spark.sql.SparkSession,
+      root: String, fromV: Int, toV: Int, idCol: String)(
+      segTables: ((Int, String, Char)) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+      stateRows: Snapshot => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV <= toV,
+      s"SegmentOps.changesBetweenWith: fromV $fromV > toV $toV")
+    val a = resolveSnapshotAt(s, root, fromV)
+    val b = resolveSnapshotAt(s, root, toV)
+    def tagged(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select(col(idCol), lit(op).as("op"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(idCol).distinct()
+    val fast = a.baseDir == b.baseDir &&
+      b.segs.take(a.segs.size) == a.segs
+    val (added, removed, updated) =
+      if (fast) {
+        val news = b.segs.drop(a.segs.size).map(segTables)
+        if (news.isEmpty)
+          return s.range(0).select(col("id").as(idCol),
+            lit("").as("op"))
+        // content that survives WITHIN the window (scoped: a later
+        // tomb masks an earlier window add; re-adds win)
+        val adds = scopedUnion(emptyLike(news.head._1),
+          news.map(_._1), news.map(_._2), idCol)
+        val tombs = news.map(_._2).reduce(_ unionByName _).distinct()
+        // the ONE pass over the old state: which tombed ids were
+        // actually live at fromV (delta-sized output)
+        val tombedLiveA = stateRows(a)
+          .join(tombs, Seq(idCol), "left_semi")
+        val tombedIds = ids(tombedLiveA)
+        val addsIds = ids(adds)
+        val updCand = adds.join(tombedIds, Seq(idCol), "left_semi")
+        val oldRe = tombedLiveA.join(addsIds, Seq(idCol), "left_semi")
+        (addsIds.join(tombedIds, Seq(idCol), "left_anti"),
+          tombedIds.join(addsIds, Seq(idCol), "left_anti"),
+          ids(updCand.except(oldRe).select(idCol)
+            .unionByName(oldRe.except(updCand).select(idCol))))
+      } else {
+        val va = stateRows(a)
+        val vb = stateRows(b)
+        val vaIds = ids(va)
+        val vbIds = ids(vb)
+        (vbIds.join(vaIds, Seq(idCol), "left_anti"),
+          vaIds.join(vbIds, Seq(idCol), "left_anti"),
+          ids(va.except(vb).select(idCol)
+              .unionByName(vb.except(va).select(idCol)))
+            .join(vaIds, Seq(idCol), "left_semi")
+            .join(vbIds, Seq(idCol), "left_semi"))
+      }
+    tagged(added, "added")
+      .unionByName(tagged(removed, "removed"))
+      .unionByName(tagged(updated, "updated"))
+  }
+
   /** One segment's planning stats: whether it was produced by a
     * tiered merge, and its total row count (adds + tombs). `rows` is
     * consulted ONLY by the merged-run rule — callers that cannot fire

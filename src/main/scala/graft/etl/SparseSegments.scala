@@ -361,6 +361,22 @@ object SparseSegments {
     writeSeg(s, mkDeleteSeg(tf, dl, docIds), root, n, 'd', tag)
   }
 
+  /** Snapshot CDC — the sparse family's twin of
+    * [[MinHashSegments.changesBetween]] (see there for semantics and
+    * the fast-path cost contract). The content grain is the tf
+    * relation — MULTI-row per doc, which is why the shared engine's
+    * row diff is symmetric: a revise can grow a doc's rows (new
+    * tokens) as well as shrink them, and either direction must
+    * report `updated`. */
+  def changesBetween(s: SparkSession, root: String, fromV: Int,
+      toV: Int): DataFrame =
+    SegmentOps.changesBetweenWith(s, root, fromV, toV, "doc_id")(
+      { case (_, d, k) =>
+        val seg = readSeg(s, root, d, k)
+        (seg.tfAdd.select("doc_id", "tok", "tf"), seg.tombs) },
+      snap => readSnap(s, root, snap, None).tf
+        .select("doc_id", "tok", "tf"))
+
   /** TIERED compaction: fold the `k` oldest segments into ONE merged
     * segment — the prefix special case of [[mergeSegsAt]]. */
   def mergeSegs(s: SparkSession, root: String, k: Int = 2): Unit =

@@ -129,6 +129,46 @@ class PqSegmentsSpec extends SparkSpec {
       "tiered merges must never touch base files")
   }
 
+  test("changesBetween at the encoded grain: revise reports, identical re-encode doesn't") {
+    val ee = e
+    val root = java.nio.file.Files
+      .createTempDirectory("pq_cdc").toString
+    PqSegments.init(PqIndex.build(ee), root)
+    val vMid = SegmentOps.resolveSnapshot(spark, root).version
+    val del = ee.select("vec_id").distinct()
+      .filter(col("vec_id") % 10 === 3)
+    val rv = ee.filter(col("vec_id") % 12 === 4) // even: disjoint from del
+    val sv = ee.filter(col("vec_id") % 12 === 8)
+    assert(del.count() > 0 && rv.count() > 0 && sv.count() > 0)
+    val maxId = ee.agg(max(col("vec_id"))).head().getLong(0)
+    val clones = ee.filter(col("vec_id") % 12 === 0)
+      .withColumn("vec_id", col("vec_id") + maxId + 1)
+    PqSegments.deleteSeg(spark, root, del)
+    // content revise: negated embeddings re-encode to different codes
+    PqSegments.deleteSeg(spark, root, rv.select("vec_id"))
+    PqSegments.appendSeg(spark, root,
+      rv.withColumn("emb", expr("transform(emb, x -> -x)")))
+    // identity revise: same embeddings, same frozen-book codes — a
+    // state diff at the ENCODED grain must report nothing
+    PqSegments.deleteSeg(spark, root, sv.select("vec_id"))
+    PqSegments.appendSeg(spark, root, sv)
+    PqSegments.appendSeg(spark, root, clones)
+    val vEnd = SegmentOps.resolveSnapshot(spark, root).version
+    def key(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val expected =
+      key(clones.select("vec_id").withColumn("op", lit("added"))) ++
+        key(del.withColumn("op", lit("removed"))) ++
+        key(rv.select("vec_id").withColumn("op", lit("updated")))
+    val fastRes = PqSegments.changesBetween(spark, root, vMid, vEnd)
+    assert(key(fastRes) == expected, "fast-path dense CDC drifted")
+    // break the fast-path precondition; the fallback must agree
+    PqSegments.mergeSegs(spark, root, 3)
+    val b = SegmentOps.resolveSnapshot(spark, root)
+    val slowRes = PqSegments
+      .changesBetween(spark, root, vMid, b.version)
+    assert(key(slowRes) == expected, "fallback dense CDC drifted")
+  }
+
   test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
     val ee = e
     val root = java.nio.file.Files

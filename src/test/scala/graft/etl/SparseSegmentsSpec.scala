@@ -194,6 +194,56 @@ class SparseSegmentsSpec extends SparkSpec {
       "tiered merges must never touch base files")
   }
 
+  test("changesBetween: symmetric diff catches grown AND shrunk docs") {
+    val t = tf
+    val root = java.nio.file.Files
+      .createTempDirectory("sparse_cdc").toString
+    SparseSegments.init(SparseIndex.build(t, cap), root, cap)
+    val vMid = SegmentOps.resolveSnapshot(spark, root).version
+    val tIds = t.select("doc_id").distinct()
+    val del = tIds.filter(col("doc_id") % 10 === 3)
+    // grow: re-append with ONE EXTRA token row — the old rows are a
+    // strict subset of the new, so old∖new is empty and only the
+    // symmetric diff's new∖old direction sees the change
+    val gw = tIds.filter(col("doc_id") % 20 === 1)
+    // shrink: re-append WITHOUT each doc's lexicographically-first
+    // token — new∖old is empty, only old∖new sees it; restrict to
+    // docs with >= 2 distinct tokens so nobody shrinks to empty
+    val sh = t.groupBy("doc_id")
+      .agg(countDistinct("tok").as("ntok"))
+      .filter(col("doc_id") % 10 === 5 && col("ntok") >= 2)
+      .select("doc_id")
+    assert(del.count() > 0 && gw.count() > 0 && sh.count() > 0)
+    SparseSegments.deleteSeg(spark, root, del)
+    SparseSegments.deleteSeg(spark, root, gw)
+    SparseSegments.appendSeg(spark, root,
+      t.join(gw, Seq("doc_id"), "left_semi")
+        .unionByName(gw.select(col("doc_id"),
+          lit("zzgrownmarker").as("tok"), lit(1L).as("tf"))))
+    SparseSegments.deleteSeg(spark, root, sh)
+    val shTf = t.join(sh, Seq("doc_id"), "left_semi")
+      .withColumn("mn", min("tok").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("tok") =!= col("mn"))
+      .select("doc_id", "tok", "tf")
+    SparseSegments.appendSeg(spark, root, shTf)
+    val vEnd = SegmentOps.resolveSnapshot(spark, root).version
+    def key(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val expected =
+      key(del.withColumn("op", lit("removed"))) ++
+        key(gw.withColumn("op", lit("updated"))) ++
+        key(sh.withColumn("op", lit("updated")))
+    val fastRes = SparseSegments
+      .changesBetween(spark, root, vMid, vEnd)
+    assert(key(fastRes) == expected, "fast-path sparse CDC drifted")
+    // break the fast-path precondition; the fallback must agree
+    SparseSegments.mergeSegs(spark, root, 3)
+    val b = SegmentOps.resolveSnapshot(spark, root)
+    val slowRes = SparseSegments
+      .changesBetween(spark, root, vMid, b.version)
+    assert(key(slowRes) == expected, "fallback sparse CDC drifted")
+  }
+
   test("disk layout: O(delta) segment writes, read == view, compact == segmented") {
     val t = tf
     val root = java.nio.file.Files
