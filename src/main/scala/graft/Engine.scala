@@ -2,7 +2,7 @@ package graft
 
 /** The engine's library surface in one import.
   *
-  * The 262 oracle-checked queries in [[SparkEntry]] are the
+  * The 263 oracle-checked queries in [[SparkEntry]] are the
   * capability inventory; THIS is the API a user programs against —
   * every reusable operator family behind one entry point, each member
   * carrying its scale contract in its own scaladoc. All aliases, no

@@ -4801,6 +4801,118 @@ object DedupSim {
   }
 
   // ---------------------------------------------------------------------
+  // W13 — CDC-driven incremental dedup maintenance: the capstone that
+  // makes x110's primitive DO something. A downstream consumer owns a
+  // verified near-dup EDGE TABLE and keeps it in sync with a churning
+  // segmented corpus by consuming changesBetween windows — never
+  // re-pairing the whole corpus: each sync drops edges touching
+  // removed/updated ids and pairs ONLY the window's added/updated
+  // docs against the index (NearDup.incrementalEdges — the banded
+  // join of the delta's band keys, cost bounded by delta size x
+  // bucket occupancy; the base corpus is touched only through its
+  // already-stored signatures, never re-shingled). Three syncs over a
+  // 6-night script (appends, the %10=3 delete, a delete+re-append
+  // revise whose text is REPLACED), and the final accumulated edge
+  // table must equal — row for row, ORDER BY hash-gated — the
+  // from-scratch verified pairs DuckDB computes over the final
+  // surviving corpus with the same portable MinHash arithmetic
+  // (x02's oracle family). The corpus is x02's documents ∪ planted
+  // near-dups, so the edge set is never vacuously empty and planted
+  // twins ride the same class/delete script as their originals.
+  // Scale: each sync is O(window churn); the edge-table update is
+  // two anti-joins + a union-distinct on a dup-volume-sized relation.
+  // ---------------------------------------------------------------------
+  private def w13(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.{MinHashSegments, NearDup, SegmentOps}
+    val docs = Tables.fanout(minhashCorpus(s, d)).cut()
+    def cls(i: Int) = docs.filter(col("doc_id") % 5 === i)
+    val delIds = docs.select("doc_id").filter(col("doc_id") % 10 === 3)
+    val revDocs = docs
+      .filter(col("doc_id") % 20 === 6 &&
+        size(split(col("text"), " ")) >= 3)
+      .withColumn("text",
+        concat(lit("v2 rewritten edition of doc "),
+          col("doc_id").cast("string"), lit(" end")))
+      .cut()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_w13").toString
+    MinHashSegments.init(NearDup.signatures(cls(0)), root)
+    // the consumer's state: a verified (doc_a < doc_b) edge table
+    // seeded from the base corpus, plus the last-consumed version
+    var consumedV = SegmentOps.resolveSnapshot(s, root).version
+    var edges = NearDup.edges(cls(0)).cut()
+    def sync(): Unit = {
+      val cur = SegmentOps.resolveSnapshot(s, root).version
+      val ch = MinHashSegments.changesBetween(s, root, consumedV, cur)
+        .cut()
+      val gone = ch.filter(col("op").isin("removed", "updated"))
+        .select("doc_id")
+      val fresh = ch.filter(col("op").isin("added", "updated"))
+        .select("doc_id")
+      val live = MinHashSegments.read(s, root)
+      val newE = NearDup.incrementalEdges(
+          live.join(fresh, Seq("doc_id"), "left_anti"),
+          live.join(fresh, Seq("doc_id"), "left_semi"))
+        .select(least(col("doc_id"), col("dup_of")).as("doc_a"),
+          greatest(col("doc_id"), col("dup_of")).as("doc_b"))
+      edges = edges
+        .join(gone.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_anti")
+        .join(gone.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_anti")
+        .unionByName(newE).distinct().cut()
+      consumedV = cur
+    }
+    MinHashSegments.appendSeg(s, root, cls(1))
+    MinHashSegments.appendSeg(s, root, cls(2))
+    sync()
+    MinHashSegments.deleteSeg(s, root, delIds)
+    MinHashSegments.appendSeg(s, root, cls(3))
+    sync()
+    MinHashSegments.deleteSeg(s, root, revDocs.select("doc_id"))
+    MinHashSegments.appendSeg(s, root, revDocs)
+    sync()
+    edges.orderBy("doc_a", "doc_b")
+  }
+  /** The oracle rebuilds the FINAL corpus (classes 0-3 of documents ∪
+    * planted dups, minus the %10=3 delete, revised texts substituted)
+    * and computes the verified pair set from scratch with the shared
+    * portable MinHash arithmetic — equality proves the incremental
+    * accumulation (init edges + 3 CDC syncs) converged to the batch
+    * answer. */
+  private def w13Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |corpus AS (
+       |  -- classes 0-2 predate the delete (their %10=3 ids fall);
+       |  -- class 3 is appended AFTER it, so it keeps them
+       |  SELECT doc_id, text FROM raw
+       |  WHERE ((doc_id % 5 <= 2 AND doc_id % 10 <> 3)
+       |      OR doc_id % 5 = 3)
+       |    AND NOT (doc_id % 20 = 6
+       |      AND len(string_split(text, ' ')) >= 3)
+       |  UNION ALL
+       |  SELECT doc_id, 'v2 rewritten edition of doc ' ||
+       |    CAST(doc_id AS VARCHAR) || ' end'
+       |  FROM raw
+       |  WHERE doc_id % 20 = 6
+       |    AND len(string_split(text, ' ')) >= 3),
+       |$duckMinhashCtes,
+       |sigm AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(list_zip(sa.sig, sb.sig),
+       |        p -> p[1] = p[2])) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b FROM sigm
+       |WHERE m >= ${graft.etl.NearDup.DefaultMinSig}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // W12 — the fully-ONLINE lifecycle flagship, batch twin (VERDICT r11
   // #1): the deployable shape of the whole engine — continuous ingest
   // INTO the persisted index layouts while the hybrid funnel serves
@@ -6493,6 +6605,7 @@ object DedupSim {
     QueryDef("x108_leveled_compaction", Some(x108Sql), x108),
     QueryDef("x109_geometric_schedule", Some(x109Sql), x109),
     QueryDef("x110_snapshot_cdc", Some(x110Sql), x110),
+    QueryDef("w13_cdc_dedup_sync", Some(w13Sql), w13),
     QueryDef("x04_ngram_jaccard", Some(x04Sql), x04),
     QueryDef("x05_knn_cosine", Some(x05Sql), x05),
     QueryDef("x46_label_noise", Some(x46Sql), x46),

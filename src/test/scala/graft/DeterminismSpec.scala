@@ -65,6 +65,7 @@ class DeterminismSpec extends SparkSpec {
     "x108_leveled_compaction", // same pool shape, leveled schedule
     "x109_geometric_schedule", // same pool shape, geometric cascade
     "x110_snapshot_cdc",       // same pool shape, CDC window diff
+    "w13_cdc_dedup_sync",      // CDC-driven incremental edge table
     "w12_online_funnel",       // par() pairs over three shared cut inputs
     "w08_nightly_ingest",      // four families' append/retraction cards
     "w09_segment_lifecycle",   // sparse nightly: measured from disk

@@ -258,6 +258,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "x108_leveled_compaction" -> 1,
     "x109_geometric_schedule" -> 1,
     "x110_snapshot_cdc" -> 1,
+    "w13_cdc_dedup_sync" -> 1,
     "w12_online_funnel" -> 20,
     // w07's 18 audited stages + x05's truth slice + the per-query
     // eval join/agg over two <= 10-rows/query relations + final sort
