@@ -1,9 +1,16 @@
 package graft
 
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one query N times in a single session to separate
-  * plan cost from host noise. Usage: runMain graft.QBench <sfDir> <name> [n]
+  * plan cost from host noise, with per-run scheduler accounting (job
+  * count, task count, summed task time) so orchestration-bound queries
+  * — many tiny jobs — are distinguishable from compute-bound ones.
+  * Usage: runMain graft.QBench <sfDir> <name> [n]
   */
 object QBench {
   def main(args: Array[String]): Unit = {
@@ -18,14 +25,69 @@ object QBench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskMs = new AtomicLong
+    val byStage =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val execDesc =
+      new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            execDesc.put(s.executionId, s.description)
+          case _ => ()
+        }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+        j.stageInfos.foreach { si =>
+          val nm = desc match {
+            case Some(cs) if si.name.contains("CompletableFuture") ||
+                si.name.contains("withThreadLocalCaptured") => cs
+            case _ => si.name
+          }
+          stageNames.put(si.stageId, nm)
+        }
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) {
+          taskMs.addAndGet(t.taskInfo.duration)
+          val name = stageNames.getOrDefault(t.stageId, "?")
+          byStage.computeIfAbsent(name, _ => new AtomicLong)
+            .addAndGet(t.taskInfo.duration)
+        }
+      }
+    })
     val q = SparkEntry.defs.find(_.name.contains(name)).get
     (1 to n).foreach { i =>
+      jobs.set(0); tasks.set(0); taskMs.set(0); byStage.clear()
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[qbench] ${q.name} run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reading
+      Thread.sleep(300)
+      println(f"[qbench] ${q.name} run $i: $wall%.2fs " +
+        f"jobs=${jobs.get} tasks=${tasks.get} " +
+        f"task_time=${taskMs.get / 1e3}%.1fs")
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.toSeq.sortBy(-_._2.get).take(15).foreach {
+        case (name, ms) =>
+          println(f"[qbench]   ${ms.get / 1e3}%8.1fs  $name")
+      }
     }
     spark.stop()
   }

@@ -113,13 +113,44 @@ object Sources {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(Future.sequence(tables.map { case (name, df) =>
       Future {
-        val w = df.write.mode("overwrite").format(format)
-        partitions.get(name).filter(_.nonEmpty)
-          .fold(w)(cols => w.partitionBy(cols: _*))
+        val part = partitions.get(name).filter(_.nonEmpty)
+        val w = sizedForWrite(df, part).write.mode("overwrite")
+          .format(format)
+        part.fold(w)(cols => w.partitionBy(cols: _*))
           .save(s"$baseDir/$name")
       }
     }), Duration.Inf)
     finally pool.shutdown()
+  }
+
+  /** Size-adaptive file layout for [[writeOrdered]] (optimization
+    * guide §6: output files should track DATA size, not task count).
+    * Without this every write inherits the upstream partitioning — a
+    * sub-MB nightly segment fans out into one near-empty file per
+    * core (each paying full parquet-writer setup, the dominant cost
+    * of the whole segment-lifecycle family at bench scale), while at
+    * 100 TB the same inheritance can under- or over-split. An AQE
+    * REBALANCE hint lets the runtime coalesce/split to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — adaptive at
+    * every scale, keyed by the hive-partition columns when the table
+    * has them (so one task holds whole directory partitions instead
+    * of tasks x partitions fragments). A plan whose top is already an
+    * explicit repartition/rebalance keeps its layout — those call
+    * sites (e.g. SparseSegments' bucket-clustered tf) encode a
+    * DELIBERATE clustering this hint must not double-shuffle. */
+  private def sizedForWrite(df: DataFrame,
+      part: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Repartition, RepartitionByExpression, RebalancePartitions}
+    val explicitLayout = df.queryExecution.logical match {
+      case _: Repartition | _: RepartitionByExpression |
+          _: RebalancePartitions => true
+      case _ => false
+    }
+    if (explicitLayout) df
+    else part.fold(df.hint("rebalance"))(cols =>
+      df.hint("rebalance", cols.map(org.apache.spark.sql.functions.col)
+        : _*))
   }
 
   /** S5 (JDBC form): dependency-ordered warehouse load through Spark's
