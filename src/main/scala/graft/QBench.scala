@@ -25,8 +25,17 @@ object QBench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("QB_AQE", "true"))
+      .config("spark.shuffle.checksum.enabled",
+        sys.env.getOrElse("QB_CHECKSUM", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("QB_CGCACHE", GraftSession.CodegenCacheEntries))
+      .config("spark.file.transferTo",
+        sys.env.getOrElse("QB_TRANSFERTO", GraftSession.FileTransferTo))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("QB_BYPASS", "200"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,10 +44,17 @@ object QBench {
     val taskMs = new AtomicLong
     val byStage =
       new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    val byStageN =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
     val stageNames =
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val execDesc =
       new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val runMs = new AtomicLong
+    val deserMs = new AtomicLong
+    val gcMs = new AtomicLong
+    val resSerMs = new AtomicLong
+    val cpuMs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -64,17 +80,27 @@ object QBench {
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
+        if (t.taskMetrics != null) {
+          runMs.addAndGet(t.taskMetrics.executorRunTime)
+          deserMs.addAndGet(t.taskMetrics.executorDeserializeTime)
+          gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+          resSerMs.addAndGet(t.taskMetrics.resultSerializationTime)
+          cpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+        }
         if (t.taskInfo != null) {
           taskMs.addAndGet(t.taskInfo.duration)
           val name = stageNames.getOrDefault(t.stageId, "?")
           byStage.computeIfAbsent(name, _ => new AtomicLong)
             .addAndGet(t.taskInfo.duration)
+          byStageN.computeIfAbsent(name, _ => new AtomicInteger)
+            .incrementAndGet()
         }
       }
     })
     val q = SparkEntry.defs.find(_.name.contains(name)).get
     (1 to n).foreach { i =>
-      jobs.set(0); tasks.set(0); taskMs.set(0); byStage.clear()
+      jobs.set(0); tasks.set(0); taskMs.set(0); byStage.clear(); byStageN.clear()
+      runMs.set(0); deserMs.set(0); gcMs.set(0); resSerMs.set(0); cpuMs.set(0)
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -82,11 +108,15 @@ object QBench {
       Thread.sleep(300)
       println(f"[qbench] ${q.name} run $i: $wall%.2fs " +
         f"jobs=${jobs.get} tasks=${tasks.get} " +
-        f"task_time=${taskMs.get / 1e3}%.1fs")
+        f"task_time=${taskMs.get / 1e3}%.1fs " +
+        f"run=${runMs.get / 1e3}%.1fs cpu=${cpuMs.get / 1e3}%.1fs " +
+        f"deser=${deserMs.get / 1e3}%.1fs gc=${gcMs.get / 1e3}%.1fs " +
+        f"resser=${resSerMs.get / 1e3}%.1fs")
       import scala.jdk.CollectionConverters._
       byStage.asScala.toSeq.sortBy(-_._2.get).take(15).foreach {
         case (name, ms) =>
-          println(f"[qbench]   ${ms.get / 1e3}%8.1fs  $name")
+          val nt = byStageN.getOrDefault(name, new AtomicInteger).get
+          println(f"[qbench]   ${ms.get / 1e3}%8.1fs ($nt%5d tasks)  $name")
       }
     }
     spark.stop()

@@ -31,6 +31,9 @@ object RealBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", GraftSession.localDir)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.CodegenCacheEntries)
+      .config("spark.file.transferTo", GraftSession.FileTransferTo)
       .config("spark.ui.enabled", "false")
       // the warehouse write is many small hive-partitioned files on a
       // syscall-expensive microVM: direct task commits (v2) + no

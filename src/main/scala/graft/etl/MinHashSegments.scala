@@ -80,8 +80,7 @@ object MinHashSegments {
     * explicit-but-wrong value can never bypass the mismatch check. */
   private def storedKAt(s: SparkSession, baseAbs: String,
       k: Option[Int]): Int = {
-    val stored = s.read.parquet(s"$baseAbs/meta")
-      .select("k").head().getInt(0)
+    val stored = SegmentOps.readMetaInt(s, s"$baseAbs/meta", "k")
     k.foreach(c => require(c == stored,
       s"MinHashSegments: layout $baseAbs was signed at k=$stored but " +
         s"k=$c was passed — the signature lengths must agree"))
@@ -253,8 +252,8 @@ object MinHashSegments {
   def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
       fanout: Int = 4, ratio: Double = 1.5): Int =
     SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
-      d => s.read.parquet(s"$root/segs/$d/sigs").count() +
-        s.read.parquet(s"$root/segs/$d/tombs").count(),
+      d => SegmentOps.footerRows(s,
+        Seq(s"$root/segs/$d/sigs", s"$root/segs/$d/tombs")),
       mergeSegsAt(s, root, _, _))
 
   /** Fold the segments into a fresh base at `outRoot`; the signature

@@ -195,8 +195,8 @@ object PqSegments {
   def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
       fanout: Int = 4, ratio: Double = 1.5): Int =
     SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
-      d => Seq("cells", "codes", "tombs")
-        .map(t => s.read.parquet(s"$root/segs/$d/$t").count()).sum,
+      d => SegmentOps.footerRows(s,
+        Seq("cells", "codes", "tombs").map(t => s"$root/segs/$d/$t")),
       mergeSegsAt(s, root, _, _))
 
   /** Fold the segments into a fresh base at `outRoot` (the books and

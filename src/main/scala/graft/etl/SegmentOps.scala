@@ -73,6 +73,74 @@ object SegmentOps {
       : Seq[Int] = listSegEntries(s, root).map(_._1)
 
   // ------------------------------------------------------------------
+  // Driver-side parquet metadata reads. A `spark.read.parquet(p)
+  // .count()` of a segment table is answered entirely from parquet
+  // FOOTERS, yet still costs a full Spark job (plan + AQE stage +
+  // schedule + one task per file). The lifecycle operators issue
+  // dozens of such metadata lookups per run (tiered-maintain segment
+  // sizing, layout meta fields, measured-cell counts), and on the
+  // segment-family cards those jobs ARE the wall — the driver's
+  // per-job latency dominates sub-MB data. Reading the footers
+  // directly on the driver returns the identical numbers with zero
+  // jobs. Scale note: this is metadata whose volume is O(files), the
+  // same listing the Spark job's planning phase would do on the
+  // driver anyway — not a data collect.
+  // ------------------------------------------------------------------
+
+  private def parquetParts(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(p)
+    else fs.listStatus(p).toSeq
+      .filterNot { c =>
+        val n = c.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .flatMap(c => parquetParts(fs, c.getPath))
+  }
+
+  /** Total row count of the parquet dirs/files `paths` from their
+    * footers alone — bit-identical to `spark.read.parquet(paths: _*)
+    * .count()` (which reads the same footers, via a job). Recurses
+    * through hive-partition subdirectories; hidden/_ files skipped. */
+  def footerRows(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Long = {
+    if (paths.isEmpty) return 0L
+    val conf = s.sparkContext.hadoopConfiguration
+    paths.iterator.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      parquetParts(fs, p).iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.sum
+  }
+
+  /** Read one INT field of a 1-row parquet metadata table (a layout's
+    * `meta`) on the driver — same value as
+    * `spark.read.parquet(dir).select(field).head()`, zero jobs. */
+  def readMetaInt(s: org.apache.spark.sql.SparkSession,
+      dirAbs: String, field: String): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dirAbs)
+    val fs = p.getFileSystem(conf)
+    val rows = parquetParts(fs, p).iterator.flatMap { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example
+          .GroupReadSupport(), f)
+        .withConf(conf).build()
+      try Option(rdr.read()).map(_.getInteger(field, 0))
+      finally rdr.close()
+    }
+    require(rows.hasNext, s"readMetaInt: no rows under $dirAbs")
+    rows.next()
+  }
+
+  // ------------------------------------------------------------------
   // Snapshot manifests — concurrent readers vs in-place compaction.
   //
   // Per-segment tmp+rename makes each WRITE atomic, but a reader that

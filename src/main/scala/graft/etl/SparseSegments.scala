@@ -246,8 +246,7 @@ object SparseSegments {
     * wrong value can never bypass the mismatch check. */
   private def storedCapAt(s: SparkSession, baseAbs: String,
       cap: Option[Int]): Int = {
-    val stored = s.read.parquet(s"$baseAbs/meta")
-      .select("cap").head().getInt(0)
+    val stored = SegmentOps.readMetaInt(s, s"$baseAbs/meta", "cap")
     cap.foreach(c => require(c == stored,
       s"SparseSegments: layout $baseAbs was built at cap=$stored but " +
         s"cap=$c was passed — the caps must agree"))
@@ -441,8 +440,8 @@ object SparseSegments {
   def tieredMaintain(s: SparkSession, root: String, minRun: Int = 2,
       fanout: Int = 4, ratio: Double = 1.5): Int =
     SegmentOps.tieredMaintainWith(s, root, minRun, fanout, ratio)(
-      d => Seq("tf", "dfd", "dl", "statsd", "tombs")
-        .map(t => s.read.parquet(s"$root/segs/$d/$t").count()).sum,
+      d => SegmentOps.footerRows(s, Seq("tf", "dfd", "dl", "statsd",
+        "tombs").map(t => s"$root/segs/$d/$t")),
       mergeSegsAt(s, root, _, _))
 
   /** Fold the segments into a fresh base at `outRoot` — the periodic

@@ -4124,7 +4124,7 @@ object DedupSim {
             .map(_.getPath.getName)
             .filter(n => n == "base" || n.startsWith("base-g"))
           def rows(rels: Seq[String]): Long =
-            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+            SegmentOps.footerRows(s, rels)
           val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
           def segRows(dirs: Seq[String]): Long =
             rows(dirs.map(d => s"$root/segs/$d/sigs")) +
@@ -4277,7 +4277,7 @@ object DedupSim {
             .map(_.getPath.getName)
             .filter(n => n == "base" || n.startsWith("base-g"))
           def rows(rels: Seq[String]): Long =
-            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+            SegmentOps.footerRows(s, rels)
           val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
           val mergedDirs = segDirs.filter(_.split("-").length == 3)
           def segRows(dirs: Seq[String]): Long =
@@ -4431,7 +4431,7 @@ object DedupSim {
             .map(_.getPath.getName)
             .filter(n => n == "base" || n.startsWith("base-g"))
           def rows(rels: Seq[String]): Long =
-            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+            SegmentOps.footerRows(s, rels)
           val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
           val mergedDirs = segDirs.filter(SegmentOps.isMergedName)
           def segRows(dirs: Seq[String]): Long =
@@ -4575,7 +4575,7 @@ object DedupSim {
             .map(_.getPath.getName)
             .filter(n => n == "base" || n.startsWith("base-g"))
           def rows(rels: Seq[String]): Long =
-            if (rels.isEmpty) 0L else s.read.parquet(rels: _*).count()
+            SegmentOps.footerRows(s, rels)
           val segDirs = SegmentOps.listSegEntries(s, root).map(_._2)
           val mergedDirs = segDirs.filter(SegmentOps.isMergedName)
           def segRows(dirs: Seq[String]): Long =
