@@ -36,6 +36,10 @@ object QBench {
         sys.env.getOrElse("QB_TRANSFERTO", GraftSession.FileTransferTo))
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("QB_BYPASS", "200"))
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("QB_PLANSTR", "2147483632"))
+      .config("spark.sql.ui.retainedExecutions",
+        sys.env.getOrElse("QB_RETEXEC", "1000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,6 +54,8 @@ object QBench {
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val execDesc =
       new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val jobsByDesc =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
     val runMs = new AtomicLong
     val deserMs = new AtomicLong
     val gcMs = new AtomicLong
@@ -69,6 +75,11 @@ object QBench {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
           .flatMap(id => Option(execDesc.get(id.toLong)))
+        val dkey = desc.getOrElse("<no-sql> " +
+          j.stageInfos.map(_.name.takeWhile(_ != '(')).distinct
+            .mkString("|").take(80))
+        jobsByDesc.computeIfAbsent(dkey,
+          _ => new AtomicInteger).incrementAndGet()
         j.stageInfos.foreach { si =>
           val nm = desc match {
             case Some(cs) if si.name.contains("CompletableFuture") ||
@@ -101,6 +112,7 @@ object QBench {
     (1 to n).foreach { i =>
       jobs.set(0); tasks.set(0); taskMs.set(0); byStage.clear(); byStageN.clear()
       runMs.set(0); deserMs.set(0); gcMs.set(0); resSerMs.set(0); cpuMs.set(0)
+      jobsByDesc.clear()
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -118,6 +130,10 @@ object QBench {
           val nt = byStageN.getOrDefault(name, new AtomicInteger).get
           println(f"[qbench]   ${ms.get / 1e3}%8.1fs ($nt%5d tasks)  $name")
       }
+      if (sys.env.contains("QB_JOBS"))
+        jobsByDesc.asScala.toSeq.sortBy(-_._2.get).take(20).foreach {
+          case (d, c) => println(f"[qjobs] ${c.get}%4d  $d")
+        }
     }
     spark.stop()
   }

@@ -148,6 +148,6 @@ object AnnIndex {
 
   /** Load a persisted index: (codebook, assignments). */
   def read(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$dir/codebook"),
-      s.read.parquet(s"$dir/assignments"))
+    (SegmentOps.readKnown(s, s"$dir/codebook"),
+      SegmentOps.readKnown(s, s"$dir/assignments"))
 }

@@ -102,7 +102,8 @@ object MinHashSegments {
     * SegmentOps.emptyLike). */
   private def readSeg(s: SparkSession, root: String, dirName: String,
       kind: Char): Seg = {
-    def t(name: String) = s.read.parquet(s"$root/segs/$dirName/$name")
+    def t(name: String) =
+      SegmentOps.readKnown(s, s"$root/segs/$dirName/$name")
     def emptyT(name: String) = SegmentOps.emptyLike(t(name))
     Seg(
       sigsAdd = if (kind == 'd') emptyT("sigs") else t("sigs"),
@@ -122,7 +123,8 @@ object MinHashSegments {
 
   private def readSnap(s: SparkSession, root: String,
       snap: SegmentOps.Snapshot): DataFrame = {
-    val base = s.read.parquet(s"$root/${snap.baseDir}/minhash_index")
+    val base =
+      SegmentOps.readKnown(s, s"$root/${snap.baseDir}/minhash_index")
     val segs = snap.segs.map { case (_, d, k) => readSeg(s, root, d, k) }
     if (segs.isEmpty) base else view(base, segs)
   }

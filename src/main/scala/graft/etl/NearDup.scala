@@ -229,7 +229,7 @@ object NearDup {
 
   /** Load a persisted signature index. */
   def readIndex(s: org.apache.spark.sql.SparkSession, dir: String)
-      : DataFrame = s.read.parquet(s"$dir/minhash_index")
+      : DataFrame = SegmentOps.readKnown(s, s"$dir/minhash_index")
 
   /** Remove documents from a signature index — EXACT by construction:
     * signatures are per-doc and row-local, so the anti-join equals

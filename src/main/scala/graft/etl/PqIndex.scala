@@ -270,7 +270,8 @@ object PqIndex {
 
   /** Load a persisted index. */
   def read(s: SparkSession, dir: String): Index =
-    Index(s.read.parquet(s"$dir/coarse"), s.read.parquet(s"$dir/cells"),
-      (0 until Sub).map(i => s.read.parquet(s"$dir/book$i")),
-      s.read.parquet(s"$dir/codes"))
+    Index(SegmentOps.readKnown(s, s"$dir/coarse"),
+      SegmentOps.readKnown(s, s"$dir/cells"),
+      (0 until Sub).map(i => SegmentOps.readKnown(s, s"$dir/book$i")),
+      SegmentOps.readKnown(s, s"$dir/codes"))
 }

@@ -84,7 +84,8 @@ object PqSegments {
     * SegmentOps.emptyLike). */
   private def readSeg(s: SparkSession, root: String, dirName: String,
       kind: Char): Seg = {
-    def t(name: String) = s.read.parquet(s"$root/segs/$dirName/$name")
+    def t(name: String) =
+      SegmentOps.readKnown(s, s"$root/segs/$dirName/$name")
     def emptyT(name: String) = SegmentOps.emptyLike(t(name))
     Seg(
       cellsAdd = if (kind == 'd') emptyT("cells") else t("cells"),

@@ -120,6 +120,42 @@ object SegmentOps {
     }.sum
   }
 
+  /** Parquet read with the schema resolved from the FIRST footer on
+    * the driver, instead of Spark's schema-inference JOB. Every bare
+    * `spark.read.parquet(dir)` launches a footer-merging job at PLAN
+    * time (~one per-job driver round-trip); a segmented layout read
+    * issues one per table per segment, so a lifecycle card pays
+    * dozens of them (measured: 90 of w13's 207 jobs were schema
+    * inference). Engine-internal tables are written by one writer
+    * with one schema, so first-footer == merged schema by
+    * construction. `partCols` appends hive-partition columns (their
+    * values still come from directory names at scan time; only the
+    * inference job is skipped). Not for foreign data: timestamp
+    * encodings (e.g. events.ts nanos) follow session confs that only
+    * the full inference path applies. */
+  def readKnown(s: org.apache.spark.sql.SparkSession, dir: String,
+      partCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq.empty): org.apache.spark.sql.DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val leaf = parquetParts(fs, p).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"readKnown: no parquet files under $dir"))
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(leaf, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try r.getFooter.getFileMetaData.getSchema
+      finally r.close()
+    val dataSchema = new org.apache.spark.sql.execution.datasources
+      .parquet.ParquetToSparkSchemaConverter(
+        s.sessionState.conf).convert(msg)
+    val full = partCols.foldLeft(dataSchema) { case (st, (n, t)) =>
+      st.add(n, t)
+    }
+    s.read.schema(full).parquet(dir)
+  }
+
   /** Read one INT field of a 1-row parquet metadata table (a layout's
     * `meta`) on the driver — same value as
     * `spark.read.parquet(dir).select(field).head()`, zero jobs. */

@@ -207,7 +207,9 @@ object SparseIndex {
 
   /** Load a persisted index. */
   def read(s: SparkSession, dir: String): Index =
-    Index(s.read.parquet(s"$dir/plist"), s.read.parquet(s"$dir/df"),
-      s.read.parquet(s"$dir/dl"), s.read.parquet(s"$dir/stats"),
-      s.read.parquet(s"$dir/tf"))
+    Index(SegmentOps.readKnown(s, s"$dir/plist"),
+      SegmentOps.readKnown(s, s"$dir/df"),
+      SegmentOps.readKnown(s, s"$dir/dl"),
+      SegmentOps.readKnown(s, s"$dir/stats"),
+      SegmentOps.readKnown(s, s"$dir/tf"))
 }

@@ -271,7 +271,7 @@ object SparseSegments {
   private def readSeg(s: SparkSession, root: String, dirName: String,
       kind: Char): Seg = {
     def t(name: String) =
-      s.read.parquet(s"$root/segs/$dirName/$name")
+      SegmentOps.readKnown(s, s"$root/segs/$dirName/$name")
     def emptyT(name: String) = SegmentOps.emptyLike(t(name))
     // kind 'm' (a mixed-range MERGED segment) carries real rows in
     // every table — only the pure kinds get the vacuous-table elision
@@ -296,9 +296,11 @@ object SparseSegments {
   private def liveParts(s: SparkSession, root: String)
       : (DataFrame, DataFrame) = {
     val snap = SegmentOps.resolveSnapshot(s, root)
-    val baseTfD = s.read.parquet(s"$root/${snap.baseDir}/tf")
+    val baseTfD = SegmentOps.readKnown(s,
+        s"$root/${snap.baseDir}/tf",
+        Seq("tbk" -> org.apache.spark.sql.types.IntegerType))
       .select("doc_id", "tok", "tf")
-    val baseDl = s.read.parquet(s"$root/${snap.baseDir}/dl")
+    val baseDl = SegmentOps.readKnown(s, s"$root/${snap.baseDir}/dl")
     val segs = readSegs(s, root, snap)
     val tombs = segs.map(_.tombs)
     (SegmentOps.scopedUnion(baseTfD,
@@ -332,11 +334,12 @@ object SparseSegments {
     val baseAbs = s"$root/${snap.baseDir}"
     val rc = storedCapAt(s, baseAbs, cap)
     val base = SparseIndex.Index(
-      s.read.parquet(s"$baseAbs/plist"),
-      s.read.parquet(s"$baseAbs/df"),
-      s.read.parquet(s"$baseAbs/dl"),
-      s.read.parquet(s"$baseAbs/stats"),
-      s.read.parquet(s"$baseAbs/tf"))
+      SegmentOps.readKnown(s, s"$baseAbs/plist"),
+      SegmentOps.readKnown(s, s"$baseAbs/df"),
+      SegmentOps.readKnown(s, s"$baseAbs/dl"),
+      SegmentOps.readKnown(s, s"$baseAbs/stats"),
+      SegmentOps.readKnown(s, s"$baseAbs/tf",
+        Seq("tbk" -> org.apache.spark.sql.types.IntegerType)))
     view(base, readSegs(s, root, snap), rc)
   }
 

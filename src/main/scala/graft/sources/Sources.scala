@@ -141,10 +141,15 @@ object Sources {
   private def sizedForWrite(df: DataFrame,
       part: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Repartition, RepartitionByExpression, RebalancePartitions}
+      LocalRelation, Repartition, RepartitionByExpression,
+      RebalancePartitions}
     val explicitLayout = df.queryExecution.logical match {
       case _: Repartition | _: RepartitionByExpression |
           _: RebalancePartitions => true
+      // a LocalRelation (vacuous segment tables, tiny static dims) is
+      // driver-local and writes as one task already — a rebalance
+      // would only add a shuffle stage job per write
+      case _: LocalRelation => true
       case _ => false
     }
     if (explicitLayout) df
