@@ -11,8 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB these read partitioned parquet the same way.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path inferred SCHEMA cache. Every bare `spark.read.parquet`
+    * runs a footer-merging Spark job at plan time; a 266-query
+    * bench/verify session re-infers the same handful of immutable
+    * catalog files hundreds of times — pure per-job driver latency.
+    * The first read of a path infers normally (so session-conf-
+    * dependent encodings like events' TIMESTAMP(NANOS) resolve
+    * exactly as before); later reads pass that schema explicitly.
+    * This caches METADATA only (deterministic for an immutable file
+    * set), never rows — the same class as Spark's own file-listing
+    * cache. Keyed by path alone: test sessions and driver sessions
+    * see identical footers, and the nanos conf is set to the same
+    * value by every harness main. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Spread a scan across the cluster. The testdata parquet files are a
     * single row group, so Spark reads each as ONE partition and any
